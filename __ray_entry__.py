@@ -1,44 +1,66 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on sf0.001; ``queries()`` exposes
+every implemented operator/pipeline (SURVEY.md §2) as sf_dir -> result
+callables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for each.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ship_package_by_value() -> None:
+    """Make Ray workers independent of the driver's cwd/sys.path: register
+    every odinson_ray module for cloudpickle by-value serialization, so
+    map_batches closures and actor classes carry their code with them."""
+    try:
+        import importlib
+        import pkgutil
+
+        import odinson_ray
+        from ray import cloudpickle
+
+        for info in pkgutil.walk_packages(odinson_ray.__path__, "odinson_ray."):
+            try:
+                importlib.import_module(info.name)
+            except Exception:
+                pass
+        for name, mod in list(sys.modules.items()):
+            if name == "odinson_ray" or name.startswith("odinson_ray."):
+                try:
+                    cloudpickle.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+    except Exception:
+        pass
+
+
+_ship_package_by_value()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG-construction pipeline on /root/testdata/sf0.001."""
+    from odinson_ray.pipelines.kg import triples_dataset
+
+    return triples_dataset("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from odinson_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from odinson_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

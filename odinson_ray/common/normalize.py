@@ -14,27 +14,39 @@ otherwise terms won't line up (documented in the reference's metadata docs).
 from __future__ import annotations
 
 import unicodedata
-from functools import lru_cache
 
 # whitespace-only tokens are replaced with this character at index time
 # (reference: OdinsonIndexWriter.scala:312-325, reference.conf:116)
 INVALID_CHARACTER_REPLACEMENT = "�"
 
+# plain dict caches: lru_cache wrappers pickle by reference, which breaks
+# shipping the package by value to Ray workers
+_NORM_CACHE: dict = {}
+_AGG_CACHE: dict = {}
 
-@lru_cache(maxsize=65536)
+
 def normalize_unicode(s: str) -> str:
     """NFKC normalization (non-aggressive)."""
-    return unicodedata.normalize("NFKC", s)
+    v = _NORM_CACHE.get(s)
+    if v is None:
+        v = unicodedata.normalize("NFKC", s)
+        if len(_NORM_CACHE) < 1_000_000:
+            _NORM_CACHE[s] = v
+    return v
 
 
-@lru_cache(maxsize=65536)
 def normalize_unicode_aggressively(s: str) -> str:
     """NFKC + casefold + strip combining marks (diacritics)."""
-    s = unicodedata.normalize("NFKC", s)
-    s = s.casefold()
-    s = unicodedata.normalize("NFKD", s)
-    s = "".join(c for c in s if not unicodedata.combining(c))
-    return unicodedata.normalize("NFKC", s)
+    v = _AGG_CACHE.get(s)
+    if v is None:
+        t = unicodedata.normalize("NFKC", s)
+        t = t.casefold()
+        t = unicodedata.normalize("NFKD", t)
+        t = "".join(c for c in t if not unicodedata.combining(c))
+        v = unicodedata.normalize("NFKC", t)
+        if len(_AGG_CACHE) < 1_000_000:
+            _AGG_CACHE[s] = v
+    return v
 
 
 def sanitize_token(tok: str) -> str:

@@ -1,0 +1,90 @@
+"""Flagship pipeline: interleaved docs -> annotate -> match -> link ->
+canonicalize -> triples (the full north-rule KG construction chain).
+
+    read_parquet(documents)                      # pruned columnar read
+      -> map_batches(build_interleaved)          # input-shape projection
+      -> map_batches(DeterministicAnnotator)     # pluggable annotation
+      -> map_batches(GrammarMatcher, actor pool) # per-doc cascade, no shuffle
+      -> map_batches(mentions_to_triples)        # SVO projection
+      -> canonicalize (distinct-vocab shuffle + broadcast back)
+      -> map_batches(EntityLinker, broadcast alias table)
+      -> partial-count combiner -> groupby.aggregate(Sum)   # only wide op
+
+The default grammar extracts (subject, verb, object) events over the
+deterministic annotation layers plus maximal B-TECH entity runs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..sources.interleaved import read_interleaved
+from ..stages.annotate import annotate_batch
+from ..stages.canon import canonicalize_dataset
+from ..stages.link import build_alias_table, make_linker
+from ..stages.match import GrammarMatcher
+from ..stages.triples import aggregate_triples, mentions_to_triples
+
+FLAGSHIP_RULES = """
+rules:
+  - name: tech-entity
+    label: Tech
+    type: basic
+    priority: "1"
+    pattern: "[entity=B-TECH]+"
+  - name: svo
+    label: SVO
+    type: event
+    priority: "2"
+    pattern: |
+      trigger = [tag=VB]
+      subject = >nsubj []
+      object = >dobj []
+"""
+
+
+def mentions_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
+                     concurrency: int = 4, batch_size: int = 128):
+    docs = read_interleaved(sf_dir)
+    annotated = docs.map_batches(annotate_batch, batch_format="pyarrow")
+    return annotated.map_batches(
+        GrammarMatcher,
+        fn_constructor_args=(rules_yaml,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=1,
+    )
+
+
+def triples_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
+                    concurrency: int = 4, aggregate: bool = True,
+                    canonicalize: bool = True):
+    """Full KG pipeline; returns the aggregated triple Dataset."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    mentions = mentions_dataset(sf_dir, rules_yaml, concurrency=concurrency)
+    events = mentions.map_batches(
+        lambda t: t.filter(pc.equal(t["label"], "SVO")), batch_format="pyarrow"
+    )
+    raw_triples = events.map_batches(mentions_to_triples, batch_format="pyarrow")
+    if not canonicalize:
+        return raw_triples
+    canon_ds, mapping = canonicalize_dataset(raw_triples, columns=("subj", "obj"))
+    alias_ref = ray.put(build_alias_table(mapping.keys()))
+    linked = canon_ds.map_batches(
+        make_linker(alias_ref, ("subj", "obj")), batch_format="pyarrow"
+    )
+    if not aggregate:
+        return linked
+    return aggregate_triples(linked)
+
+
+def run_flagship(sf_dir: str, out_dir: Optional[str] = None, concurrency: int = 4):
+    ds = triples_dataset(sf_dir, concurrency=concurrency)
+    if out_dir:
+        ds.write_parquet(out_dir)
+        return ds
+    return ds

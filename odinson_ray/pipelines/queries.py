@@ -1,0 +1,837 @@
+"""Driver-checkable query suite: Ray Data pipelines + DuckDB oracles.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / DataFrame /
+Arrow table; ``ORACLES[name]`` is ANSI SQL DuckDB runs over the same
+parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings). Column names match exactly; floats
+are rounded identically on both sides.
+
+Sections: relational ops (TPC-H-ish), stream-shaped ops (events),
+text-analysis + dedup ops (documents), similarity search (embeddings),
+Odinson pattern queries (documents -> interleaved -> matcher), and the
+KG flagship (triples). Pattern-query oracles are exact because the
+deterministic annotator's layers are pure SQL-expressible functions of the
+token stream (see stages/annotate.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+STOPWORDS = ("the", "a")
+VERBS = ("scan", "join", "sort", "merge", "filter", "group")
+
+
+# ===================================================================== relational
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style aggregate with a per-batch computed column."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def with_disc(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(with_disc, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    for col in ("sum_base_price", "sum_disc_price"):
+        out[col] = out[col].round(2)
+    out["avg_qty"] = out["avg_qty"].round(6)
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out
+
+
+ORACLE_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Broadcast join orders->customer + deterministic top-k."""
+    import ray
+
+    rd = _rd()
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    cust = cust[cust.c_mktsegment == "BUILDING"]
+    lookup = ray.put(dict(zip(cust.c_custkey, cust.c_name)))
+
+    from odinson_ray.stages.link import get_broadcast
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        names = get_broadcast(lookup)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cname = [names.get(k) for k in keys]
+        mask = [c is not None for c in cname]
+        t = t.append_column("c_name", pa.array(cname, pa.string()))
+        return t.filter(pa.array(mask))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(join_batch, batch_format="pyarrow")
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    return out[["o_orderkey", "o_totalprice", "c_name"]]
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """lineitem -> supplier -> nation via broadcast dims + grouped sum."""
+    import ray
+
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    s2n = dict(zip(supp.s_suppkey, supp.s_nationkey))
+    n2name = dict(zip(nation.n_nationkey, nation.n_name))
+    lookup = ray.put({k: n2name[v] for k, v in s2n.items()})
+
+    from odinson_ray.stages.link import get_broadcast
+
+    def enrich(t: pa.Table) -> pa.Table:
+        names = get_broadcast(lookup)
+        keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.Table.from_pydict(
+            {
+                "n_name": pa.array([names[k] for k in keys], pa.string()),
+                "revenue": rev,
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(enrich, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_distinct_flags(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"])
+    from ray.data.aggregate import Count
+
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="n"))
+
+
+ORACLE_DISTINCT_FLAGS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_union_nation_keys(sf_dir: str):
+    rd = _rd()
+    c = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    s = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    u = c.union(s)
+    return pd.DataFrame({"nationkey": sorted(u.unique("nationkey"))})
+
+
+ORACLE_UNION_NATION_KEYS = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+"""
+
+
+def q_filter_revenue(sf_dir: str):
+    """Row-filtered projection with a computed column (streaming, no agg)."""
+    rd = _rd()
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_discount"], pa.scalar(0.03)))
+        raw = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        # floor(x*100+0.5)/100 on float64: bit-identical to the SQL oracle
+        rev = pc.divide(pc.floor(pc.add(pc.multiply(raw, pa.scalar(100.0)), pa.scalar(0.5))), pa.scalar(100.0))
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": rev,
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    ).map_batches(f, batch_format="pyarrow")
+
+
+ORACLE_FILTER_REVENUE = """
+SELECT l_orderkey, l_linenumber,
+       floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue
+FROM lineitem WHERE l_discount < 0.03
+"""
+
+
+# ===================================================================== events
+
+def q_events_by_type(sf_dir: str):
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["total_value"] = out["total_value"].round(2)
+    return out
+
+
+ORACLE_EVENTS_BY_TYPE = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Session counts per user with a 30-minute inactivity gap
+    (stream-shaped op: partition by key, order by ts inside map_groups)."""
+    rd = _rd()
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds() > 1800
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+ORACLE_SESSIONIZE = """
+SELECT user_id, count(*) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL OR epoch(ts - prev_ts) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events) t
+) WHERE is_new = 1 GROUP BY user_id
+"""
+
+
+def q_running_total(sf_dir: str):
+    """Per-user running sum ordered by (ts, event_id) — windowed aggregate
+    as groupby(key).map_groups over sorted groups."""
+    rd = _rd()
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["running_value"] = g["value"].cumsum().round(4)
+        return g[["event_id", "user_id", "running_value"]]
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
+        .groupby("user_id")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events
+"""
+
+
+# ===================================================================== text / dedup
+
+def q_token_count(sf_dir: str):
+    rd = _rd()
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "n_tokens": pc.list_value_length(toks)}
+        )
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+"""
+
+
+def q_quality_score(sf_dir: str):
+    """Quality scoring: token count, stopword ratio, mean token length."""
+    rd = _rd()
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tokens, stop_ratio, avg_len = [], [], []
+        for txt in texts:
+            toks = txt.split(" ") if txt else []
+            n = len(toks)
+            n_tokens.append(n)
+            stop_ratio.append(round(sum(tk in STOPWORDS for tk in toks) / n, 6) if n else 0.0)
+            avg_len.append(round(sum(len(tk) for tk in toks) / n, 6) if n else 0.0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "stop_ratio": pa.array(stop_ratio, pa.float64()),
+                "avg_token_len": pa.array(avg_len, pa.float64()),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+ORACLE_QUALITY_SCORE = """
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks), 6) AS stop_ratio,
+       round(list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks), 6) AS avg_token_len
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+ORACLE_LANG_COUNTS = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+def q_fingerprint(sf_dir: str):
+    """Content fingerprinting (md5 of the exact text)."""
+    rd = _rd()
+
+    def f(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        return pa.Table.from_pydict({"doc_id": t["doc_id"], "fp": pa.array(fps, pa.string())})
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+ORACLE_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: first doc per distinct content hash (hash-partitioned
+    groupby-first; the content hash keeps the shuffle key small)."""
+    rd = _rd()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        return pa.Table.from_pydict({"doc_id": t["doc_id"], "fp": pa.array(fps, pa.string())})
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"fp": [g["fp"].iloc[0]], "doc_id": [int(g["doc_id"].min())], "n_copies": [len(g)]}
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ===================================================================== embeddings
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb[emb.vec_id == 0].iloc[0]
+    return np.asarray(row.embedding, dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs a broadcast query vector (the ANN
+    baseline: numpy matmul per batch against the broadcast query)."""
+    import ray
+
+    rd = _rd()
+    qv = _query_vec(sf_dir)
+    qref = ray.put(qv / np.linalg.norm(qv))
+
+    from odinson_ray.stages.link import get_broadcast
+
+    def score(t: pa.Table) -> pa.Table:
+        q = get_broadcast(qref)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ q) / np.where(norms == 0, 1.0, norms)
+        return pa.Table.from_pydict(
+            {"vec_id": t["vec_id"], "score": pa.array(np.round(cos, 6), pa.float64())}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(score, batch_format="pyarrow").sort(
+        ["score", "vec_id"], descending=[True, False]
+    ).limit(10)
+
+
+ORACLE_ANN_TOPK = """
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Near-duplicate pairs by cosine >= 0.4 within label blocks
+    (blocked all-pairs: groupby label, numpy matmul inside the group)."""
+    rd = _rd()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in g["embedding"]])[order]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        sim = mat @ mat.T
+        ii, jj = np.where(np.triu(sim >= 0.4, k=1))
+        return pd.DataFrame(
+            {
+                "a_id": ids[ii].astype("int64"),
+                "b_id": ids[jj].astype("int64"),
+                "label": [int(g["label"].iloc[0])] * len(ii),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .groupby("label")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+# ===================================================================== odinson patterns
+
+def _mention_rows(sf_dir: str, rules_yaml: str, label: str):
+    from .kg import mentions_dataset
+
+    ds = mentions_dataset(sf_dir, rules_yaml)
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["label"], label)).select(
+            ["doc_id", "sent_id", "start", "end", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+BIGRAM_RULES = """
+rules:
+  - name: bigram
+    label: Bigram
+    type: basic
+    pattern: "[raw=spark] [raw=join]"
+"""
+
+
+def q_odinson_bigram(sf_dir: str):
+    """Token-sequence pattern over the interleaved corpus: exact positional
+    oracle via a tokens-with-ordinality self-join."""
+    return _mention_rows(sf_dir, BIGRAM_RULES, "Bigram")
+
+
+ORACLE_ODINSON_BIGRAM = """
+WITH toks AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id, doc_id AS did,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+),
+postoks AS (
+  SELECT doc_id, did, tok, p,
+         CAST(((p - 1) // 20) AS INT) AS sent_id,
+         CAST(((p - 1) % 20) AS INT) AS l
+  FROM toks
+)
+SELECT a.doc_id, a.sent_id, a.l AS "start", a.l + 2 AS "end",
+       a.tok || ' ' || b.tok AS text
+FROM postoks a JOIN postoks b
+  ON a.did = b.did AND b.p = a.p + 1 AND b.sent_id = a.sent_id
+WHERE a.tok = 'spark' AND b.tok = 'join'
+"""
+
+
+TECH_RUN_RULES = """
+rules:
+  - name: tech-entity
+    label: Tech
+    type: basic
+    pattern: "[entity=B-TECH]+"
+"""
+
+
+def q_odinson_tech_runs(sf_dir: str):
+    """Greedy entity-run extraction == maximal islands of B-TECH tokens."""
+    ds = _mention_rows(sf_dir, TECH_RUN_RULES, "Tech")
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "sent_id", "start", "end"]), batch_format="pyarrow"
+    )
+
+
+ORACLE_ODINSON_TECH_RUNS = """
+WITH toks AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id, doc_id AS did,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+),
+postoks AS (
+  SELECT doc_id, did, tok, p,
+         CAST(((p - 1) // 20) AS INT) AS sent_id,
+         CAST(((p - 1) % 20) AS INT) AS l
+  FROM toks
+)
+, tech AS (
+  SELECT doc_id, sent_id, l,
+         l - row_number() OVER (PARTITION BY doc_id, sent_id ORDER BY l) AS island
+  FROM postoks WHERE tok = 'spark'
+)
+SELECT doc_id, sent_id, CAST(min(l) AS INT) AS "start", CAST(max(l) + 1 AS INT) AS "end"
+FROM tech GROUP BY doc_id, sent_id, island
+"""
+
+
+SVO_RULES = """
+rules:
+  - name: svo
+    label: SVO
+    type: event
+    pattern: |
+      trigger = [tag=VB]
+      subject = >nsubj []
+      object = >dobj []
+"""
+
+
+def q_odinson_svo(sf_dir: str):
+    """Event extraction over the deterministic dependency groups: the
+    oracle recomputes (head, nsubj-child, dobj-child) by position."""
+    from .kg import mentions_dataset
+
+    ds = mentions_dataset(sf_dir, SVO_RULES)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["label"], "SVO"))
+        args_col = t["args"].to_pylist()
+        subj, obj = [], []
+        for args in args_col:
+            subj.append(next(a["text"] for a in args if a["name"] == "subject"))
+            obj.append(next(a["text"] for a in args if a["name"] == "object"))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "sent_id": t["sent_id"],
+                "start": t["start"],
+                "subj": pa.array(subj, pa.string()),
+                "pred": t["text"],
+                "obj": pa.array(obj, pa.string()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+ORACLE_ODINSON_SVO = """
+WITH toks AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id, doc_id AS did,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+),
+postoks AS (
+  SELECT doc_id, did, tok, p,
+         CAST(((p - 1) // 20) AS INT) AS sent_id,
+         CAST(((p - 1) % 20) AS INT) AS l
+  FROM toks
+)
+SELECT a.doc_id, a.sent_id, a.l AS "start",
+       b.tok AS subj, a.tok AS pred, c.tok AS obj
+FROM postoks a JOIN postoks b ON b.did = a.did AND b.p = a.p + 1
+               JOIN postoks c ON c.did = a.did AND c.p = a.p + 2
+WHERE a.l % 5 = 0 AND a.tok IN ('scan', 'join', 'sort', 'merge', 'filter', 'group')
+"""
+
+
+def q_kg_triples(sf_dir: str):
+    """Flagship: aggregated canonical triples."""
+    from .kg import triples_dataset
+
+    return triples_dataset(sf_dir)
+
+
+_CANON_SQL = (
+    "CASE WHEN len({c}) > 3 AND {c} LIKE '%s' AND {c} NOT LIKE '%ss' "
+    "THEN substr({c}, 1, len({c}) - 1) ELSE {c} END"
+)
+
+ORACLE_KG_TRIPLES = f"""
+WITH toks AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id, doc_id AS did,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+),
+postoks AS (
+  SELECT doc_id, did, tok, p,
+         CAST(((p - 1) // 20) AS INT) AS sent_id,
+         CAST(((p - 1) % 20) AS INT) AS l
+  FROM toks
+)
+, raw AS (
+  SELECT b.tok AS subj, a.tok AS pred, c.tok AS obj
+  FROM postoks a JOIN postoks b ON b.did = a.did AND b.p = a.p + 1
+                 JOIN postoks c ON c.did = a.did AND c.p = a.p + 2
+  WHERE a.l % 5 = 0 AND a.tok IN ('scan', 'join', 'sort', 'merge', 'filter', 'group')
+)
+SELECT 'ent:' || {_CANON_SQL.format(c='subj')} AS subj_canon,
+       pred,
+       'ent:' || {_CANON_SQL.format(c='obj')} AS obj_canon,
+       subj, obj, count(*) AS n
+FROM raw GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def q_spans_roundtrip(sf_dir: str):
+    """The per-row span-sequence invariant, surfaced as a query: the
+    interleaved table exploded to (doc_id, offset, kind, text, media_ref);
+    the oracle re-derives the exact interleaving from documents."""
+    rd = _rd()
+    from odinson_ray.sources.interleaved import read_interleaved
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        flat = pc.list_flatten(spans).combine_chunks()
+        parents = pc.list_parent_indices(spans)
+        doc_ids = pc.take(t["doc_id"], parents)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": doc_ids,
+                "offset": flat.field("offset"),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+            }
+        )
+
+    return read_interleaved(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+ORACLE_SPANS_ROUNDTRIP = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CAST(ceil(len(string_split(text, ' ')) / 20.0) AS INT) AS n_sent
+  FROM documents
+),
+sent_idx AS (
+  SELECT doc_id, t, n_sent, unnest(generate_series(1, n_sent)) AS i FROM base
+),
+text_spans AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id,
+         CAST(i - 1 + (CASE WHEN doc_id % 5 = 0 AND i > 1 THEN 1 ELSE 0 END) AS INT) AS "offset",
+         'text' AS kind,
+         array_to_string(t[(20 * (i - 1) + 1):(20 * i)], ' ') AS text,
+         '' AS media_ref
+  FROM sent_idx
+),
+image_spans AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id, CAST(1 AS INT) AS "offset",
+         'image' AS kind, '' AS text, 'media://img/' || doc_id AS media_ref
+  FROM base WHERE doc_id % 5 = 0
+),
+audio_spans AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id,
+         CAST(n_sent + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS INT) AS "offset",
+         'audio' AS kind, '' AS text, 'media://aud/' || doc_id AS media_ref
+  FROM base WHERE doc_id % 11 = 0
+)
+SELECT * FROM text_spans
+UNION ALL SELECT * FROM image_spans
+UNION ALL SELECT * FROM audio_spans
+"""
+
+
+def q_media_manifest(sf_dir: str):
+    """Media spans only (multimodal passthrough manifest)."""
+    rd = _rd()
+    from odinson_ray.sources.interleaved import read_interleaved
+
+    def explode_media(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        flat = pc.list_flatten(spans).combine_chunks()
+        parents = pc.list_parent_indices(spans)
+        doc_ids = pc.take(t["doc_id"], parents)
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": doc_ids,
+                "kind": flat.field("kind"),
+                "media_ref": flat.field("media_ref"),
+            }
+        )
+        return tbl.filter(pc.not_equal(tbl["kind"], "text"))
+
+    return read_interleaved(sf_dir).map_batches(explode_media, batch_format="pyarrow")
+
+
+ORACLE_MEDIA_MANIFEST = """
+SELECT printf('doc-%06d', doc_id) AS doc_id, 'image' AS kind,
+       'media://img/' || doc_id AS media_ref
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT printf('doc-%06d', doc_id) AS doc_id, 'audio' AS kind,
+       'media://aud/' || doc_id AS media_ref
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+# ===================================================================== registry
+
+QUERIES = {
+    "lineitem_agg": q_lineitem_agg,
+    "top_orders": q_top_orders,
+    "revenue_by_nation": q_revenue_by_nation,
+    "distinct_flags": q_distinct_flags,
+    "union_nation_keys": q_union_nation_keys,
+    "filter_revenue": q_filter_revenue,
+    "events_by_type": q_events_by_type,
+    "sessionize": q_sessionize,
+    "running_total": q_running_total,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_counts": q_lang_counts,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "odinson_bigram": q_odinson_bigram,
+    "odinson_tech_runs": q_odinson_tech_runs,
+    "odinson_svo": q_odinson_svo,
+    "kg_triples": q_kg_triples,
+    "spans_roundtrip": q_spans_roundtrip,
+    "media_manifest": q_media_manifest,
+}
+
+ORACLES = {
+    "lineitem_agg": ORACLE_LINEITEM_AGG,
+    "top_orders": ORACLE_TOP_ORDERS,
+    "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "distinct_flags": ORACLE_DISTINCT_FLAGS,
+    "union_nation_keys": ORACLE_UNION_NATION_KEYS,
+    "filter_revenue": ORACLE_FILTER_REVENUE,
+    "events_by_type": ORACLE_EVENTS_BY_TYPE,
+    "sessionize": ORACLE_SESSIONIZE,
+    "running_total": ORACLE_RUNNING_TOTAL,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "lang_counts": ORACLE_LANG_COUNTS,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "odinson_bigram": ORACLE_ODINSON_BIGRAM,
+    "odinson_tech_runs": ORACLE_ODINSON_TECH_RUNS,
+    "odinson_svo": ORACLE_ODINSON_SVO,
+    "kg_triples": ORACLE_KG_TRIPLES,
+    "spans_roundtrip": ORACLE_SPANS_ROUNDTRIP,
+    "media_manifest": ORACLE_MEDIA_MANIFEST,
+}

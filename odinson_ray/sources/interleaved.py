@@ -1,0 +1,98 @@
+"""Interleaved text+media document table (the engine's authoritative input
+shape, per BASELINE.json input_hint):
+
+    doc_id: string
+    spans:  list<struct<kind:string, text:string, media_ref:string, offset:int32>>
+
+Built deterministically from the driver's ``documents.parquet``
+(doc_id:int64, text, lang, source) so DuckDB oracles can re-derive every
+downstream structure. Generation rules (all pure functions of the row):
+
+- text is split into sentences of SENT_TOKENS whitespace tokens each
+- one ``image`` span is inserted after the first text span when
+  ``doc_id % 5 == 0`` (media_ref "media://img/<id>")
+- one ``audio`` span is appended when ``doc_id % 11 == 0``
+  (media_ref "media://aud/<id>")
+- offset is the ordinal position within the document
+
+Everything is vectorized per batch; this module is used via
+``ray.data.read_parquet(...).map_batches(build_interleaved, batch_format="pyarrow")``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+SENT_TOKENS = 20  # tokens per synthetic sentence
+
+SPAN_TYPE = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+INTERLEAVED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("spans", pa.list_(SPAN_TYPE)),
+    ]
+)
+
+
+def doc_id_str(doc_id: int) -> str:
+    return f"doc-{doc_id:06d}"
+
+
+def split_sentences(text: str, sent_tokens: int = SENT_TOKENS):
+    toks = text.split(" ") if text else []
+    return [
+        " ".join(toks[i : i + sent_tokens]) for i in range(0, len(toks), sent_tokens)
+    ]
+
+
+def spans_for_doc(doc_id: int, text: str):
+    """Deterministic interleaving of text sentences + media spans."""
+    spans = []
+    sents = split_sentences(text)
+    for idx, s in enumerate(sents):
+        spans.append({"kind": "text", "text": s, "media_ref": ""})
+        if idx == 0 and doc_id % 5 == 0:
+            spans.append({"kind": "image", "text": "", "media_ref": f"media://img/{doc_id}"})
+    if doc_id % 11 == 0:
+        spans.append({"kind": "audio", "text": "", "media_ref": f"media://aud/{doc_id}"})
+    for off, sp in enumerate(spans):
+        sp["offset"] = off
+    return spans
+
+
+def build_interleaved(batch: pa.Table) -> pa.Table:
+    """documents.parquet batch -> interleaved docs batch."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(ids)
+    sources = batch["source"].to_pylist() if "source" in batch.column_names else [""] * len(ids)
+    out_ids = [doc_id_str(i) for i in ids]
+    out_spans = [spans_for_doc(i, t) for i, t in zip(ids, texts)]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(out_ids, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "spans": pa.array(out_spans, pa.list_(SPAN_TYPE)),
+        }
+    )
+
+
+def read_interleaved(sf_dir: str, columns=None):
+    """read_parquet(documents) -> interleaved Dataset (column-pruned read)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return ds.map_batches(build_interleaved, batch_format="pyarrow")

@@ -1,0 +1,105 @@
+"""Deterministic annotator stage: interleaved docs -> + ``sentences`` column.
+
+The Ray-side analogue of the reference's AnnotateText actor-pool stage
+(extra/.../AnnotateText.scala:59-86: model loaded once per worker, documents
+annotated in parallel). Here the "model" is a deterministic rule-based
+annotator so fixtures and DuckDB oracles can re-derive every layer:
+
+- raw/word: whitespace tokens of each text span
+- lemma:    lowercased token
+- tag:      VB for {scan,join,sort,merge,filter,group}, JJ for
+            {fast,slow,small,big}, DT for {the,a}, NN otherwise
+- entity:   B-TECH for "spark", O otherwise
+- chunk:    "O" (synthetic docs carry no chunk structure)
+- graph:    tokens are bucketed into groups of 5; token 5k is the group
+            head; 5k+j (j=1..4) attaches to 5k with label
+            [nsubj, dobj, amod, nmod][j-1]; group heads chain with
+            "conj" (5k <- 5(k-1)); sentence root is token 0
+
+Pre-annotated inputs (e.g. the ExampleDocs fixture corpus) bypass this
+stage — annotation is pluggable, mirroring the reference's pluggable
+processor (ProcessorsUtils.scala:35-46).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import pyarrow as pa
+
+VERB_WORDS = frozenset({"scan", "join", "sort", "merge", "filter", "group"})
+ADJ_WORDS = frozenset({"fast", "slow", "small", "big"})
+DET_WORDS = frozenset({"the", "a"})
+TECH_WORDS = frozenset({"spark"})
+GROUP = 5
+GROUP_LABELS = ("nsubj", "dobj", "amod", "nmod")
+
+EDGE_TYPE = pa.struct([("src", pa.int32()), ("dst", pa.int32()), ("label", pa.string())])
+GRAPH_TYPE = pa.struct([("edges", pa.list_(EDGE_TYPE)), ("roots", pa.list_(pa.int32()))])
+SENTENCE_TYPE = pa.struct(
+    [
+        ("raw", pa.list_(pa.string())),
+        ("word", pa.list_(pa.string())),
+        ("lemma", pa.list_(pa.string())),
+        ("tag", pa.list_(pa.string())),
+        ("chunk", pa.list_(pa.string())),
+        ("entity", pa.list_(pa.string())),
+        ("graph", GRAPH_TYPE),
+    ]
+)
+
+
+def tag_of(tok: str) -> str:
+    if tok in VERB_WORDS:
+        return "VB"
+    if tok in ADJ_WORDS:
+        return "JJ"
+    if tok in DET_WORDS:
+        return "DT"
+    return "NN"
+
+
+def annotate_sentence(text: str) -> Dict:
+    toks = text.split(" ") if text else []
+    n = len(toks)
+    edges = []
+    for i in range(1, n):
+        j = i % GROUP
+        if j == 0:
+            edges.append({"src": i - GROUP, "dst": i, "label": "conj"})
+        else:
+            edges.append({"src": i - j, "dst": i, "label": GROUP_LABELS[j - 1]})
+    return {
+        "raw": toks,
+        "word": toks,
+        "lemma": [t.lower() for t in toks],
+        "tag": [tag_of(t) for t in toks],
+        "chunk": ["O"] * n,
+        "entity": ["B-TECH" if t in TECH_WORDS else "O" for t in toks],
+        "graph": {"edges": edges, "roots": [0] if n else []},
+    }
+
+
+class DeterministicAnnotator:
+    """Callable class for map_batches actor pools: setup once per actor,
+    annotate per batch. Adds a ``sentences`` list<struct> column with one
+    entry per kind=="text" span, in span order."""
+
+    def __init__(self):
+        # deterministic annotator has no model to load; a real NLP stage
+        # would load it here, once per actor
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans_col = batch["spans"].to_pylist()
+        sentences: List[List[Dict]] = []
+        for spans in spans_col:
+            sentences.append(
+                [annotate_sentence(sp["text"]) for sp in spans if sp["kind"] == "text"]
+            )
+        return batch.append_column("sentences", pa.array(sentences, pa.list_(SENTENCE_TYPE)))
+
+
+def annotate_batch(batch: pa.Table) -> pa.Table:
+    """Stateless function form (the annotator holds no state)."""
+    return DeterministicAnnotator()(batch)

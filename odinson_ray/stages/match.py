@@ -1,0 +1,135 @@
+"""GrammarMatcher: the grammar cascade as a Ray Data actor-pool stage.
+
+The whole compiled grammar is ONE dataset operator:
+
+    mentions = docs.map_batches(
+        GrammarMatcher.with_rules(yaml_str),
+        batch_format="pyarrow", concurrency=N, batch_size=B)
+
+The grammar is compiled once per actor in ``__init__`` (the reference
+compiles once per engine: RuleReader.compileRuleStream); per batch the
+actor builds per-document inverted structures and runs the per-document
+cascade (priorities + state confined to the document, SURVEY §3.1 — no
+distributed state, no shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+from ..core.engine import DocumentEngine
+from ..core.sentence import AnnotatedDocument, SentenceIndex
+from ..lang.rules import RuleReader
+
+ARG_TYPE = pa.struct(
+    [
+        ("name", pa.string()),
+        ("label", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("text", pa.string()),
+    ]
+)
+
+MENTIONS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("sent_id", pa.int32()),
+        ("label", pa.string()),
+        ("found_by", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("text", pa.string()),
+        ("args", pa.list_(ARG_TYPE)),
+    ]
+)
+
+
+def sentence_index_from_struct(s: Dict) -> SentenceIndex:
+    graph = s.get("graph") or {}
+    edges = [(e["src"], e["dst"], e["label"]) for e in (graph.get("edges") or [])]
+    roots = graph.get("roots") or []
+    fields = {
+        k: s[k]
+        for k in ("raw", "word", "lemma", "tag", "chunk", "entity")
+        if s.get(k) is not None
+    }
+    return SentenceIndex(fields, edges, roots)
+
+
+class GrammarMatcher:
+    """Callable class for map_batches: compile grammar once per actor."""
+
+    def __init__(self, rules_yaml: str, variables: Optional[Dict[str, str]] = None,
+                 use_state: bool = True, allow_trigger_overlaps: bool = False):
+        self.extractors = RuleReader().compile_rule_string(rules_yaml, variables)
+        self.use_state = use_state
+        self.allow_trigger_overlaps = allow_trigger_overlaps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        sentences_col = batch["sentences"].to_pylist()
+        out = {k: [] for k in ("doc_id", "sent_id", "label", "found_by", "start", "end", "text")}
+        out_args: List[List[Dict]] = []
+        for doc_id, sents in zip(doc_ids, sentences_col):
+            sent_indexes = [sentence_index_from_struct(s) for s in (sents or [])]
+            doc = AnnotatedDocument(doc_id, sent_indexes)
+            engine = DocumentEngine(doc)
+            if self.use_state:
+                mentions = engine.extract_mentions(
+                    self.extractors, allow_trigger_overlaps=self.allow_trigger_overlaps
+                )
+            else:
+                mentions = engine.extract_no_state(
+                    self.extractors, allow_trigger_overlaps=self.allow_trigger_overlaps
+                )
+            for m in mentions:
+                toks = sent_indexes[m.sent_idx].tokens()
+                out["doc_id"].append(doc_id)
+                out["sent_id"].append(m.sent_idx)
+                out["label"].append(m.label)
+                out["found_by"].append(m.found_by)
+                out["start"].append(m.start)
+                out["end"].append(m.end)
+                out["text"].append(" ".join(toks[m.start : m.end]))
+                args = []
+                for cap in m.match.named_captures:
+                    args.append(
+                        {
+                            "name": cap.name,
+                            "label": cap.label,
+                            "start": cap.captured.start,
+                            "end": cap.captured.end,
+                            "text": " ".join(toks[cap.captured.start : cap.captured.end]),
+                        }
+                    )
+                out_args.append(args)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "sent_id": pa.array(out["sent_id"], pa.int32()),
+                "label": pa.array(out["label"], pa.string()),
+                "found_by": pa.array(out["found_by"], pa.string()),
+                "start": pa.array(out["start"], pa.int32()),
+                "end": pa.array(out["end"], pa.int32()),
+                "text": pa.array(out["text"], pa.string()),
+                "args": pa.array(out_args, pa.list_(ARG_TYPE)),
+            }
+        )
+
+
+def match_stage(docs_ds, rules_yaml: str, variables=None, concurrency: int = 4,
+                batch_size: int = 256):
+    """docs (with sentences column) -> mentions Dataset via an actor pool."""
+    import ray.data  # noqa: F401  (ensures ray.data is importable lazily)
+
+    return docs_ds.map_batches(
+        GrammarMatcher,
+        fn_constructor_args=(rules_yaml, variables),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=1,
+    )
