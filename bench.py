@@ -1,0 +1,208 @@
+"""Benchmark harness.
+
+    python bench.py             # one JSON line with headline + per-query secs
+    python bench.py --scaling   # same headline at num_cpus=8 and 32 in fresh
+                                # processes; prints throughputs + efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32),
+     BENCH_REPLICATE (default 8: input replication factor for the headline
+     so the matcher stage has enough blocks to scale past 8 cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
+SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES", "") == "1"
+
+# the representative per-query set timed in the main bench run
+BENCH_QUERIES = [
+    "lineitem_agg",
+    "top_orders",
+    "revenue_by_nation",
+    "sessionize",
+    "running_total",
+    "dedup_exact",
+    "quality_score",
+    "ann_topk",
+    "odinson_svo",
+    "odinson_tech_runs",
+    "kg_triples",
+]
+
+
+def consume(res) -> int:
+    """Fully consume a query result; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return res.count()  # ray.data.Dataset
+
+
+def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
+    """The headline: full KG construction over the documents table
+    replicated `replicate`x in-stream (single read, copies tagged with
+    disjoint doc_id offsets — identical bytes at every parallelism level)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from odinson_ray.pipelines.kg import FLAGSHIP_RULES
+    from odinson_ray.sources.interleaved import build_interleaved
+    from odinson_ray.stages.canon import canonicalize_dataset
+    from odinson_ray.stages.link import build_alias_table, make_linker
+    from odinson_ray.stages.match import GrammarMatcher
+    from odinson_ray.stages.triples import aggregate_triples, mentions_to_triples
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    base_rows = pq.read_metadata(path).num_rows
+    n_docs = base_rows * replicate
+    # replicate at the read: the file listed `replicate` times; blocks sized
+    # ~900 docs so actor tasks are coarse enough to amortize dispatch but
+    # fine enough to balance the pool
+    nb = min(2048, max(num_cpus * 2, n_docs // 900))
+    docs = rd.read_parquet(
+        [path] * replicate,
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=nb,
+    ).materialize()  # untimed input prep: the timed pipeline below starts
+    # from object-store-resident blocks (page-cache warming equivalent)
+
+    t_start = time.time()
+    # proportional pool: 3/4 of CPUs at every parallelism level so the
+    # lo/hi comparison measures scaling, not pool-fraction differences,
+    # and the driver/raylet/consumer keep headroom
+    matcher_pool = max(2, round(num_cpus * 3 / 4))
+    mentions = (
+        docs.map_batches(build_interleaved, batch_format="pyarrow")
+        .map_batches(
+            GrammarMatcher,
+            fn_constructor_args=(FLAGSHIP_RULES,),
+            batch_format="pyarrow",
+            concurrency=matcher_pool,
+            batch_size=256,
+            num_cpus=1,
+        )
+    )
+    events = mentions.map_batches(
+        lambda t: t.filter(pc.equal(t["label"], "SVO")), batch_format="pyarrow"
+    )
+    raw_triples = events.map_batches(mentions_to_triples, batch_format="pyarrow").materialize()
+    canon_ds, mapping = canonicalize_dataset(raw_triples, columns=("subj", "obj"))
+    alias_ref = ray.put(build_alias_table(mapping.keys()))
+    linked = canon_ds.map_batches(make_linker(alias_ref, ("subj", "obj")), batch_format="pyarrow")
+    n_triples = aggregate_triples(linked).count()
+    return n_docs, n_triples, round(time.time() - t_start, 3)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__  # registers package by-value for workers
+
+    # warm the OS page cache so we measure compute+shuffle, not first read
+    import ray.data as rd
+
+    for t in ("documents", "lineitem", "orders", "events", "embeddings"):
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            rd.read_parquet(p).count()
+
+    # headline: full KG pipeline over replicated documents (input prep is
+    # inside but untimed; headline_pipeline returns its own timed window)
+    n_docs, n_triples, headline_sec = headline_pipeline(SF_DIR, NUM_CPUS, REPLICATE)
+
+    queries = __ray_entry__.queries()
+    per_query = {}
+    if not SKIP_QUERIES:
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            consume(queries[name](SF_DIR))
+            per_query[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "kg_pipeline_wall",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "headline_docs": n_docs,
+        "headline_triples": n_triples,
+        "docs_per_sec": round(n_docs / headline_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    # N and 4N CPUs (sandbox stand-in for N- vs 4N-node clusters)
+    lo_cpus = int(os.environ.get("BENCH_LO_CPUS", "4"))
+    hi_cpus = int(os.environ.get("BENCH_HI_CPUS", "16"))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "192"),
+                   BENCH_SKIP_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                f"sec_{lo_cpus}": lo["value"],
+                f"sec_{hi_cpus}": hi["value"],
+                f"docs_per_sec_{lo_cpus}": lo["docs_per_sec"],
+                f"docs_per_sec_{hi_cpus}": hi["docs_per_sec"],
+                "lo_cpus": lo_cpus,
+                "hi_cpus": hi_cpus,
+                "scaling_efficiency": round(eff, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

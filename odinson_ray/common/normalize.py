@@ -53,6 +53,9 @@ def sanitize_token(tok: str) -> str:
     """Replace whitespace-only tokens with the replacement char and strip
     control characters, as the reference index writer does
     (OdinsonIndexWriter.scala:312-325)."""
+    # fast path: printable ASCII needs no per-char scan
+    if tok and tok.isascii() and tok.isprintable():
+        return tok
     if tok.strip() == "":
         return INVALID_CHARACTER_REPLACEMENT
     return "".join(INVALID_CHARACTER_REPLACEMENT if unicodedata.category(c) == "Cc" else c for c in tok)

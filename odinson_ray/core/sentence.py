@@ -39,13 +39,21 @@ class SentenceIndex:
         fields: Dict[str, Sequence[str]],
         graph_edges: Sequence[Tuple[int, int, str]] = (),
         graph_roots: Sequence[int] = (),
+        presanitized: bool = False,
+        prenormalized_labels: bool = False,
     ):
         # `raw` is required (displayField); other layers optional
         self.length = len(fields.get("raw") or next(iter(fields.values())))
-        self.fields: Dict[str, List[str]] = {
-            k: [sanitize_token(t) for t in v] for k, v in fields.items() if v is not None
-        }
-        self.graph = DirectedGraph(graph_edges, graph_roots, self.length)
+        if presanitized:
+            # trusted annotator output: skip the per-token sanitize copy
+            self.fields = {k: list(v) for k, v in fields.items() if v is not None}
+        else:
+            self.fields = {
+                k: [sanitize_token(t) for t in v] for k, v in fields.items() if v is not None
+            }
+        self.graph = DirectedGraph(
+            graph_edges, graph_roots, self.length, prenormalized=prenormalized_labels
+        )
         self._postings: Dict[str, Dict[str, List[int]]] = {}
 
     # ------------------------------------------------------------ postings
@@ -71,7 +79,9 @@ class SentenceIndex:
             toks = self.fields.get(field)
             if toks is not None:
                 for i, t in enumerate(toks):
-                    p.setdefault(normalize_unicode(t), []).append(i)
+                    # NFKC is the identity on ASCII: skip the call
+                    key = t if t.isascii() else normalize_unicode(t)
+                    p.setdefault(key, []).append(i)
         self._postings[field] = p
         return p
 

@@ -21,13 +21,15 @@ class DirectedGraph:
 
     __slots__ = ("outgoing", "incoming", "roots", "num_nodes")
 
-    def __init__(self, edges: Sequence[Tuple[int, int, str]], roots: Sequence[int], num_nodes: int):
+    def __init__(self, edges: Sequence[Tuple[int, int, str]], roots: Sequence[int],
+                 num_nodes: int, prenormalized: bool = False):
         self.num_nodes = num_nodes
         self.outgoing: List[List[Tuple[int, str]]] = [[] for _ in range(num_nodes)]
         self.incoming: List[List[Tuple[int, str]]] = [[] for _ in range(num_nodes)]
         self.roots = list(roots)
         for src, dst, label in edges:
-            label = normalize_unicode(label)
+            if not prenormalized:
+                label = normalize_unicode(label)
             if 0 <= src < num_nodes and 0 <= dst < num_nodes:
                 self.outgoing[src].append((dst, label))
                 self.incoming[dst].append((src, label))

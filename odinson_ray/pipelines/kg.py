@@ -44,10 +44,12 @@ rules:
 
 
 def mentions_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
-                     concurrency: int = 4, batch_size: int = 128):
+                     concurrency: int = 4, batch_size: int = 256):
+    # annotation runs inline inside the matcher actors (deterministic
+    # annotator): no nested-annotation Arrow column ships through the
+    # object store. Pre-annotated corpora can insert annotate_batch here.
     docs = read_interleaved(sf_dir)
-    annotated = docs.map_batches(annotate_batch, batch_format="pyarrow")
-    return annotated.map_batches(
+    return docs.map_batches(
         GrammarMatcher,
         fn_constructor_args=(rules_yaml,),
         batch_format="pyarrow",
@@ -72,6 +74,11 @@ def triples_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
     raw_triples = events.map_batches(mentions_to_triples, batch_format="pyarrow")
     if not canonicalize:
         return raw_triples
+    # pin the (small) raw-triple stream once: the canonicalization vocabulary
+    # pass and the final aggregation would otherwise both re-run the matcher.
+    # At production scale this is the per-partition parquet checkpoint
+    # (state/checkpoint.py); in-memory materialize is its small-scale stand-in.
+    raw_triples = raw_triples.materialize()
     canon_ds, mapping = canonicalize_dataset(raw_triples, columns=("subj", "obj"))
     alias_ref = ray.put(build_alias_table(mapping.keys()))
     linked = canon_ds.map_batches(

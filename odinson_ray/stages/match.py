@@ -60,7 +60,14 @@ def sentence_index_from_struct(s: Dict) -> SentenceIndex:
 
 
 class GrammarMatcher:
-    """Callable class for map_batches: compile grammar once per actor."""
+    """Callable class for map_batches: compile grammar once per actor.
+
+    Accepts batches either with a pre-annotated ``sentences`` column or with
+    only the ``spans`` column — in the latter case annotation runs inline
+    (per actor, in plain Python), avoiding the Arrow round-trip of the
+    nested annotation column through the object store. Inline is the fast
+    path for deterministic annotation; pre-annotated is for corpora whose
+    annotations were computed by a separate (e.g. model-based) stage."""
 
     def __init__(self, rules_yaml: str, variables: Optional[Dict[str, str]] = None,
                  use_state: bool = True, allow_trigger_overlaps: bool = False):
@@ -68,13 +75,34 @@ class GrammarMatcher:
         self.use_state = use_state
         self.allow_trigger_overlaps = allow_trigger_overlaps
 
+    def _sentences_from_spans(self, spans) -> List[SentenceIndex]:
+        from .annotate import annotate_sentence
+
+        out = []
+        for sp in spans:
+            if sp["kind"] == "text":
+                s = annotate_sentence(sp["text"])
+                graph = s["graph"]
+                edges = [(e["src"], e["dst"], e["label"]) for e in graph["edges"]]
+                fields = {k: s[k] for k in ("raw", "word", "lemma", "tag", "chunk", "entity")}
+                out.append(SentenceIndex(fields, edges, graph["roots"],
+                                         presanitized=True, prenormalized_labels=True))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
-        sentences_col = batch["sentences"].to_pylist()
+        if "sentences" in batch.column_names:
+            sentences_col = batch["sentences"].to_pylist()
+        else:
+            sentences_col = [None] * len(doc_ids)
+            spans_col = batch["spans"].to_pylist()
         out = {k: [] for k in ("doc_id", "sent_id", "label", "found_by", "start", "end", "text")}
         out_args: List[List[Dict]] = []
-        for doc_id, sents in zip(doc_ids, sentences_col):
-            sent_indexes = [sentence_index_from_struct(s) for s in (sents or [])]
+        for row_idx, (doc_id, sents) in enumerate(zip(doc_ids, sentences_col)):
+            if sents is None:
+                sent_indexes = self._sentences_from_spans(spans_col[row_idx])
+            else:
+                sent_indexes = [sentence_index_from_struct(s) for s in sents]
             doc = AnnotatedDocument(doc_id, sent_indexes)
             engine = DocumentEngine(doc)
             if self.use_state:

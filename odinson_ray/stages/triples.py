@@ -64,5 +64,9 @@ def aggregate_triples(triples_ds, keys=("subj_canon", "pred", "obj_canon", "subj
     partials = triples_ds.map_batches(
         lambda b: partial_count_triples(b, keys), batch_format="pyarrow"
     )
+    # partials are tiny (one row per distinct key per batch) but inherit the
+    # upstream block count; coalesce so the shuffle sorts a few real blocks
+    # instead of a thousand splinters
+    partials = partials.repartition(16)
     out = partials.groupby(list(keys)).aggregate(Sum("partial_n", alias_name="n"))
     return out
