@@ -161,7 +161,16 @@ class DocumentEngine:
         self.doc = doc
         self.max_tokens = max_tokens
 
+    def _passes_metadata(self, extractor: Extractor) -> bool:
+        if not extractor.metadata_filter:
+            return True
+        from ..lang.metadata import compile_filter
+
+        return compile_filter(extractor.metadata_filter)(self.doc.metadata)
+
     def _extract_one(self, extractor: Extractor, state, disable_match_selector: bool) -> List[Mention]:
+        if not self._passes_metadata(extractor):
+            return []
         out = []
         for sent_idx, sent in enumerate(self.doc.sentences):
             if sent.length > self.max_tokens:

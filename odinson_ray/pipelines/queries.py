@@ -835,3 +835,204 @@ ORACLES = {
     "spans_roundtrip": ORACLE_SPANS_ROUNDTRIP,
     "media_manifest": ORACLE_MEDIA_MANIFEST,
 }
+
+
+# ===================================================================== dedup suite
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-dup pairs, exact-jaccard verified at >= 0.9.
+    The banding parameters make a miss at j>=0.9 practically impossible,
+    so the oracle is the exact all-pairs jaccard >= 0.9 set."""
+    from odinson_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(sf_dir, threshold=0.9)
+
+
+ORACLE_MINHASH_NEARDUP = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+         i -> t[i] || CASE WHEN t[i+1] IS NULL THEN '' ELSE ' ' || t[i+1] END
+                   || CASE WHEN t[i+2] IS NULL THEN '' ELSE ' ' || t[i+2] END)) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS j
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.9
+"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact 3-gram jaccard pairs within source blocks at >= 0.3."""
+    from odinson_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(sf_dir, threshold=0.3, block_col="source")
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+         i -> t[i] || CASE WHEN t[i+1] IS NULL THEN '' ELSE ' ' || t[i+1] END
+                   || CASE WHEN t[i+2] IS NULL THEN '' ELSE ' ' || t[i+2] END)) AS shingles
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS j
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.3
+"""
+
+
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 6); no SQL oracle (bit-level
+    aggregation) — rows-only driver check + pytest consistency vs jaccard."""
+    from odinson_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(sf_dir, max_hamming=6)
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language ID by function-word profiles. Over this corpus
+    the decision reduces to: any en function word -> 'en', else the first
+    profile in sorted order ('de') — which is what the oracle encodes."""
+    import ray.data as rd
+
+    from odinson_ray.stages.text import langid_batch
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        langid_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_LANGID = """
+SELECT doc_id,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) > 0
+            THEN 'en' ELSE 'de' END AS lang_pred
+FROM documents
+"""
+
+
+def q_media_features(sf_dir: str):
+    """Media decode stub features via the actor-pool stage; the oracle
+    re-derives the deterministic stub formula."""
+    from odinson_ray.stages.media import media_features
+
+    return media_features(sf_dir)
+
+
+ORACLE_MEDIA_FEATURES = """
+WITH media AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id,
+         'media://img/' || doc_id AS media_ref, 'image' AS kind
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT printf('doc-%06d', doc_id), 'media://aud/' || doc_id, 'audio'
+  FROM documents WHERE doc_id % 11 = 0
+),
+scored AS (
+  SELECT *, list_sum(list_transform(string_split(media_ref, ''), x -> ascii(x))) AS n
+  FROM media
+)
+SELECT doc_id, media_ref, kind,
+       CAST(CASE WHEN kind = 'image' THEN 64 + (n % 64) * 16 ELSE 0 END AS INT) AS width,
+       CAST(CASE WHEN kind = 'image' THEN 64 + (n % 48) * 16 ELSE 0 END AS INT) AS height,
+       CAST(CASE WHEN kind = 'image' THEN 0 ELSE 1 + n % 300 END AS DOUBLE) AS duration_s
+FROM scored
+"""
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate top-k (scale path); no SQL oracle —
+    rows-only driver check; recall vs brute force asserted in pytest."""
+    from odinson_ray.stages.ann import lsh_topk
+
+    return lsh_topk(sf_dir, _query_vec(sf_dir), k=10)
+
+
+def q_odinson_svo_filtered(sf_dir: str):
+    """SVO events gated by a metadata filter (lang == 'en'): the reference's
+    parent-document metadata filtering as a vectorized per-doc predicate."""
+    from .kg import mentions_dataset
+
+    rules = """
+metadataFilters: "lang == 'en'"
+rules:
+  - name: svo
+    label: SVO
+    type: event
+    pattern: |
+      trigger = [tag=VB]
+      subject = >nsubj []
+      object = >dobj []
+"""
+    ds = mentions_dataset(sf_dir, rules)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["label"], "SVO"))
+        args_col = t["args"].to_pylist()
+        subj, obj = [], []
+        for args in args_col:
+            subj.append(next(a["text"] for a in args if a["name"] == "subject"))
+            obj.append(next(a["text"] for a in args if a["name"] == "object"))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "sent_id": t["sent_id"],
+                "start": t["start"],
+                "subj": pa.array(subj, pa.string()),
+                "pred": t["text"],
+                "obj": pa.array(obj, pa.string()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+ORACLE_ODINSON_SVO_FILTERED = """
+WITH toks AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id, doc_id AS did,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents WHERE lang = 'en'
+),
+postoks AS (
+  SELECT doc_id, did, tok, p,
+         CAST(((p - 1) // 20) AS INT) AS sent_id,
+         CAST(((p - 1) % 20) AS INT) AS l
+  FROM toks
+)
+SELECT a.doc_id, a.sent_id, a.l AS "start",
+       b.tok AS subj, a.tok AS pred, c.tok AS obj
+FROM postoks a JOIN postoks b ON b.did = a.did AND b.p = a.p + 1
+               JOIN postoks c ON c.did = a.did AND c.p = a.p + 2
+WHERE a.l % 5 = 0 AND a.tok IN ('scan', 'join', 'sort', 'merge', 'filter', 'group')
+"""
+
+
+QUERIES.update(
+    {
+        "minhash_neardup": q_minhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_neardup": q_simhash_neardup,
+        "langid": q_langid,
+        "media_features": q_media_features,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "odinson_svo_filtered": q_odinson_svo_filtered,
+    }
+)
+
+ORACLES.update(
+    {
+        "minhash_neardup": ORACLE_MINHASH_NEARDUP,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "langid": ORACLE_LANGID,
+        "media_features": ORACLE_MEDIA_FEATURES,
+        "odinson_svo_filtered": ORACLE_ODINSON_SVO_FILTERED,
+    }
+)

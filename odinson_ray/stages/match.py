@@ -89,6 +89,8 @@ class GrammarMatcher:
                                          presanitized=True, prenormalized_labels=True))
         return out
 
+    METADATA_COLUMNS = ("lang", "source", "metadata")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         if "sentences" in batch.column_names:
@@ -96,6 +98,11 @@ class GrammarMatcher:
         else:
             sentences_col = [None] * len(doc_ids)
             spans_col = batch["spans"].to_pylist()
+        # per-document metadata: scalar columns plus an optional struct column
+        md_cols = {}
+        for c in self.METADATA_COLUMNS:
+            if c in batch.column_names:
+                md_cols[c] = batch[c].to_pylist()
         out = {k: [] for k in ("doc_id", "sent_id", "label", "found_by", "start", "end", "text")}
         out_args: List[List[Dict]] = []
         for row_idx, (doc_id, sents) in enumerate(zip(doc_ids, sentences_col)):
@@ -103,7 +110,14 @@ class GrammarMatcher:
                 sent_indexes = self._sentences_from_spans(spans_col[row_idx])
             else:
                 sent_indexes = [sentence_index_from_struct(s) for s in sents]
-            doc = AnnotatedDocument(doc_id, sent_indexes)
+            metadata = {}
+            for c, vals in md_cols.items():
+                v = vals[row_idx]
+                if c == "metadata" and isinstance(v, dict):
+                    metadata.update(v)
+                else:
+                    metadata[c] = v
+            doc = AnnotatedDocument(doc_id, sent_indexes, metadata)
             engine = DocumentEngine(doc)
             if self.use_state:
                 mentions = engine.extract_mentions(

@@ -1,0 +1,88 @@
+"""Multimodal stages: media spans as opaque payloads + typed metadata.
+
+The Ray-side plumbing (schema, actor signature, batch sizing, output
+layout) is real; the DECODE step is a clearly-marked STUB because no
+image/audio libraries exist in this environment. A production deployment
+replaces ``_decode_stub`` with the real decoder (PIL/ffmpeg/torchaudio)
+inside the same actor — nothing else changes.
+
+Batch-size guidance: media payload stages should run with SMALL batch
+sizes (rows carry large binary blobs) and an actor pool sized to the
+decode cost; the deterministic stub keeps the plumbing testable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MEDIA_FEATURES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_s", pa.float64()),
+    ]
+)
+
+
+def _decode_stub(kind: str, media_ref: str, payload: bytes = b"") -> Dict:
+    """STUB decode: deterministic fake features derived from the reference
+    string. Replace with a real decoder; raise for unknown kinds like the
+    real one would."""
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for media kind '{kind}'")
+    n = sum(media_ref.encode())
+    if kind == "image":
+        return {"width": 64 + (n % 64) * 16, "height": 64 + (n % 48) * 16, "duration_s": 0.0}
+    return {"width": 0, "height": 0, "duration_s": float(1 + n % 300)}
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: interleaved docs -> one row per media span with
+    decoded features. A real model/decoder loads once here in __init__."""
+
+    def __init__(self):
+        self.decode = _decode_stub  # real decoder goes here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: Dict[str, List] = {k: [] for k in
+                                ("doc_id", "media_ref", "kind", "width", "height", "duration_s")}
+        for doc_id, spans in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
+            for sp in spans:
+                if sp["kind"] == "text":
+                    continue
+                feats = self.decode(sp["kind"], sp["media_ref"])
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(sp["media_ref"])
+                out["kind"].append(sp["kind"])
+                out["width"].append(feats["width"])
+                out["height"].append(feats["height"])
+                out["duration_s"].append(feats["duration_s"])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "media_ref": pa.array(out["media_ref"], pa.string()),
+                "kind": pa.array(out["kind"], pa.string()),
+                "width": pa.array(out["width"], pa.int32()),
+                "height": pa.array(out["height"], pa.int32()),
+                "duration_s": pa.array(out["duration_s"], pa.float64()),
+            }
+        )
+
+
+def media_features(sf_dir: str, concurrency: int = 2, batch_size: int = 64):
+    """interleaved docs -> media feature table (actor pool, small batches)."""
+    from ..sources.interleaved import read_interleaved
+
+    return read_interleaved(sf_dir).map_batches(
+        MediaFeatureExtractor,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=1,
+    )
