@@ -1,0 +1,131 @@
+"""Programmatic API facade — the analogue of the reference's
+ExtractorEngine surface (ExtractorEngine.scala:267-345,374-479):
+
+    engine = OdinsonEngine.in_memory(docs)            # fixture/unit-test path
+    extractors = engine.compile_rule_string(yaml)
+    mentions = engine.extract_mentions(extractors)    # cascade w/ state
+    spans = engine.query("[lemma=eat] >dobj []")      # ad-hoc pattern
+
+    # corpus scale: the same grammar as a Ray Data stage
+    mentions_ds = OdinsonEngine.extract_dataset(docs_ds, yaml, concurrency=8)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from .core.engine import DocumentEngine, Extractor, Mention
+from .core.matcher import Compiler, Ctx
+from .core.selector import select_matches
+from .core.sentence import AnnotatedDocument, SentenceIndex
+from .lang.rules import RuleReader
+
+
+class OdinsonEngine:
+    """In-memory engine over a list of annotated documents."""
+
+    def __init__(self, docs: Sequence[AnnotatedDocument]):
+        self.docs = list(docs)
+        self.compiler = Compiler()
+        self.rule_reader = RuleReader(self.compiler)
+
+    # ------------------------------------------------------------ constructors
+
+    @staticmethod
+    def in_memory(docs: Sequence[AnnotatedDocument]) -> "OdinsonEngine":
+        return OdinsonEngine(docs)
+
+    @staticmethod
+    def from_text(doc_id: str, text: str) -> "OdinsonEngine":
+        """Bare-text engine: whitespace tokens, raw field only (the
+        reference's mkExtractorEngineFromText test path)."""
+        sent = SentenceIndex({"raw": text.split(" ")})
+        return OdinsonEngine([AnnotatedDocument(doc_id, [sent])])
+
+    @staticmethod
+    def from_fixture(key: str) -> "OdinsonEngine":
+        from .sources.example_docs import DOCS
+
+        d = DOCS[key]
+        sents = [SentenceIndex(s["fields"], s["edges"], s["roots"]) for s in d["sentences"]]
+        return OdinsonEngine([AnnotatedDocument(key, sents)])
+
+    # ------------------------------------------------------------ compiling
+
+    def compile_rule_string(self, rules: str, variables: Optional[Dict[str, str]] = None,
+                            metadata_filter: Optional[str] = None) -> List[Extractor]:
+        return self.rule_reader.compile_rule_string(rules, variables, metadata_filter)
+
+    def compile_rule_file(self, path: str, variables: Optional[Dict[str, str]] = None,
+                          metadata_filter: Optional[str] = None) -> List[Extractor]:
+        return self.rule_reader.compile_rule_file(path, variables, metadata_filter)
+
+    def mk_query(self, pattern: str):
+        return self.compiler.compile(pattern)
+
+    def mk_event_query(self, pattern: str):
+        return self.compiler.compile_event_query(pattern)
+
+    # ------------------------------------------------------------ extraction
+
+    def extract_mentions(self, extractors: List[Extractor],
+                         allow_trigger_overlaps: bool = False,
+                         disable_match_selector: bool = False) -> List[Mention]:
+        out = []
+        for doc in self.docs:
+            out.extend(
+                DocumentEngine(doc).extract_mentions(
+                    extractors, allow_trigger_overlaps, disable_match_selector
+                )
+            )
+        return out
+
+    def extract_no_state(self, extractors: List[Extractor],
+                         allow_trigger_overlaps: bool = False,
+                         disable_match_selector: bool = False) -> List[Mention]:
+        out = []
+        for doc in self.docs:
+            out.extend(
+                DocumentEngine(doc).extract_no_state(
+                    extractors, allow_trigger_overlaps, disable_match_selector
+                )
+            )
+        return out
+
+    def query(self, pattern: str, n: Optional[int] = None,
+              disable_match_selector: bool = False) -> List[Mention]:
+        """Ad-hoc pattern over all documents; returns up to n mentions in
+        (doc, sentence, start) order (the Shell / query(q, n) path)."""
+        q = self.mk_query(pattern)
+        out: List[Mention] = []
+        for doc in self.docs:
+            for sent_idx, sent in enumerate(doc.sentences):
+                for m in select_matches(q.matches(Ctx(sent, sent_idx, None)),
+                                        disable_match_selector):
+                    out.append(Mention(m, None, sent_idx, "<query>", doc.doc_id))
+                    if n is not None and len(out) >= n:
+                        return out
+        return out
+
+    def mention_text(self, m: Mention) -> str:
+        doc = next(d for d in self.docs if d.doc_id == m.doc_id)
+        toks = doc.sentences[m.sent_idx].tokens()
+        return " ".join(toks[m.start : m.end])
+
+    # ------------------------------------------------------------ dataset scale
+
+    @staticmethod
+    def extract_dataset(docs_ds, rules_yaml: str, variables=None,
+                        concurrency: int = 4, batch_size: int = 256):
+        """The same grammar as a Ray Data actor-pool stage over an
+        interleaved-docs Dataset (with or without a sentences column)."""
+        from .stages.match import GrammarMatcher
+
+        return docs_ds.map_batches(
+            GrammarMatcher,
+            fn_constructor_args=(rules_yaml, variables),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            batch_size=batch_size,
+            num_cpus=1,
+        )

@@ -35,11 +35,61 @@ def normalize_unicode(s: str) -> str:
     return v
 
 
+# ASCII folding applied by the aggressive normalizer (quotes, dashes,
+# bullets, ligatures, arrows, trademark signs, fraction slash), matching
+# the reference's normalizeUnicodeAggressively behavior
+_FOLD_MULTI = {
+    "™": "(TM)",  # ™
+    "®": "(R)",
+    "©": "(C)",
+    "œ": "oe",  # œ
+    "Œ": "OE",
+    "æ": "ae",
+    "Æ": "AE",
+    "½": "1/2",
+    "¼": "1/4",
+    "¾": "3/4",
+    "←": "<-",
+    "→": "->",
+    "⇐": "<=",
+    "⇒": "=>",
+    "↔": "<->",
+    "…": "...",
+}
+_FOLD_SINGLE = str.maketrans(
+    {
+        "‘": "'",
+        "’": "'",
+        "‚": "'",
+        "‛": "'",
+        "“": '"',
+        "”": '"',
+        "„": '"',
+        "–": "-",
+        "—": "-",
+        "―": "-",
+        "•": "-",  # bullet
+        "·": "-",
+        "⁄": "/",  # fraction slash
+        " ": " ",
+    }
+)
+
+
+def _ascii_fold(s: str) -> str:
+    for k, v in _FOLD_MULTI.items():
+        if k in s:
+            s = s.replace(k, v)
+    return s.translate(_FOLD_SINGLE)
+
+
 def normalize_unicode_aggressively(s: str) -> str:
-    """NFKC + casefold + strip combining marks (diacritics)."""
+    """ASCII-fold + NFKC + casefold + strip combining marks (diacritics)."""
     v = _AGG_CACHE.get(s)
     if v is None:
-        t = unicodedata.normalize("NFKC", s)
+        t = _ascii_fold(s)
+        t = unicodedata.normalize("NFKC", t)
+        t = _ascii_fold(t)  # NFKC can reintroduce foldable chars (fractions)
         t = t.casefold()
         t = unicodedata.normalize("NFKD", t)
         t = "".join(c for c in t if not unicodedata.combining(c))

@@ -96,3 +96,45 @@ def read_interleaved(sf_dir: str, columns=None):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
     return ds.map_batches(build_interleaved, batch_format="pyarrow")
+
+
+def add_metadata(docs_ds, metadata_by_doc_id, fields):
+    """Broadcast metadata join (the AddMetadataToDocuments analogue,
+    extra/.../AddMetadataToDocuments.scala): metadata dict keyed by doc_id
+    is ray.put once; each batch gains a ``metadata`` struct column with the
+    given (flat) fields."""
+    import ray
+
+    from ..stages.link import get_broadcast
+
+    ref = metadata_by_doc_id if isinstance(metadata_by_doc_id, ray.ObjectRef) else ray.put(metadata_by_doc_id)
+    struct_type = pa.struct([(name, typ) for name, typ in fields])
+
+    def join(batch: pa.Table) -> pa.Table:
+        lookup = get_broadcast(ref)
+        rows = []
+        for doc_id in batch["doc_id"].to_pylist():
+            md = lookup.get(doc_id, {})
+            rows.append({name: md.get(name) for name, _ in fields})
+        return batch.append_column("metadata", pa.array(rows, struct_type))
+
+    return docs_ds.map_batches(join, batch_format="pyarrow")
+
+
+def prepare_corpus(sf_dir: str, out_dir: str, num_blocks: int = 16) -> None:
+    """Persist the annotated corpus as a reusable parquet table (the
+    'index build' analogue of IndexDocuments: annotation dominates, so at
+    scale it is computed once and re-queried many times; here that means
+    parquet with the ``sentences`` column materialized)."""
+    from ..stages.annotate import annotate_batch
+
+    ds = read_interleaved(sf_dir)
+    ds.map_batches(annotate_batch, batch_format="pyarrow").write_parquet(out_dir)
+
+
+def read_prepared(out_dir: str):
+    """Read a prepared (pre-annotated) corpus; the matcher will use the
+    stored sentences column instead of annotating inline."""
+    import ray.data as rd
+
+    return rd.read_parquet(out_dir)

@@ -1,0 +1,178 @@
+"""Parity suite vs the reference's remaining test expectations:
+TestArgQuantifiers, TestEventTriggers, TestNegationOperator,
+TestUnicodeNormalization."""
+
+import pytest
+
+from odinson_ray.common.normalize import (
+    normalize_unicode,
+    normalize_unicode_aggressively,
+)
+from odinson_ray.core.engine import DocumentEngine
+from odinson_ray.core.matcher import Compiler, Ctx
+from odinson_ray.core.selector import select_matches
+from odinson_ray.core.sentence import AnnotatedDocument, SentenceIndex
+from odinson_ray.lang.rules import RuleReader
+from odinson_ray.sources.example_docs import DOCS
+
+compiler = Compiler()
+
+
+def mk_sent(key, i=0):
+    s = DOCS[key]["sentences"][i]
+    return SentenceIndex(s["fields"], s["edges"], s["roots"])
+
+
+def mk_doc(key):
+    d = DOCS[key]
+    return AnnotatedDocument(
+        key, [SentenceIndex(s["fields"], s["edges"], s["roots"]) for s in d["sentences"]]
+    )
+
+
+def run_basic(key, pattern):
+    sent = mk_sent(key)
+    toks = sent.tokens()
+    sel = select_matches(compiler.compile(pattern).matches(Ctx(sent, 0, None)))
+    return [" ".join(toks[m.start : m.end]) for m in sel]
+
+
+def run_event(key, pattern):
+    sent = mk_sent(key)
+    sel = select_matches(compiler.compile_event_query(pattern).matches(Ctx(sent, 0, None)))
+    out = []
+    for m in sel:
+        args = {}
+        for c in m.named_captures:
+            args.setdefault(c.name, []).append((c.captured.start, c.captured.end))
+        out.append(((m.trigger.start, m.trigger.end), args))
+    return out
+
+
+# ------------------------------------------------------- TestArgQuantifiers
+
+@pytest.mark.parametrize(
+    "quant,expected",
+    [
+        ("", [((1, 2), {"theme": [(3, 5)]}), ((1, 2), {"theme": [(6, 7)]})]),
+        ("?", [((1, 2), {"theme": [(3, 5)]}), ((1, 2), {"theme": [(6, 7)]})]),
+        ("+", [((1, 2), {"theme": [(3, 5), (6, 7)]})]),
+        ("*", [((1, 2), {"theme": [(3, 5), (6, 7)]})]),
+    ],
+)
+def test_arg_quantifiers(quant, expected):
+    got = run_event(
+        "gummy-bears-consumption",
+        f"""trigger = consumption
+theme: ^dessert{quant} = >nmod_of >conj? [entity=B-dessert][entity=I-dessert]*""",
+    )
+    assert sorted(got, key=repr) == sorted(expected, key=repr)
+
+
+# ------------------------------------------------------- TestEventTriggers
+
+HEDGEHOG_EXPECTED = ["hedgehogs", "coypu", "wild cloven-footed animals", "deer", "zoo animals"]
+RESULT_VAR = "([tag=/J.*/]{,3} [tag=/N.*/]+ (of [tag=DT]? [tag=/J.*/]{,3} [tag=/N.*/]+)?)"
+
+
+def _result_strings(mentions, doc):
+    out = []
+    for m in mentions:
+        if m.label != "MainEvent":
+            continue
+        toks = doc.sentences[m.sent_idx].tokens()
+        for a in m.arguments().get("result", []):
+            out.append(" ".join(toks[a.start : a.end]))
+    return out
+
+
+def test_event_triggers_basic_pattern():
+    rules = f"""
+vars:
+  result: "{RESULT_VAR}"
+rules:
+  - name: example-rule
+    type: basic
+    label: MainEvent
+    pattern: |
+      animals >nmod_such_as >/conj.*/? (?<result>${{result}})
+"""
+    doc = mk_doc("hedgehogs-coypy")
+    mentions = DocumentEngine(doc).extract_mentions(RuleReader().compile_rule_string(rules))
+    assert _result_strings(mentions, doc) == HEDGEHOG_EXPECTED
+
+
+def test_event_triggers_event_pattern():
+    rules = f"""
+vars:
+  result: "{RESULT_VAR}"
+rules:
+  - name: example-rule
+    type: event
+    label: MainEvent
+    pattern: |
+      trigger = animals
+      result = >nmod_such_as >/conj.*/? ${{result}}
+"""
+    doc = mk_doc("hedgehogs-coypy")
+    mentions = DocumentEngine(doc).extract_mentions(RuleReader().compile_rule_string(rules))
+    assert sorted(_result_strings(mentions, doc)) == sorted(HEDGEHOG_EXPECTED)
+
+
+# ------------------------------------------------------- TestNegationOperator
+
+@pytest.mark.parametrize(
+    "pattern,expected",
+    [
+        ("[tag=/N.*/ & !lemma=bear]", ["Becky"]),
+        ("[tag=/N.*/ & lemma!=bear]", ["Becky"]),
+        ("[lemma!=bear]", ["Becky", "ate", "gummy", "."]),
+        ("[!tag=/NN.*/]", ["ate", "gummy", "."]),
+    ],
+)
+def test_negation_operator(pattern, expected):
+    assert run_basic("becky-gummy-bears-v2", pattern) == expected
+
+
+# ------------------------------------------------------- TestUnicodeNormalization
+
+def test_normalize_composition():
+    assert normalize_unicode("café") == normalize_unicode("café")
+    assert normalize_unicode_aggressively("café") == normalize_unicode_aggressively("café")
+
+
+def test_normalize_fraction():
+    assert normalize_unicode("½") != normalize_unicode("1/2")
+    assert normalize_unicode_aggressively("½") == normalize_unicode_aggressively("1/2")
+
+
+def test_normalize_mu():
+    mu1, mu2, Mu = "µ", "μ", "Μ"
+    assert normalize_unicode(mu1) == normalize_unicode(mu2)
+    assert normalize_unicode(mu1) != normalize_unicode(Mu)
+    assert normalize_unicode_aggressively(mu1) == normalize_unicode_aggressively(Mu)
+
+
+def test_normalize_casefold_and_diacritics():
+    assert normalize_unicode_aggressively("ß") == normalize_unicode_aggressively("ss")
+    assert normalize_unicode_aggressively("café") == normalize_unicode_aggressively("cafe")
+
+
+def test_normalize_ascii_folding():
+    s1 = "“Herr Voß: • ½ cup of Œtker™ caffè latte • bowl of açaí.”"
+    s2 = '"Herr Voss: - 1/2 cup of OEtker(TM) caffe latte - bowl of acai."'
+    assert normalize_unicode(s1) != normalize_unicode(s2)
+    assert normalize_unicode_aggressively(s1) == normalize_unicode_aggressively(s2)
+
+
+# ------------------------------------------------------- matching on normalized forms
+
+def test_default_field_matches_casefolded():
+    # the default (norm) field matches aggressively-normalized raw/word
+    assert run_basic("becky-gummy-bears", "becky") == ["Becky"]
+    assert run_basic("becky-gummy-bears", "BECKY") == ["Becky"]
+
+
+def test_fuzzy_constraint():
+    assert run_basic("becky-gummy-bears", "becki~") == ["Becky"]
+    assert run_basic("becky-gummy-bears", "bek~ ate") == ["Becky ate"]
