@@ -176,3 +176,76 @@ def test_default_field_matches_casefolded():
 def test_fuzzy_constraint():
     assert run_basic("becky-gummy-bears", "becki~") == ["Becky"]
     assert run_basic("becky-gummy-bears", "bek~ ate") == ["Becky ate"]
+
+
+# ------------------------------------------------------- TestMoreEvents
+
+def run_event_all_sents(key, pattern):
+    d = DOCS[key]
+    per_sent = []
+    for i, s in enumerate(d["sentences"]):
+        sent = SentenceIndex(s["fields"], s["edges"], s["roots"])
+        sel = select_matches(compiler.compile_event_query(pattern).matches(Ctx(sent, i, None)))
+        lst = []
+        for m in sel:
+            args = {}
+            for c in m.named_captures:
+                args.setdefault(c.name, []).append((c.captured.start, c.captured.end))
+            lst.append(((m.trigger.start, m.trigger.end), args))
+        per_sent.append(lst)
+    return per_sent
+
+
+def test_more_events_one_tool_each():
+    got = run_event_all_sents("chopsticks-spoon", """trigger = [lemma=eat]
+theme: ^food = >dobj
+tool: ^tool = >nmod_with >conj?""")
+    assert got[0] == [
+        ((1, 2), {"theme": [(2, 3)], "tool": [(4, 5)]}),
+        ((1, 2), {"theme": [(2, 3)], "tool": [(7, 8)]}),
+    ]
+    assert got[1] == [] and got[2] == []
+
+
+def test_more_events_two_tools_plus():
+    got = run_event_all_sents("chopsticks-spoon", """trigger = [lemma=eat]
+theme: ^food = >dobj
+tool: ^tool+ = >nmod_with >conj?""")
+    assert got[0] == [((1, 2), {"theme": [(2, 3)], "tool": [(4, 5), (7, 8)]})]
+
+
+def test_more_events_star_tool():
+    got = run_event_all_sents("chopsticks-spoon", """trigger = [lemma=eat]
+theme: ^food = >dobj
+tool: ^tool* = >nmod_with >conj?""")
+    assert got[0] == [((1, 2), {"theme": [(2, 3)], "tool": [(4, 5), (7, 8)]})]
+    assert got[1] == [((1, 2), {"theme": [(2, 3)]})]
+
+
+def test_more_events_impossible_combination():
+    got = run_event_all_sents("chopsticks-spoon", """trigger = [lemma=eat]
+theme: ^food = >dobj
+tool: ^tool = >nmod_with >conj?
+location: ^place = >nmod_at""")
+    assert got == [[], [], []]
+
+
+def test_more_events_all_optional():
+    got = run_event_all_sents("chopsticks-spoon", """trigger = [lemma=eat]
+theme: ^food? = >dobj
+tool: ^tool? = >nmod_with >conj?
+location: ^place? = >nmod_at""")
+    assert got[0] == [
+        ((1, 2), {"theme": [(2, 3)], "tool": [(4, 5)]}),
+        ((1, 2), {"theme": [(2, 3)], "tool": [(7, 8)]}),
+    ]
+    assert got[1] == [((1, 2), {"theme": [(2, 3)], "location": [(5, 6)]})]
+
+
+def test_more_events_required_location():
+    got = run_event_all_sents("chopsticks-spoon", """trigger = [lemma=eat]
+theme: ^food = >dobj
+tool: ^tool? = >nmod_with >conj?
+location: ^place = >nmod_at""")
+    assert got[0] == []
+    assert got[1] == [((1, 2), {"theme": [(2, 3)], "location": [(5, 6)]})]
