@@ -1036,3 +1036,160 @@ ORACLES.update(
         "odinson_svo_filtered": ORACLE_ODINSON_SVO_FILTERED,
     }
 )
+
+
+# ===================================================================== more relational ops
+
+def q_tumbling_window(sf_dir: str):
+    """Tumbling 1-hour windows per user over the event stream."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    def add_window(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.Table.from_pydict(
+            {"user_id": t["user_id"], "window_start": win, "value": t["value"]}
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        .map_batches(add_window, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["total_value"] = out["total_value"].round(2)
+    return out
+
+
+ORACLE_TUMBLING_WINDOW = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-2 orders per customer by total price (per-group top-k)."""
+    rd = _rd()
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return g.head(2)
+
+    return (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(top2, batch_format="pandas")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+"""
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """count(distinct key) per group via distinct-pairs combiner then a
+    small groupby (two-stage exact distinct count)."""
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+        .map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        pairs.map_batches(lambda t: t.select(["event_type"]), batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+ORACLE_DISTINCT_USERS_PER_TYPE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each event matched to the latest order of the same
+    customer placed at or before the event time (orders broadcast; per-user
+    sorted search inside map_groups)."""
+    import numpy as np
+    import ray
+
+    rd = _rd()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    by_cust = {k: g[["o_orderdate", "o_orderkey"]].to_numpy()
+               for k, g in orders.groupby("o_custkey")}
+    ref = ray.put(by_cust)
+
+    from odinson_ray.stages.link import get_broadcast
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        lookup = get_broadcast(ref)
+        user = int(g["user_id"].iloc[0])
+        rows = lookup.get(user)
+        if rows is None:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "last_orderkey": pd.Series([], dtype="int64")})
+        dates = rows[:, 0]
+        out_ids, out_keys = [], []
+        for ev_id, ts in zip(g["event_id"], g["ts"]):
+            idx = np.searchsorted(dates, np.datetime64(ts), side="right") - 1
+            if idx >= 0:
+                out_ids.append(int(ev_id))
+                out_keys.append(int(rows[idx, 1]))
+        return pd.DataFrame({"event_id": out_ids, "user_id": [user] * len(out_ids),
+                             "last_orderkey": out_keys}).astype(
+            {"event_id": "int64", "user_id": "int64", "last_orderkey": "int64"})
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+ORACLE_ASOF_JOIN = """
+SELECT event_id, user_id, o_orderkey AS last_orderkey FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
+QUERIES.update(
+    {
+        "tumbling_window": q_tumbling_window,
+        "topk_per_group": q_topk_per_group,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "asof_join": q_asof_join,
+    }
+)
+
+ORACLES.update(
+    {
+        "tumbling_window": ORACLE_TUMBLING_WINDOW,
+        "topk_per_group": ORACLE_TOPK_PER_GROUP,
+        "distinct_users_per_type": ORACLE_DISTINCT_USERS_PER_TYPE,
+        "asof_join": ORACLE_ASOF_JOIN,
+    }
+)
