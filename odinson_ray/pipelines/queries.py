@@ -1193,3 +1193,56 @@ ORACLES.update(
         "asof_join": ORACLE_ASOF_JOIN,
     }
 )
+
+
+def q_odinson_svo_dated(sf_dir: str):
+    """SVO events gated by date + numeric metadata filters (DateField /
+    NumberField semantics: chained comparisons, date() literals)."""
+    from .kg import mentions_dataset
+
+    rules = """
+metadataFilters: "pub_date >= date(2021) && 20 < citations <= 90"
+rules:
+  - name: svo
+    label: SVO
+    type: event
+    pattern: |
+      trigger = [tag=VB]
+      subject = >nsubj []
+      object = >dobj []
+"""
+    ds = mentions_dataset(sf_dir, rules)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["label"], "SVO"))
+        return t.select(["doc_id", "sent_id", "start", "text"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+ORACLE_ODINSON_SVO_DATED = """
+WITH eligible AS (
+  SELECT doc_id, text FROM documents
+  WHERE (DATE '2020-01-01' + INTERVAL ((doc_id % 1000)) DAY) >= DATE '2021-01-01'
+    AND ((doc_id * 7) % 100) > 20 AND ((doc_id * 7) % 100) <= 90
+),
+toks AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id, doc_id AS did,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM eligible
+),
+postoks AS (
+  SELECT doc_id, did, tok, p,
+         CAST(((p - 1) // 20) AS INT) AS sent_id,
+         CAST(((p - 1) % 20) AS INT) AS l
+  FROM toks
+)
+SELECT a.doc_id, a.sent_id, a.l AS "start", a.tok AS text
+FROM postoks a JOIN postoks b ON b.did = a.did AND b.p = a.p + 1
+               JOIN postoks c ON c.did = a.did AND c.p = a.p + 2
+WHERE a.l % 5 = 0 AND a.tok IN ('scan', 'join', 'sort', 'merge', 'filter', 'group')
+"""
+
+QUERIES["odinson_svo_dated"] = q_odinson_svo_dated
+ORACLES["odinson_svo_dated"] = ORACLE_ODINSON_SVO_DATED

@@ -39,9 +39,24 @@ INTERLEAVED_SCHEMA = pa.schema(
         ("doc_id", pa.string()),
         ("lang", pa.string()),
         ("source", pa.string()),
+        ("pub_date", pa.date32()),
+        ("citations", pa.float64()),
         ("spans", pa.list_(SPAN_TYPE)),
     ]
 )
+
+# deterministic per-doc metadata (DateField/NumberField analogues;
+# FIXTURES.md §2): pub_date = 2020-01-01 + (doc_id % 1000) days,
+# citations = (doc_id * 7) % 100
+_EPOCH_2020 = 18262  # days from 1970-01-01 to 2020-01-01
+
+
+def pub_date_days(doc_id: int) -> int:
+    return _EPOCH_2020 + (doc_id % 1000)
+
+
+def citations_of(doc_id: int) -> float:
+    return float((doc_id * 7) % 100)
 
 
 def doc_id_str(doc_id: int) -> str:
@@ -83,6 +98,8 @@ def build_interleaved(batch: pa.Table) -> pa.Table:
             "doc_id": pa.array(out_ids, pa.string()),
             "lang": pa.array(langs, pa.string()),
             "source": pa.array(sources, pa.string()),
+            "pub_date": pa.array([pub_date_days(i) for i in ids], pa.date32()),
+            "citations": pa.array([citations_of(i) for i in ids], pa.float64()),
             "spans": pa.array(out_spans, pa.list_(SPAN_TYPE)),
         }
     )

@@ -89,7 +89,7 @@ class GrammarMatcher:
                                          presanitized=True, prenormalized_labels=True))
         return out
 
-    METADATA_COLUMNS = ("lang", "source", "metadata")
+    METADATA_COLUMNS = ("lang", "source", "pub_date", "citations", "metadata")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
