@@ -21,11 +21,15 @@ from ..common.normalize import (
 )
 from .traversal import DirectedGraph
 
-# the default annotation layers (reference: reference.conf:44-72)
+# the default annotation layers (reference: reference.conf:44-72).
+# incoming/outgoing are derived positional fields: the labels of a token's
+# incident dependency edges indexed at that token's position
+# (reference: OdinsonIndexWriter.scala:191-196, DependencyTokenStream.scala)
 TOKEN_FIELDS = ("raw", "word", "lemma", "tag", "chunk", "entity")
 NORM_FIELD = "norm"
 DEFAULT_TOKEN_FIELD = NORM_FIELD
-ALL_TOKEN_FIELDS = TOKEN_FIELDS + (NORM_FIELD,)
+EDGE_FIELDS = ("incoming", "outgoing")
+ALL_TOKEN_FIELDS = TOKEN_FIELDS + (NORM_FIELD,) + EDGE_FIELDS
 MAX_TOKENS_PER_SENTENCE = 100  # reference.conf:112
 
 
@@ -66,7 +70,15 @@ class SentenceIndex:
         if p is not None:
             return p
         p = {}
-        if field == NORM_FIELD:
+        if field in EDGE_FIELDS:
+            adj = self.graph.incoming if field == "incoming" else self.graph.outgoing
+            for i in range(self.length):
+                seen = set()
+                for _, label in adj[i]:
+                    if label not in seen:
+                        seen.add(label)
+                        p.setdefault(label, []).append(i)
+        elif field == NORM_FIELD:
             raw = self.fields.get("raw", [])
             word = self.fields.get("word", raw)
             for i in range(self.length):

@@ -249,3 +249,52 @@ tool: ^tool? = >nmod_with >conj?
 location: ^place = >nmod_at""")
     assert got[0] == []
     assert got[1] == [((1, 2), {"theme": [(2, 3)], "location": [(5, 6)]})]
+
+
+# ------------------------------------------------------- documentation strings
+
+GEORGE = AnnotatedDocument("george", [SentenceIndex(
+    {"raw": ["George", "and", "dog", "bears", "."],
+     "word": ["George", "and", "dog", "bears", "."],
+     "tag": ["NNP", "VBD", "JJ", "NNS", "."],
+     "lemma": ["george", "and", "dog", "bear", "."],
+     "entity": ["foo:bar", "O", "O", "O", "O"],
+     "chunk": ["B-NP", "I-NP", "I-NP", "I-NP", "O"]},
+    [(1, 0, "nsubj"), (1, 3, "dobj"), (1, 4, "punct"), (3, 2, "nmod_foo")], [1])])
+
+
+def test_doc_strings_dash_and_colon_no_quotes():
+    from odinson_ray.api import OdinsonEngine
+
+    engine = OdinsonEngine([GEORGE])
+    assert len(engine.query("[chunk=B-NP]")) == 1
+    assert len(engine.query("[entity=foo:bar]")) == 1
+
+
+def test_doc_strings_quoted_token():
+    from odinson_ray.api import OdinsonEngine
+
+    engine = OdinsonEngine.from_text("t", "lala lala 3:10 to Yuma")
+    assert len(engine.query('"3:10" to Yuma')) == 1
+
+
+def test_doc_strings_regex_traversal_with_capture():
+    from odinson_ray.api import OdinsonEngine
+
+    engine = OdinsonEngine([GEORGE])
+    ms = engine.query("(?<foo> [word=bears]) >/nmod_.*/ []")
+    assert len(ms) == 1
+    assert (ms[0].start, ms[0].end) == (2, 3)
+    cap = ms[0].match.named_captures[0]
+    assert (cap.name, cap.captured.start, cap.captured.end) == ("foo", 3, 4)
+
+
+# ------------------------------------------------------- incoming/outgoing fields
+
+def test_edge_label_token_fields():
+    from odinson_ray.api import OdinsonEngine
+
+    engine = OdinsonEngine.from_fixture("becky-gummy-bears")
+    assert [engine.mention_text(m) for m in engine.query("[incoming=nsubj]")] == ["Becky"]
+    assert [engine.mention_text(m) for m in engine.query("[outgoing=dobj]")] == ["ate"]
+    assert [engine.mention_text(m) for m in engine.query("[outgoing=/n.*/]")] == ["ate"]
