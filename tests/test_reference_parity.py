@@ -298,3 +298,42 @@ def test_edge_label_token_fields():
     assert [engine.mention_text(m) for m in engine.query("[incoming=nsubj]")] == ["Becky"]
     assert [engine.mention_text(m) for m in engine.query("[outgoing=dobj]")] == ["ate"]
     assert [engine.mention_text(m) for m in engine.query("[outgoing=/n.*/]")] == ["ate"]
+
+
+# ------------------------------------------------------- documentation quantifiers
+
+PHOSPH = SentenceIndex(
+    {"raw": ["Foo", "phosphorylates", "bar", "bears", "."],
+     "word": ["Foo", "phosphorylates", "bar", "bears", "."],
+     "tag": ["NNP", "VBD", "JJ", "NNS", "."],
+     "lemma": ["foo", "phosphorylates", "bar", "bear", "."],
+     "entity": ["PROTEIN", "O", "PROTEIN", "O", "O"],
+     "chunk": ["B-NP", "B-VP", "B-NP", "I-NP", "O"]},
+    [(1, 0, "nsubj"), (1, 2, "dobj"), (1, 4, "punct"), (2, 3, "amod")], [1])
+
+
+def _run_event_sent(sent, pattern):
+    sel = select_matches(compiler.compile_event_query(pattern).matches(Ctx(sent, 0, None)))
+    out = []
+    for m in sel:
+        caps = sorted((c.name, c.captured.start, c.captured.end) for c in m.named_captures)
+        out.append(((m.trigger.start, m.trigger.end), caps))
+    return sorted(out, key=repr)
+
+
+def test_doc_quantifiers_optional_traversal():
+    got = _run_event_sent(PHOSPH, """trigger = [lemma=bar]
+object: ^NP = >amod?""")
+    assert got == [((2, 3), [("object", 2, 3)]), ((2, 3), [("object", 3, 4)])]
+
+
+def test_doc_quantifiers_required_traversal():
+    got = _run_event_sent(PHOSPH, """trigger = [lemma=bar]
+object: ^NP = >amod""")
+    assert got == [((2, 3), [("object", 3, 4)])]
+
+
+def test_doc_quantifiers_wildcard_hop_range():
+    got = _run_event_sent(PHOSPH, """trigger = [lemma=phosphorylates]
+object: ^NP = >>{2,3}""")
+    assert got == [((1, 2), [("object", 3, 4)])]
