@@ -153,3 +153,24 @@ def test_media_features_stub(sf_dir):
     assert (df.kind != "text").all()
     assert ((df.kind != "image") | (df.width > 0)).all()
     assert ((df.kind != "audio") | (df.duration_s > 0)).all()
+
+
+def test_salted_aggregate_equals_direct(sf_dir):
+    """Salted two-stage aggregation is exact: equals the direct groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import salted_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    salted = (
+        salted_aggregate(ds, "l_returnflag", "l_quantity", salt=8)
+        .to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    )
+    direct = (
+        ds.groupby("l_returnflag").aggregate(Sum("l_quantity", alias_name="total"))
+        .to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(salted, direct)
