@@ -337,3 +337,33 @@ def test_doc_quantifiers_wildcard_hop_range():
     got = _run_event_sent(PHOSPH, """trigger = [lemma=phosphorylates]
 object: ^NP = >>{2,3}""")
     assert got == [((1, 2), [("object", 3, 4)])]
+
+
+# ------------------------------------------------------- documentation graph traversals
+
+JULIO = SentenceIndex(
+    {"raw": ["She", "saw", "me", "and", "Julio", "."],
+     "word": ["She", "saw", "me", "and", "Julio", "."],
+     "tag": ["PRP", "VBD", "PRP", "CC", "NNP", "."],
+     "lemma": ["she", "see", "I", "and", "Julio", "."],
+     "entity": ["O", "O", "O", "O", "PERSON", "O"],
+     "chunk": ["B-NP", "B-VP", "B-NP", "O", "B-NP", "O"]},
+    [(1, 0, "nsubj"), (1, 2, "dobj"), (1, 4, "dobj"), (1, 5, "punct"),
+     (2, 3, "cc"), (2, 4, "conj_and")], [1])
+
+
+@pytest.mark.parametrize(
+    "pattern,expected",
+    [
+        ("She saw >dobj [] (>conj_and [])?", [(2, 3), (4, 5)]),
+        ("She saw >dobj [] (>conj_and []){,2}", [(2, 3), (4, 5)]),
+        ("She saw >dobj (?^ [] >conj_and [])?", [(2, 5)]),
+        ("She saw >dobj (?^ [] >conj_and []){,2}", [(2, 5)]),
+    ],
+)
+def test_doc_graph_traversals(pattern, expected):
+    got = sorted(
+        (m.start, m.end)
+        for m in select_matches(compiler.compile(pattern).matches(Ctx(JULIO, 0, None)))
+    )
+    assert got == expected
