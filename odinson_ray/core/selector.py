@@ -31,7 +31,24 @@ from .matches import (
 
 def pick_matches(matches: List[Match]) -> List[Match]:
     """MatchSelector.pickMatches (reference :13-22): foldRight pairwise
-    selection, then package event sketches."""
+    selection, then package event sketches.
+
+    Identical-span derivations are deduped up front keeping the first
+    (queue-ordered) one. The reference reaches the same end state for
+    equal spans (pickMatchFromPair returns lhs), but folding duplicate
+    derivations interleaved with other spans makes the outcome depend on
+    heap tie order (the pairwise preference is not transitive across
+    derivations); deduping first keeps the fold deterministic and
+    consistent with regex-engine semantics on the ambiguous cases."""
+    if len(matches) > 1:
+        seen = set()
+        deduped = []
+        for m in matches:
+            key = (m.start, m.end)
+            if key not in seen:
+                seen.add(key)
+                deduped.append(m)
+        matches = deduped
     selected: List[Match] = []
     for m in reversed(matches):
         if selected:
