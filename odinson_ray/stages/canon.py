@@ -88,8 +88,14 @@ def canonicalize_dataset(ds, columns=("subj", "obj"), extra_edges=()):
     pairs_ds = ds.map_batches(
         lambda b: distinct_surface_pairs(b, columns), batch_format="pyarrow"
     )
-    # vocabulary-sized: unique over the distinct pairs
-    pairs_tbl = pairs_ds.to_pandas().drop_duplicates()
+    # distributed dedup first (groupby over per-batch distinct pairs), so
+    # only one row per distinct surface reaches the driver
+    from ray.data.aggregate import Count
+
+    pairs_tbl = (
+        pairs_ds.groupby(["surface", "key"]).aggregate(Count(alias_name="_n"))
+        .to_pandas()[["surface", "key"]]
+    )
     mapping = build_canonical_mapping(
         pairs_tbl.itertuples(index=False, name=None), extra_edges
     )

@@ -108,8 +108,13 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9):
         bands.groupby(["band_id", "band_hash"])
         .map_groups(_bucket_pairs, batch_format="pandas")
     )
-    # candidate set is small: dedup on the driver, verify distributed
-    cand_df = candidates.to_pandas().drop_duplicates()
+    # distributed candidate dedup (a pair may collide in many bands)
+    from ray.data.aggregate import Count
+
+    cand_df = (
+        candidates.groupby(["a_id", "b_id"]).aggregate(Count(alias_name="_n"))
+        .to_pandas()[["a_id", "b_id"]]
+    )
     if len(cand_df) == 0:
         return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
                              "b_id": pd.Series([], dtype="int64"),

@@ -82,3 +82,11 @@ rules:
     mentions = DocumentEngine(mk_doc()).extract_mentions(extractors)
     labels = sorted(m.label for m in mentions)
     assert labels == ["A", "B"]
+
+
+def test_imports_forbidden_in_string_rules():
+    try:
+        RuleReader().compile_rule_string("rules:\n  - import: something.yml\n")
+        assert False, "should have raised"
+    except ValueError as e:
+        assert "string-only" in str(e)
