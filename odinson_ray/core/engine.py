@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 from typing import Dict, Iterable, List, Optional, Tuple
 
+from ..lang.metadata import compile_filter
 from .matches import EventMatch, Match, NamedCapture, StateMatch
 from .matcher import Compiler, Ctx, Query
 from .selector import select_matches
@@ -164,8 +165,6 @@ class DocumentEngine:
     def _passes_metadata(self, extractor: Extractor) -> bool:
         if not extractor.metadata_filter:
             return True
-        from ..lang.metadata import compile_filter
-
         return compile_filter(extractor.metadata_filter)(self.doc.metadata)
 
     def _extract_one(self, extractor: Extractor, state, disable_match_selector: bool) -> List[Mention]:

@@ -33,22 +33,29 @@ def pick_matches(matches: List[Match]) -> List[Match]:
     """MatchSelector.pickMatches (reference :13-22): foldRight pairwise
     selection, then package event sketches.
 
-    Identical-span derivations are deduped up front keeping the first
-    (queue-ordered) one. The reference reaches the same end state for
-    equal spans (pickMatchFromPair returns lhs), but folding duplicate
-    derivations interleaved with other spans makes the outcome depend on
-    heap tie order (the pairwise preference is not transitive across
-    derivations); deduping first keeps the fold deterministic and
-    consistent with regex-engine semantics on the ambiguous cases."""
+    Identical-span derivations are deduped up front, keeping the highest-
+    priority one per span (clause order, then greedy-longer/lazy-shorter,
+    recursively — the structural _traverse comparison itself). The
+    reference reaches an equal-span end state via pickMatchFromPair
+    returning lhs, but folding duplicate derivations interleaved with
+    other spans makes the outcome depend on heap tie order (the pairwise
+    preference is not transitive across derivations); choosing the best
+    derivation per span first makes selection deterministic and
+    consistent with regex-backtracking priority on the ambiguous cases."""
     if len(matches) > 1:
-        seen = set()
-        deduped = []
+        best: Dict[tuple, Match] = {}
+        order = []
         for m in matches:
             key = (m.start, m.end)
-            if key not in seen:
-                seen.add(key)
-                deduped.append(m)
-        matches = deduped
+            cur = best.get(key)
+            if cur is None:
+                best[key] = m
+                order.append(key)
+            else:
+                # structural priority: does m beat the current holder?
+                if _traverse(cur, m, [cur], [m]) == [m]:
+                    best[key] = m
+        matches = [best[k] for k in order]
     selected: List[Match] = []
     for m in reversed(matches):
         if selected:

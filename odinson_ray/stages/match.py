@@ -22,6 +22,7 @@ import pyarrow as pa
 from ..core.engine import DocumentEngine
 from ..core.sentence import AnnotatedDocument, SentenceIndex
 from ..lang.rules import RuleReader
+from .annotate import annotate_sentence
 
 ARG_TYPE = pa.struct(
     [
@@ -76,8 +77,9 @@ class GrammarMatcher:
         self.allow_trigger_overlaps = allow_trigger_overlaps
 
     def _sentences_from_spans(self, spans) -> List[SentenceIndex]:
-        from .annotate import annotate_sentence
-
+        # NOTE: annotate_sentence must be imported at module level — a lazy
+        # import here would execute inside Ray workers, where the package
+        # is only available by-value (no importable module)
         out = []
         for sp in spans:
             if sp["kind"] == "text":

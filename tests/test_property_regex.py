@@ -32,12 +32,14 @@ LAZY_QUANTS = ["??", "*?", "+?", "{1,2}?", "{1,3}?"]
 
 @st.composite
 def quantified_atom(draw, quants):
-    """Quantifiers only on single-token atoms, one laziness flavor per
-    pattern: with multi-token/nested operands or mixed greedy+lazy slots
-    the reference diverges from regex backtracking by design (positional
-    structural preference in MatchSelector, array-adjacent stretch
-    chaining in repetition), so the regex oracle is only sound for this
-    fragment — the TSV conformance corpus pins the divergent cases."""
+    """Quantifiers only on single-token atoms: with multi-token or nested
+    quantifier operands the reference diverges from regex backtracking by
+    design (positional structural preference across whole-derivation
+    comparisons, array-adjacent stretch chaining in repetition), so the
+    regex oracle is only sound for atomic operands — the TSV conformance
+    corpus pins the divergent cases. Mixed greedy+lazy slots are sound
+    here because pick_matches selects the best derivation per span with
+    backtracking-priority order."""
     a = draw(atom())
     if draw(st.booleans()):
         return ("quant", a, draw(st.sampled_from(quants)))
@@ -60,7 +62,7 @@ def _patterns_inner(draw, quants, depth=0):
 
 @st.composite
 def patterns(draw):
-    quants = draw(st.sampled_from([GREEDY_QUANTS, LAZY_QUANTS]))
+    quants = draw(st.sampled_from([GREEDY_QUANTS, LAZY_QUANTS, GREEDY_QUANTS + LAZY_QUANTS]))
     return draw(_patterns_inner(quants))
 
 
