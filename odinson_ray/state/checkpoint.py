@@ -117,3 +117,50 @@ def kg_run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,
         return {"docs": hi - lo, "triples": n_triples}
 
     return run_sharded([str(i) for i in range(num_shards)], run_shard, out_dir)
+
+
+def kg_run_fragments(sf_dir: str, out_dir: str, fragments, rules_yaml: Optional[str] = None,
+                     concurrency: int = 4) -> Dict[str, dict]:
+    """Incremental-refresh analogue (the reference's IncrementalOdinsonIndex
+    append path): ``fragments`` is a list of (name, lo_doc_id, hi_doc_id)
+    input fragments. Re-running with NEW fragments appended computes only
+    the delta — completed fragments are skipped via the manifest, so a
+    growing corpus is processed append-only."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..pipelines.kg import FLAGSHIP_RULES
+    from ..sources.interleaved import build_interleaved
+    from ..stages.match import GrammarMatcher
+    from ..stages.triples import mentions_to_triples
+
+    rules = rules_yaml or FLAGSHIP_RULES
+    bounds = {name: (lo, hi) for name, lo, hi in fragments}
+
+    def run_shard(shard: str, shard_out: str) -> dict:
+        lo, hi = bounds[shard]
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+        docs = docs.map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.greater_equal(t["doc_id"], lo), pc.less(t["doc_id"], hi))
+            ),
+            batch_format="pyarrow",
+        )
+        mentions = docs.map_batches(build_interleaved, batch_format="pyarrow").map_batches(
+            GrammarMatcher, fn_constructor_args=(rules,), batch_format="pyarrow",
+            concurrency=concurrency, batch_size=256, num_cpus=1,
+        )
+        events = mentions.map_batches(
+            lambda t: t.filter(pc.equal(t["label"], "SVO")), batch_format="pyarrow"
+        )
+        triples = events.map_batches(mentions_to_triples, batch_format="pyarrow")
+        triples.write_parquet(shard_out)
+        n_triples = sum(
+            pq.read_metadata(os.path.join(shard_out, f)).num_rows
+            for f in os.listdir(shard_out) if f.endswith(".parquet")
+        )
+        return {"docs": hi - lo, "triples": n_triples}
+
+    return run_sharded([name for name, _, _ in fragments], run_shard, out_dir)

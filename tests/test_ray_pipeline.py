@@ -174,3 +174,25 @@ def test_salted_aggregate_equals_direct(sf_dir):
     import pandas as pd
 
     pd.testing.assert_frame_equal(salted, direct)
+
+
+def test_incremental_fragment_append(sf_dir, tmp_path):
+    """Append-only refresh: a new input fragment is the only thing
+    computed on the second run (the IncrementalOdinsonIndex analogue)."""
+    import json
+
+    from odinson_ray.state.checkpoint import kg_run_fragments
+
+    out = str(tmp_path / "kg_inc")
+    m1 = kg_run_fragments(sf_dir, out, [("f0", 0, 100), ("f1", 100, 200)], concurrency=2)
+    assert set(m1) == {"f0", "f1"}
+    before = {d: os.path.getmtime(os.path.join(out, d))
+              for d in os.listdir(out) if d.startswith("shard=")}
+
+    # a new fragment arrives
+    m2 = kg_run_fragments(
+        sf_dir, out, [("f0", 0, 100), ("f1", 100, 200), ("f2", 200, 300)], concurrency=2)
+    assert set(m2) == {"f0", "f1", "f2"}
+    assert os.path.isdir(os.path.join(out, "shard=f2"))
+    for d, mtime in before.items():
+        assert os.path.getmtime(os.path.join(out, d)) == mtime
