@@ -76,12 +76,31 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     # ~900 docs so actor tasks are coarse enough to amortize dispatch but
     # fine enough to balance the pool
     nb = min(2048, max(num_cpus * 2, n_docs // 900))
-    docs = rd.read_parquet(
-        [path] * replicate,
-        columns=["doc_id", "text", "lang", "source"],
-        override_num_blocks=nb,
-    ).materialize()  # untimed input prep: the timed pipeline below starts
-    # from object-store-resident blocks (page-cache warming equivalent)
+    # disjoint doc_id ranges per copy: each copy's ids are offset by a
+    # stride so downstream key cardinality genuinely grows `replicate`x
+    # (identical text bytes, but 8x the docs — not 8x-duplicated doc keys)
+    stride = base_rows
+
+    def offset_ids(t, copy_idx):
+        return t.set_column(
+            t.column_names.index("doc_id"), "doc_id",
+            pc.add(t["doc_id"], copy_idx * stride),
+        )
+
+    parts = []
+    nb_per = max(num_cpus // 4, nb // replicate)
+    for i in range(replicate):
+        d = rd.read_parquet(
+            path,
+            columns=["doc_id", "text", "lang", "source"],
+            override_num_blocks=nb_per,
+        ).map_batches(
+            lambda t, i=i: offset_ids(t, i), batch_format="pyarrow"
+        )
+        parts.append(d)
+    docs = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    docs = docs.materialize()  # untimed input prep: the timed pipeline below
+    # starts from object-store-resident blocks (page-cache warming equivalent)
 
     t_start = time.time()
     # proportional pool: 3/4 of CPUs at every parallelism level so the
@@ -102,7 +121,13 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     events = mentions.map_batches(
         lambda t: t.filter(pc.equal(t["label"], "SVO")), batch_format="pyarrow"
     )
-    raw_triples = events.map_batches(mentions_to_triples, batch_format="pyarrow").materialize()
+    from odinson_ray.pipelines.kg import checkpoint_triples
+
+    # disk-backed checkpoint (same as the flagship pipeline): the triple
+    # stream is consumed twice downstream but never pinned in the object store
+    raw_triples = checkpoint_triples(
+        events.map_batches(mentions_to_triples, batch_format="pyarrow")
+    )
     canon_ds, mapping = canonicalize_dataset(raw_triples, columns=("subj", "obj"))
     alias_ref = ray.put(build_alias_table(mapping.keys()))
     linked = canon_ds.map_batches(make_linker(alias_ref, ("subj", "obj")), batch_format="pyarrow")

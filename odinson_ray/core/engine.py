@@ -266,5 +266,18 @@ class DocumentEngine:
             elif epoch > min_iterations:
                 break
             if epoch > min_iterations + MAX_EXTRA_EPOCHS:
+                if mentions:
+                    # divergence guard tripped while rules were still
+                    # producing: the reference would keep iterating, so
+                    # make the truncation observable instead of silent
+                    import warnings
+
+                    warnings.warn(
+                        f"extract_mentions: epoch cap hit at epoch {epoch} "
+                        f"(min_iterations={min_iterations} + {MAX_EXTRA_EPOCHS}) "
+                        "while rules were still matching; cascade truncated",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 break
         return state.all_mentions()

@@ -16,6 +16,9 @@ deterministic annotation layers plus maximal B-TECH entity runs.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from typing import Optional
 
 from ..sources.interleaved import read_interleaved
@@ -59,9 +62,40 @@ def mentions_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
     )
 
 
+def checkpoint_triples(raw_triples, checkpoint_dir: Optional[str] = None):
+    """Spill the raw-triple stream to a parquet checkpoint and stream it
+    back as a fresh Dataset.
+
+    Replaces the previous in-memory ``materialize()`` pin: the triple
+    stream (consumed twice — canonicalization vocabulary pass + final
+    aggregation) lives on disk, not in the object store, so the flagship
+    never pins corpus-derived data in memory. Write-to-temp + atomic
+    rename: the final directory's existence is the completion marker, and
+    re-running with the same ``checkpoint_dir`` resumes by reading the
+    completed checkpoint instead of re-running the matcher (the
+    per-shard/manifest variant of the same pattern is
+    state/checkpoint.py)."""
+    import ray.data as rd
+
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(
+            tempfile.mkdtemp(prefix="odinson_kg_ckpt_"), "triples"
+        )
+    if not os.path.isdir(checkpoint_dir):
+        tmp = checkpoint_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        raw_triples.write_parquet(tmp)
+        if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+            shutil.rmtree(tmp, ignore_errors=True)  # empty stream: nothing to spill
+            return raw_triples
+        os.replace(tmp, checkpoint_dir)
+    return rd.read_parquet(checkpoint_dir)
+
+
 def triples_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
                     concurrency: int = 4, aggregate: bool = True,
-                    canonicalize: bool = True):
+                    canonicalize: bool = True,
+                    checkpoint_dir: Optional[str] = None):
     """Full KG pipeline; returns the aggregated triple Dataset."""
     import ray
 
@@ -74,11 +108,10 @@ def triples_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
     raw_triples = events.map_batches(mentions_to_triples, batch_format="pyarrow")
     if not canonicalize:
         return raw_triples
-    # pin the (small) raw-triple stream once: the canonicalization vocabulary
-    # pass and the final aggregation would otherwise both re-run the matcher.
-    # At production scale this is the per-partition parquet checkpoint
-    # (state/checkpoint.py); in-memory materialize is its small-scale stand-in.
-    raw_triples = raw_triples.materialize()
+    # checkpoint the raw-triple stream once (disk, not object store): the
+    # canonicalization vocabulary pass and the final aggregation both
+    # stream from the checkpoint instead of re-running the matcher
+    raw_triples = checkpoint_triples(raw_triples, checkpoint_dir)
     canon_ds, mapping = canonicalize_dataset(raw_triples, columns=("subj", "obj"))
     alias_ref = ray.put(build_alias_table(mapping.keys()))
     linked = canon_ds.map_batches(

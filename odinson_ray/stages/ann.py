@@ -2,15 +2,18 @@
 
 - brute-force cosine top-k: numpy matmul per batch against a broadcast
   query matrix (the exact baseline; oracle-checkable)
-- random-hyperplane LSH buckets: the scale path — vectors are bucketed by
-  sign bits, search touches only the query's bucket (plus multiprobe
-  neighbors); recall is validated against the brute-force baseline in
-  tests. At 100 TB the bucket table is a partitioned parquet layout keyed
-  by bucket id and only matching partitions are read.
+- random-hyperplane LSH buckets: the scale path — vectors are written ONCE
+  into a parquet layout partitioned by bucket id (``build_bucket_layout``);
+  a query reads only its own bucket partition plus ``probes`` multiprobe
+  neighbors, so per-query cost scales with bucket size, not corpus size.
+  Recall is validated against the brute-force baseline in tests.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 from typing import List, Tuple
 
 import numpy as np
@@ -20,6 +23,10 @@ import pyarrow as pa
 N_PLANES = 6  # 64 buckets (sized for the test corpora; scale this with corpus size)
 _rng = np.random.RandomState(42)
 _PLANES_CACHE = {}
+
+# bucket-partitioned layouts live outside the (read-only) test data dirs;
+# keyed by source file identity so a changed corpus triggers a rebuild
+_ANN_CACHE_ROOT = os.environ.get("ODINSON_RAY_ANN_CACHE", "/tmp/odinson_ray_ann_cache")
 
 
 def _planes(dim: int) -> np.ndarray:
@@ -36,17 +43,12 @@ def bucket_of(vecs: np.ndarray) -> np.ndarray:
     return (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
 
 
-def brute_force_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10):
-    """Exact cosine top-k via per-batch matmul + global sort/limit."""
-    import ray
-    import ray.data as rd
-
-    from .link import get_broadcast
-
-    q = np.asarray(query_vec, dtype=np.float64)
-    qref = ray.put(q / np.linalg.norm(q))
+def _make_scorer(qref):
+    """map_batches fn: cosine against the broadcast unit query vector."""
 
     def score(t: pa.Table) -> pa.Table:
+        from .link import get_broadcast
+
         qv = get_broadcast(qref)
         mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
@@ -55,8 +57,18 @@ def brute_force_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10):
             {"vec_id": t["vec_id"], "score": pa.array(np.round(cos, 6), pa.float64())}
         )
 
+    return score
+
+
+def brute_force_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10):
+    """Exact cosine top-k via per-batch matmul + global sort/limit."""
+    import ray
+    import ray.data as rd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qref = ray.put(q / np.linalg.norm(q))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ds.map_batches(score, batch_format="pyarrow").sort(
+    return ds.map_batches(_make_scorer(qref), batch_format="pyarrow").sort(
         ["score", "vec_id"], descending=[True, False]
     ).limit(k)
 
@@ -66,33 +78,68 @@ def add_bucket_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("bucket", pa.array(bucket_of(mat), pa.int64()))
 
 
-def lsh_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10, probes: int = 6) -> pd.DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket and
-    its `probes` nearest (by Hamming distance on the bit signature)
-    multiprobe buckets."""
+def _layout_dir(sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{N_PLANES}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(_ANN_CACHE_ROOT, key)
+
+
+def build_bucket_layout(sf_dir: str) -> str:
+    """Write the embedding table ONCE as parquet partitioned by LSH bucket
+    id (hive layout: ``bucket=NN/``). Idempotent per corpus version (keyed
+    by source size+mtime); built via write-to-temp + atomic rename so a
+    crashed build never leaves a half-visible layout. At 100 TB this is a
+    one-time corpus-parallel job whose output is shared by every query."""
+    out = _layout_dir(sf_dir)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
     import ray.data as rd
 
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(_ANN_CACHE_ROOT, exist_ok=True)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds.map_batches(add_bucket_batch, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["bucket"]
+    )
+    shutil.rmtree(out, ignore_errors=True)  # stale/incomplete previous build
+    os.replace(tmp, out)
+    with open(os.path.join(out, "_SUCCESS"), "w"):
+        pass
+    return out
+
+
+def lsh_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10, probes: int = 6):
+    """Approximate top-k over the persisted bucket-partitioned layout:
+    reads ONLY the query's bucket partition and its ``probes`` nearest
+    (single-bit-flip) multiprobe buckets — candidates scanned is the sum
+    of probed bucket sizes, independent of corpus size. Returns a Dataset
+    (vec_id, score) of the top k by cosine."""
+    import ray
+    import ray.data as rd
+
+    layout = build_bucket_layout(sf_dir)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
-    qbits = bucket_of(q[None, :])[0]
+    qbits = int(bucket_of(q[None, :])[0])
     # multiprobe: flip each single plane bit
-    targets = {int(qbits)} | {int(qbits) ^ (1 << i) for i in range(min(probes, N_PLANES))}
-
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ds = ds.map_batches(add_bucket_batch, batch_format="pyarrow")
-
-    def in_buckets(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.is_in(t["bucket"], value_set=pa.array(sorted(targets), pa.int64()))
-        return t.filter(mask)
-
-    cand = ds.map_batches(in_buckets, batch_format="pyarrow").to_pandas()
-    if len(cand) == 0:
-        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
-                             "score": pd.Series([], dtype="float64")})
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in cand["embedding"]])
-    norms = np.linalg.norm(mat, axis=1)
-    cos = np.round((mat @ qn) / np.where(norms == 0, 1.0, norms), 6)
-    out = pd.DataFrame({"vec_id": cand["vec_id"].astype("int64"), "score": cos})
-    return out.sort_values(["score", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+    targets = {qbits} | {qbits ^ (1 << i) for i in range(min(probes, N_PLANES))}
+    dirs = [os.path.join(layout, f"bucket={b}") for b in sorted(targets)]
+    paths = [
+        os.path.join(d, f)
+        for d in dirs if os.path.isdir(d)
+        for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+    if not paths:
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+        )
+    qref = ray.put(qn)
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    return ds.map_batches(_make_scorer(qref), batch_format="pyarrow").sort(
+        ["score", "vec_id"], descending=[True, False]
+    ).limit(k)

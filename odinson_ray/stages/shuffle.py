@@ -21,12 +21,123 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def add_salt(batch: pa.Table, key: str, salt: int) -> pa.Table:
-    """Deterministic salt derived from a row hash (stable across runs)."""
-    import zlib
+def as_arrow_schema(s) -> pa.Schema:
+    """Normalize Ray's Schema wrapper / PandasBlockSchema / pa.Schema into
+    a plain pyarrow schema (object-dtype pandas columns become string)."""
+    if isinstance(s, pa.Schema):
+        return s
+    if hasattr(s, "base_schema"):
+        s = s.base_schema
+    if isinstance(s, pa.Schema):
+        return s
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+        else:
+            try:
+                fields.append(pa.field(n, pa.from_numpy_dtype(t)))
+            except Exception:
+                fields.append(pa.field(n, pa.string()))
+    return pa.schema(fields)
 
+
+def hash_join(left, right, on: str, right_on: str | None = None,
+              how: str = "inner", right_suffix: str = "_r",
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
+    """Distributed single-key hash join built on ``groupby().map_groups()``.
+
+    Why not ``Dataset.join``: Ray 2.49's hash-shuffle join (a) crashes
+    when a shuffle partition receives no shard on one side (the empty
+    ``ArrowBlockBuilder`` yields a ZERO-COLUMN block that fails the acero
+    join and poisons downstream operators) — routine for sparse sides —
+    and (b) reserves whole-CPU aggregator actors up front, which
+    deadlocks chained joins on small clusters. This implementation keeps
+    the same discipline (each side is key-shuffled exactly once, the
+    merge runs per key partition, nothing touches the driver) but uses
+    the sort-based groupby shuffle, which handles empty partitions.
+
+    Both sides are projected to one common schema (other side's columns
+    null-filled WITH EXPLICIT ARROW TYPES, so schemas unify across
+    blocks), unioned, shuffled once by key, and cross-producted per key
+    group. ``how`` is "inner" or "left_outer". Right payload columns that
+    collide with left names get ``right_suffix``.
+    """
+    assert how in ("inner", "left_outer"), how
+    right_on = right_on or on
+    # pass schemas explicitly when known: Dataset.schema() on a lazy
+    # pipeline with a wide op executes it once just to sample the schema
+    ls = as_arrow_schema(left_schema if left_schema is not None else left.schema())
+    rs = as_arrow_schema(right_schema if right_schema is not None else right.schema())
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+    ktype = ltypes[on]
+    lpay = [c for c in ls.names if c != on]
+    rpay = [c for c in rs.names if c != right_on]
+    rout = {c: (c + right_suffix if c in ls.names else c) for c in rpay}
+
+    def proj_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        data = {"_k": t[on].combine_chunks().cast(ktype),
+                "_side": pa.array(np.zeros(n, dtype=np.int8))}
+        for c in lpay:
+            data["_l_" + c] = t[c].combine_chunks()
+        for c in rpay:
+            data["_r_" + c] = pa.nulls(n, rtypes[c])
+        return pa.Table.from_pydict(data)
+
+    def proj_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        data = {"_k": t[right_on].combine_chunks().cast(ktype),
+                "_side": pa.array(np.ones(n, dtype=np.int8))}
+        for c in lpay:
+            data["_l_" + c] = pa.nulls(n, ltypes[c])
+        for c in rpay:
+            data["_r_" + c] = t[c].combine_chunks()
+        return pa.Table.from_pydict(data)
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_pylist()
+        li = [i for i, s in enumerate(side) if s == 0]
+        ri = [i for i, s in enumerate(side) if s == 1]
+        if how == "inner" and (not li or not ri):
+            pairs = []
+        elif not ri:  # left_outer, no right match
+            pairs = [(i, None) for i in li]
+        else:
+            pairs = [(i, j) for i in li for j in ri]
+        keys = g["_k"].to_pylist()
+        out = {on: pa.array([keys[i] for i, _ in pairs], ktype)}
+        for c in lpay:
+            vals = g["_l_" + c].to_pylist()
+            out[c] = pa.array([vals[i] for i, _ in pairs], ltypes[c])
+        for c in rpay:
+            vals = g["_r_" + c].to_pylist()
+            out[rout[c]] = pa.array(
+                [vals[j] if j is not None else None for _, j in pairs], rtypes[c]
+            )
+        return pa.Table.from_pydict(out)
+
+    both = left.map_batches(proj_left, batch_format="pyarrow").union(
+        right.map_batches(proj_right, batch_format="pyarrow")
+    )
+    return both.groupby("_k").map_groups(merge, batch_format="pyarrow")
+
+
+def add_salt(batch: pa.Table, key: str, salt: int) -> pa.Table:
+    """Salt that varies WITHIN a key so a hot key spreads over ``salt``
+    reducers: position of the row within its key's run in this batch,
+    mod ``salt``. Deterministic given the batch contents (stable across
+    retries of the same block), and rows of one key in one batch cycle
+    through all ``salt`` sub-keys."""
     vals = batch[key].to_pylist()
-    salts = [zlib.crc32(repr(v).encode()) // 7 % salt for v in vals]
+    counters: dict = {}
+    salts = np.empty(len(vals), dtype=np.int32)
+    for i, v in enumerate(vals):
+        c = counters.get(v, 0)
+        counters[v] = c + 1
+        salts[i] = c % salt
     return batch.append_column("_salt", pa.array(salts, pa.int32()))
 
 

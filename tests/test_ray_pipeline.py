@@ -78,7 +78,7 @@ def test_kg_pipeline_counts(sf_dir):
 def test_minhash_matches_exact_jaccard(sf_dir):
     from odinson_ray.stages.dedup import jaccard, minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(sf_dir, threshold=0.9)
+    pairs = minhash_lsh_pairs(sf_dir, threshold=0.9).to_pandas()
     # verify returned pairs really have jaccard >= 0.9 (exact recheck)
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     lookup = dict(zip(docs.doc_id, docs.text))
@@ -98,7 +98,7 @@ def test_minhash_matches_exact_jaccard(sf_dir):
 def test_simhash_finds_near_dups(sf_dir):
     from odinson_ray.stages.dedup import simhash_pairs
 
-    pairs = simhash_pairs(sf_dir, max_hamming=6)
+    pairs = simhash_pairs(sf_dir, max_hamming=6).to_pandas()
     assert {"a_id", "b_id", "hamming"} == set(pairs.columns)
     assert (pairs.hamming <= 6).all()
 
@@ -109,7 +109,7 @@ def test_ann_lsh_recall(sf_dir):
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     q = np.asarray(emb[emb.vec_id == 0].iloc[0].embedding, dtype=np.float64)
     exact = set(brute_force_topk(sf_dir, q, k=10).to_pandas().vec_id)
-    approx = set(lsh_topk(sf_dir, q, k=10).vec_id)
+    approx = set(lsh_topk(sf_dir, q, k=10).to_pandas().vec_id)
     # the query's own bucket must contain the query itself
     assert 0 in approx
     assert len(approx) == 10
