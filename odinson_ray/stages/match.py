@@ -22,6 +22,7 @@ import pyarrow as pa
 from ..core.engine import DocumentEngine
 from ..core.sentence import AnnotatedDocument, SentenceIndex
 from ..lang.rules import RuleReader
+from ..sources.odinson_json import fields_to_metadata
 from .annotate import annotate_sentence
 
 ARG_TYPE = pa.struct(
@@ -91,7 +92,8 @@ class GrammarMatcher:
                                          presanitized=True, prenormalized_labels=True))
         return out
 
-    METADATA_COLUMNS = ("lang", "source", "pub_date", "citations", "metadata")
+    METADATA_COLUMNS = ("lang", "source", "pub_date", "citations", "metadata",
+                        "metadata_json")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
@@ -117,6 +119,13 @@ class GrammarMatcher:
                 v = vals[row_idx]
                 if c == "metadata" and isinstance(v, dict):
                     metadata.update(v)
+                elif c == "metadata_json":
+                    # Odinson Document-JSON metadata Field array (incl.
+                    # NestedField), parsed into the metadata-query dict
+                    if v:
+                        import json as _json
+
+                        metadata.update(fields_to_metadata(_json.loads(v)))
                 else:
                     metadata[c] = v
             doc = AnnotatedDocument(doc_id, sent_indexes, metadata)
