@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Tuple
 
 from ..common.normalize import normalize_unicode, normalize_unicode_aggressively
 from ..lang import ast
+from ..lang.lucene_regex import lucene_to_python
 from ..lang.parser import INT_MAX, QueryParser
 from . import traversal as trav
 from .matches import (
@@ -74,11 +75,15 @@ class TermQuery(Query):
 
 class RegexTermQuery(Query):
     """Whole-token regex over the term dictionary (RegexpQuery analogue;
-    Lucene regexes are implicitly anchored -> re.fullmatch)."""
+    Lucene regexes are implicitly anchored -> re.fullmatch). The pattern
+    dialect is Lucene RegExp, translated (or rejected, never silently
+    diverging) by lang/lucene_regex — so `\\d` is the literal d, and
+    `~ & @ # <n-m>` carry their Lucene automaton meanings
+    (QueryCompiler.scala:429-432)."""
 
     def __init__(self, field: str, pattern: str):
         self.field = field
-        self.regex = re.compile(pattern)
+        self.regex = re.compile(lucene_to_python(pattern))
 
     def matches(self, ctx):
         positions = []

@@ -13,6 +13,7 @@ import re
 from typing import List, Optional, Sequence, Tuple
 
 from ..common.normalize import normalize_unicode
+from ..lang.lucene_regex import lucene_to_python
 
 
 class DirectedGraph:
@@ -48,10 +49,13 @@ class ExactLabelMatcher:
 
 
 class RegexLabelMatcher:
+    """Edge-label regex; Lucene RegExp dialect like token regexes
+    (translate-or-reject, lang/lucene_regex)."""
+
     __slots__ = ("regex",)
 
     def __init__(self, pattern: str):
-        self.regex = re.compile(normalize_unicode(pattern))
+        self.regex = re.compile(lucene_to_python(normalize_unicode(pattern)))
 
     def matches(self, label: str) -> bool:
         return self.regex.fullmatch(label) is not None
