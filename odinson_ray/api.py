@@ -93,15 +93,46 @@ class OdinsonEngine:
         return out
 
     def query(self, pattern: str, n: Optional[int] = None,
-              disable_match_selector: bool = False) -> List[Mention]:
+              disable_match_selector: bool = False,
+              after=None) -> List[Mention]:
         """Ad-hoc pattern over all documents; returns up to n mentions in
-        (doc, sentence, start) order (the Shell / query(q, n) path)."""
+        (doc, sentence, start) order (the Shell / query(q, n) path).
+
+        ``after`` resumes pagination (the reference's searchAfter,
+        ExtractorEngine.scala:138-219): pass the LAST Mention of the
+        previous page and results continue right after it —
+        ``engine.query(p, n, after=page[-1])`` walks the whole corpus n
+        mentions at a time, losslessly. (The cursor here is
+        mention-granular, strictly finer than Lucene's doc-granular
+        searchAfter, so a page may split a sentence without dropping its
+        tail.) A bare ``(doc_id, sent_idx)`` tuple resumes from the NEXT
+        sentence (the reference's doc-granular behavior)."""
         q = self.mk_query(pattern)
+        cursor_sent = cursor_span = None
+        if after is not None:
+            if isinstance(after, Mention):
+                cursor_sent = (after.doc_id, after.sent_idx)
+                cursor_span = (after.start, after.end)
+            else:
+                cursor_sent = tuple(after)
+        skipping = cursor_sent is not None
         out: List[Mention] = []
         for doc in self.docs:
             for sent_idx, sent in enumerate(doc.sentences):
+                in_cursor_sent = skipping and (doc.doc_id, sent_idx) == cursor_sent
+                if skipping and not in_cursor_sent:
+                    continue
+                past_cursor = not in_cursor_sent or cursor_span is None
+                if in_cursor_sent:
+                    skipping = False
+                    if cursor_span is None:
+                        continue  # doc-granular cursor: resume NEXT sentence
                 for m in select_matches(q.matches(Ctx(sent, sent_idx, None)),
                                         disable_match_selector):
+                    if not past_cursor:
+                        if (m.start, m.end) == cursor_span:
+                            past_cursor = True
+                        continue
                     out.append(Mention(m, None, sent_idx, "<query>", doc.doc_id))
                     if n is not None and len(out) >= n:
                         return out
@@ -111,6 +142,23 @@ class OdinsonEngine:
         doc = next(d for d in self.docs if d.doc_id == m.doc_id)
         toks = doc.sentences[m.sent_idx].tokens()
         return " ".join(toks[m.start : m.end])
+
+    # verbosity tiers (reference: DataGatherer.scala:53-110 VerboseLevels)
+    MINIMAL = "minimal"
+    DISPLAY = "display"
+    ALL = "all"
+
+    def mention_fields(self, m: Mention, level: str = DISPLAY) -> Dict[str, List[str]]:
+        """Stored token layers for a mention span at the given verbosity:
+        minimal -> {}, display -> just the display field (raw),
+        all -> every stored token field."""
+        if level == self.MINIMAL:
+            return {}
+        doc = next(d for d in self.docs if d.doc_id == m.doc_id)
+        sent = doc.sentences[m.sent_idx]
+        names = ["raw"] if level == self.DISPLAY else sorted(sent.fields)
+        return {name: list(sent.fields[name][m.start : m.end])
+                for name in names if name in sent.fields}
 
     # ------------------------------------------------------------ dataset scale
 

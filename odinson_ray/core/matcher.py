@@ -371,6 +371,52 @@ class StateQueryNode(Query):
 
 # ------------------------------------------------------------ full traversals
 
+def _label_positions(sent, field: str, matcher) -> set:
+    """Token positions having an edge in ``field`` whose label satisfies
+    ``matcher`` (uses the derived incoming/outgoing positional postings)."""
+    postings = sent.postings(field)
+    if isinstance(matcher, trav.ExactLabelMatcher):
+        return set(postings.get(matcher.string, ()))
+    out: set = set()
+    for label, positions in postings.items():
+        if matcher.matches(label):
+            out.update(positions)
+    return out
+
+
+def _start_tokens(traversal, sent):
+    """Endpoint pre-filter (reference: QueryCompiler.scala:544-615 wraps
+    traversal src/dst queries with incoming/outgoing term constraints).
+    Returns the set of token positions that can possibly BEGIN this
+    traversal, or None when the traversal places no constraint (zero-hop
+    constructs). Pure pruning: a src match with no capable token can never
+    yield a traversal result."""
+    if isinstance(traversal, trav.Outgoing):
+        return _label_positions(sent, "outgoing", traversal.matcher)
+    if isinstance(traversal, trav.Incoming):
+        return _label_positions(sent, "incoming", traversal.matcher)
+    if isinstance(traversal, trav.OutgoingWildcard):
+        return {i for i in range(sent.length) if sent.graph.outgoing[i]}
+    if isinstance(traversal, trav.IncomingWildcard):
+        return {i for i in range(sent.length) if sent.graph.incoming[i]}
+    if isinstance(traversal, trav.FailTraversal):
+        return set()
+    if isinstance(traversal, trav.Concatenation):
+        for t in traversal.traversals:
+            s = _start_tokens(t, sent)
+            if s is not None:
+                return s
+            if not isinstance(t, trav.NoTraversal):
+                return None  # position may move (Optional/Kleene): stop
+        return None
+    if isinstance(traversal, trav.Union):
+        subs = [_start_tokens(t, sent) for t in traversal.traversals]
+        if not subs or any(s is None for s in subs):
+            return None
+        return set().union(*subs)
+    return None  # NoTraversal / Optional / KleeneStar allow zero hops
+
+
 class SingleStepFullTraversal:
     """(reference: SingleStepFullTraversalQuery.scala:76-161)"""
 
@@ -379,6 +425,23 @@ class SingleStepFullTraversal:
         self.surface = surface
 
     def match_full_traversal(self, ctx, src_matches: List[Match]) -> List[Match]:
+        # endpoint pre-filter: drop src matches whose tokens cannot start
+        # this traversal BEFORE evaluating the dst surface query (the
+        # reference's main traversal pruning; identical match set).
+        # Memoized per sentence: cascades re-run the same step each epoch.
+        memo = ctx.sent._trav_starts
+        key = id(self)
+        if key in memo:
+            starts = memo[key]
+        else:
+            starts = memo[key] = _start_tokens(self.traversal, ctx.sent)
+        if starts is not None:
+            src_matches = [
+                m for m in src_matches
+                if any(t in starts for t in range(m.start, m.end))
+            ]
+            if not src_matches:
+                return []
         dst_matches = self.surface.matches(ctx)
         # inverted index: token -> matches containing it
         inv: List[List[Match]] = [[] for _ in range(ctx.sent.length)]

@@ -36,7 +36,7 @@ MAX_TOKENS_PER_SENTENCE = 100  # reference.conf:112
 class SentenceIndex:
     """Inverted positional structures for one sentence."""
 
-    __slots__ = ("length", "fields", "graph", "_postings")
+    __slots__ = ("length", "fields", "graph", "_postings", "_trav_starts")
 
     def __init__(
         self,
@@ -59,6 +59,8 @@ class SentenceIndex:
             graph_edges, graph_roots, self.length, prenormalized=prenormalized_labels
         )
         self._postings: Dict[str, Dict[str, List[int]]] = {}
+        # per-sentence memo for traversal endpoint pre-filter sets
+        self._trav_starts: Dict[int, object] = {}
 
     # ------------------------------------------------------------ postings
 

@@ -653,6 +653,46 @@ WHERE a.l % 5 = 0 AND a.tok IN ('scan', 'join', 'sort', 'merge', 'filter', 'grou
 """
 
 
+def _svo_project(t: pa.Table) -> pa.Table:
+    t = t.filter(pc.equal(t["label"], "SVO"))
+    args_col = t["args"].to_pylist()
+    subj, obj = [], []
+    for args in args_col:
+        subj.append(next(a["text"] for a in args if a["name"] == "subject"))
+        obj.append(next(a["text"] for a in args if a["name"] == "object"))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": t["doc_id"],
+            "sent_id": t["sent_id"],
+            "start": t["start"],
+            "subj": pa.array(subj, pa.string()),
+            "pred": t["text"],
+            "obj": pa.array(obj, pa.string()),
+        }
+    )
+
+
+def q_odinson_svo_two_stage(sf_dir: str):
+    """The two-stage (annotate-pool -> matcher-pool) topology with a
+    model-backed annotator stand-in: a large lexicon loads once per
+    annotator actor (__init__), the annotated sentences column ships
+    through the object store, and the matcher pool consumes it without
+    re-annotating. Oracle identical to odinson_svo — the topology change
+    must not change one row."""
+    import ray
+
+    from odinson_ray.sources.interleaved import read_interleaved
+    from odinson_ray.stages.annotate import HeavyLexiconAnnotator, annotate_stage
+    from odinson_ray.stages.match import match_stage
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    pool = max(1, cpus // 4)  # two pools + read/consume headroom
+    docs = read_interleaved(sf_dir)
+    annotated = annotate_stage(docs, HeavyLexiconAnnotator, concurrency=pool)
+    mentions = match_stage(annotated, SVO_RULES, concurrency=pool)
+    return mentions.map_batches(_svo_project, batch_format="pyarrow")
+
+
 def q_kg_triples(sf_dir: str):
     """Flagship: aggregated canonical triples."""
     from .kg import triples_dataset
@@ -806,6 +846,7 @@ QUERIES = {
     "odinson_bigram": q_odinson_bigram,
     "odinson_tech_runs": q_odinson_tech_runs,
     "odinson_svo": q_odinson_svo,
+    "odinson_svo_two_stage": q_odinson_svo_two_stage,
     "kg_triples": q_kg_triples,
     "spans_roundtrip": q_spans_roundtrip,
     "media_manifest": q_media_manifest,
@@ -831,6 +872,7 @@ ORACLES = {
     "odinson_bigram": ORACLE_ODINSON_BIGRAM,
     "odinson_tech_runs": ORACLE_ODINSON_TECH_RUNS,
     "odinson_svo": ORACLE_ODINSON_SVO,
+    "odinson_svo_two_stage": ORACLE_ODINSON_SVO,
     "kg_triples": ORACLE_KG_TRIPLES,
     "spans_roundtrip": ORACLE_SPANS_ROUNDTRIP,
     "media_manifest": ORACLE_MEDIA_MANIFEST,

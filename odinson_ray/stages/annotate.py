@@ -80,6 +80,16 @@ def annotate_sentence(text: str) -> Dict:
     }
 
 
+def _append_sentences(batch: pa.Table, annotate_fn) -> pa.Table:
+    spans_col = batch["spans"].to_pylist()
+    sentences: List[List[Dict]] = []
+    for spans in spans_col:
+        sentences.append(
+            [annotate_fn(sp["text"]) for sp in spans if sp["kind"] == "text"]
+        )
+    return batch.append_column("sentences", pa.array(sentences, pa.list_(SENTENCE_TYPE)))
+
+
 class DeterministicAnnotator:
     """Callable class for map_batches actor pools: setup once per actor,
     annotate per batch. Adds a ``sentences`` list<struct> column with one
@@ -91,15 +101,76 @@ class DeterministicAnnotator:
         pass
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        spans_col = batch["spans"].to_pylist()
-        sentences: List[List[Dict]] = []
-        for spans in spans_col:
-            sentences.append(
-                [annotate_sentence(sp["text"]) for sp in spans if sp["kind"] == "text"]
-            )
-        return batch.append_column("sentences", pa.array(sentences, pa.list_(SENTENCE_TYPE)))
+        return _append_sentences(batch, annotate_sentence)
+
+
+class HeavyLexiconAnnotator:
+    """Model-backed annotator stand-in (the reference's processor path,
+    AnnotateText.scala:49-86: model loaded once per worker): __init__
+    builds a large in-memory lexicon — the 'model' — so the actor-pool
+    topology (heavy setup amortized over batches, annotation in a pool
+    SEPARATE from the matcher pool, sentences column shipped through the
+    object store) is exercised under realistic per-actor state. Tag and
+    entity decisions go through lexicon lookups but reproduce
+    DeterministicAnnotator's output exactly, so the DuckDB oracles verify
+    the full two-stage pipeline."""
+
+    INIT_COUNT = 0  # per-process init counter (validates once-per-actor)
+
+    def __init__(self, lexicon_size: int = 200_000):
+        tags: Dict[str, str] = {f"w{i:06x}": "NN" for i in range(lexicon_size)}
+        for w in VERB_WORDS:
+            tags[w] = "VB"
+        for w in ADJ_WORDS:
+            tags[w] = "JJ"
+        for w in DET_WORDS:
+            tags[w] = "DT"
+        self.tags = tags
+        self.entities = {w: "B-TECH" for w in TECH_WORDS}
+        type(self).INIT_COUNT += 1
+
+    def annotate(self, text: str) -> Dict:
+        toks = text.split(" ") if text else []
+        n = len(toks)
+        edges = []
+        for i in range(1, n):
+            j = i % GROUP
+            if j == 0:
+                edges.append({"src": i - GROUP, "dst": i, "label": "conj"})
+            else:
+                edges.append({"src": i - j, "dst": i, "label": GROUP_LABELS[j - 1]})
+        tags = self.tags
+        ents = self.entities
+        return {
+            "raw": toks,
+            "word": toks,
+            "lemma": [t.lower() for t in toks],
+            "tag": [tags.get(t, "NN") for t in toks],
+            "chunk": ["O"] * n,
+            "entity": [ents.get(t, "O") for t in toks],
+            "graph": {"edges": edges, "roots": [0] if n else []},
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _append_sentences(batch, self.annotate)
 
 
 def annotate_batch(batch: pa.Table) -> pa.Table:
     """Stateless function form (the annotator holds no state)."""
     return DeterministicAnnotator()(batch)
+
+
+def annotate_stage(docs_ds, annotator_cls=DeterministicAnnotator,
+                   concurrency: int = 2, batch_size: int = 128, **ctor_kwargs):
+    """Annotation as its own actor-pool stage (two-stage topology:
+    annotate pool -> matcher pool). Use for model-backed annotators whose
+    setup cost must amortize per actor; cheap annotators are better run
+    inline in the matcher (see GrammarMatcher)."""
+    return docs_ds.map_batches(
+        annotator_cls,
+        fn_constructor_kwargs=ctor_kwargs,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=1,
+    )

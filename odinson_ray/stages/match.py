@@ -35,6 +35,8 @@ ARG_TYPE = pa.struct(
     ]
 )
 
+FIELDS_TYPE = pa.struct([("name", pa.string()), ("tokens", pa.list_(pa.string()))])
+
 MENTIONS_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
@@ -71,37 +73,60 @@ class GrammarMatcher:
     path for deterministic annotation; pre-annotated is for corpora whose
     annotations were computed by a separate (e.g. model-based) stage."""
 
+    #: verbosity tiers (reference: DataGatherer.scala:53-110 VerboseLevels)
+    #: minimal -> no mention text at all (cheapest at scale),
+    #: display -> mention/arg text from the display field (default),
+    #: all -> adds a mention_fields column with every stored token layer
+    VERBOSITY = ("minimal", "display", "all")
+
     def __init__(self, rules_yaml: str, variables: Optional[Dict[str, str]] = None,
-                 use_state: bool = True, allow_trigger_overlaps: bool = False):
+                 use_state: bool = True, allow_trigger_overlaps: bool = False,
+                 verbosity: str = "display"):
+        assert verbosity in self.VERBOSITY, verbosity
         self.extractors = RuleReader().compile_rule_string(rules_yaml, variables)
         self.use_state = use_state
         self.allow_trigger_overlaps = allow_trigger_overlaps
+        self.verbosity = verbosity
 
-    def _sentences_from_spans(self, spans) -> List[SentenceIndex]:
+    def _sentences_from_texts(self, texts: List[str]) -> List[SentenceIndex]:
         # NOTE: annotate_sentence must be imported at module level — a lazy
         # import here would execute inside Ray workers, where the package
         # is only available by-value (no importable module)
         out = []
-        for sp in spans:
-            if sp["kind"] == "text":
-                s = annotate_sentence(sp["text"])
-                graph = s["graph"]
-                edges = [(e["src"], e["dst"], e["label"]) for e in graph["edges"]]
-                fields = {k: s[k] for k in ("raw", "word", "lemma", "tag", "chunk", "entity")}
-                out.append(SentenceIndex(fields, edges, graph["roots"],
-                                         presanitized=True, prenormalized_labels=True))
+        for text in texts:
+            s = annotate_sentence(text)
+            graph = s["graph"]
+            edges = [(e["src"], e["dst"], e["label"]) for e in graph["edges"]]
+            fields = {k: s[k] for k in ("raw", "word", "lemma", "tag", "chunk", "entity")}
+            out.append(SentenceIndex(fields, edges, graph["roots"],
+                                     presanitized=True, prenormalized_labels=True))
         return out
 
     METADATA_COLUMNS = ("lang", "source", "pub_date", "citations", "metadata",
                         "metadata_json")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         doc_ids = batch["doc_id"].to_pylist()
         if "sentences" in batch.column_names:
             sentences_col = batch["sentences"].to_pylist()
+            spans_texts = None
         else:
+            # Arrow-native span unpack (no nested to_pylist dict round-trip):
+            # flatten the list<struct> column and read only kind/text as flat
+            # arrays; regroup text spans per row via list_parent_indices
             sentences_col = [None] * len(doc_ids)
-            spans_col = batch["spans"].to_pylist()
+            flat = pc.list_flatten(batch["spans"]).combine_chunks()
+            parents = pc.list_parent_indices(batch["spans"]).to_numpy(
+                zero_copy_only=False
+            )
+            kinds = flat.field("kind").to_pylist()
+            texts = flat.field("text").to_pylist()
+            spans_texts: List[List[str]] = [[] for _ in range(len(doc_ids))]
+            for p, k, tx in zip(parents, kinds, texts):
+                if k == "text":
+                    spans_texts[p].append(tx)
         # per-document metadata: scalar columns plus an optional struct column
         md_cols = {}
         for c in self.METADATA_COLUMNS:
@@ -109,9 +134,10 @@ class GrammarMatcher:
                 md_cols[c] = batch[c].to_pylist()
         out = {k: [] for k in ("doc_id", "sent_id", "label", "found_by", "start", "end", "text")}
         out_args: List[List[Dict]] = []
+        out_fields: List[List[Dict]] = []
         for row_idx, (doc_id, sents) in enumerate(zip(doc_ids, sentences_col)):
             if sents is None:
-                sent_indexes = self._sentences_from_spans(spans_col[row_idx])
+                sent_indexes = self._sentences_from_texts(spans_texts[row_idx])
             else:
                 sent_indexes = [sentence_index_from_struct(s) for s in sents]
             metadata = {}
@@ -138,15 +164,17 @@ class GrammarMatcher:
                 mentions = engine.extract_no_state(
                     self.extractors, allow_trigger_overlaps=self.allow_trigger_overlaps
                 )
+            minimal = self.verbosity == "minimal"
             for m in mentions:
-                toks = sent_indexes[m.sent_idx].tokens()
+                sent = sent_indexes[m.sent_idx]
+                toks = sent.tokens()
                 out["doc_id"].append(doc_id)
                 out["sent_id"].append(m.sent_idx)
                 out["label"].append(m.label)
                 out["found_by"].append(m.found_by)
                 out["start"].append(m.start)
                 out["end"].append(m.end)
-                out["text"].append(" ".join(toks[m.start : m.end]))
+                out["text"].append(None if minimal else " ".join(toks[m.start : m.end]))
                 args = []
                 for cap in m.match.named_captures:
                     args.append(
@@ -155,11 +183,17 @@ class GrammarMatcher:
                             "label": cap.label,
                             "start": cap.captured.start,
                             "end": cap.captured.end,
-                            "text": " ".join(toks[cap.captured.start : cap.captured.end]),
+                            "text": None if minimal else
+                                " ".join(toks[cap.captured.start : cap.captured.end]),
                         }
                     )
                 out_args.append(args)
-        return pa.Table.from_pydict(
+                if self.verbosity == "all":
+                    out_fields.append(
+                        [{"name": name, "tokens": list(sent.fields[name][m.start : m.end])}
+                         for name in sorted(sent.fields)]
+                    )
+        table = pa.Table.from_pydict(
             {
                 "doc_id": pa.array(out["doc_id"], pa.string()),
                 "sent_id": pa.array(out["sent_id"], pa.int32()),
@@ -171,6 +205,11 @@ class GrammarMatcher:
                 "args": pa.array(out_args, pa.list_(ARG_TYPE)),
             }
         )
+        if self.verbosity == "all":
+            table = table.append_column(
+                "mention_fields", pa.array(out_fields, pa.list_(FIELDS_TYPE))
+            )
+        return table
 
 
 def match_stage(docs_ds, rules_yaml: str, variables=None, concurrency: int = 4,

@@ -1,0 +1,50 @@
+"""Two-stage topology: model-backed annotator actor pool feeding the
+matcher actor pool (VERDICT r01 next-round item 10)."""
+
+import pandas as pd
+
+
+def test_heavy_annotator_matches_inline(ray_session, sf_dir):
+    """annotate-pool -> matcher-pool produces exactly the inline
+    (annotate-in-matcher) mention set; heavy lexicon loads in __init__."""
+    from odinson_ray.pipelines.kg import FLAGSHIP_RULES, mentions_dataset
+    from odinson_ray.sources.interleaved import read_interleaved
+    from odinson_ray.stages.annotate import HeavyLexiconAnnotator, annotate_stage
+    from odinson_ray.stages.match import match_stage
+
+    inline = mentions_dataset(sf_dir, FLAGSHIP_RULES, concurrency=2).to_pandas()
+
+    docs = read_interleaved(sf_dir)
+    annotated = annotate_stage(docs, HeavyLexiconAnnotator, concurrency=1,
+                               lexicon_size=50_000)
+    two_stage = match_stage(annotated, FLAGSHIP_RULES, concurrency=1).to_pandas()
+
+    key = ["doc_id", "sent_id", "label", "found_by", "start", "end", "text"]
+    a = inline[key].sort_values(key).reset_index(drop=True)
+    b = two_stage[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_heavy_annotator_init_once_per_actor():
+    """The lexicon builds once per annotator instance (per actor), not per
+    batch — the whole point of the actor-pool topology."""
+    import pyarrow as pa
+
+    from odinson_ray.sources.interleaved import build_interleaved
+    from odinson_ray.stages.annotate import HeavyLexiconAnnotator
+
+    before = HeavyLexiconAnnotator.INIT_COUNT
+    ann = HeavyLexiconAnnotator(lexicon_size=10_000)
+    batch = build_interleaved(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["the spark scan merge line", "a b c d e"]),
+                  "lang": pa.array(["en", "en"]),
+                  "source": pa.array(["s", "s"])})
+    )
+    out1 = ann(batch)
+    out2 = ann(batch)
+    assert HeavyLexiconAnnotator.INIT_COUNT == before + 1  # one init, many batches
+    assert out1["sentences"].to_pylist() == out2["sentences"].to_pylist()
+    s = out1["sentences"].to_pylist()[0][0]
+    assert s["tag"][1] == "B-TECH" or s["entity"][1] == "B-TECH"  # 'spark'
