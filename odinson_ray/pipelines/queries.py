@@ -1343,3 +1343,109 @@ WHERE a.l % 5 = 0 AND a.tok IN ('scan', 'join', 'sort', 'merge', 'filter', 'grou
 
 QUERIES["odinson_svo_dated"] = q_odinson_svo_dated
 ORACLES["odinson_svo_dated"] = ORACLE_ODINSON_SVO_DATED
+
+
+# ===================================================================== curation ops (round 2)
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic hash-based per-language sampling (no RNG, no shuffle:
+    membership is a pure function of doc_id, so the sample is reproducible
+    and resumable at any cluster size)."""
+    from odinson_ray.stages.sample import stratified_sample
+
+    return stratified_sample(sf_dir, rates={"en": 5}, default_tenths=2)
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, text
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 10
+      < CASE WHEN lang = 'en' THEN 5 ELSE 2 END
+"""
+
+
+def q_scrub_pii(sf_dir: str):
+    """PII redaction via Arrow RE2 kernels; oracle applies the identical
+    patterns with DuckDB's RE2 regexp_replace."""
+    from odinson_ray.stages.text import scrub_pii
+
+    return scrub_pii(sf_dir)
+
+
+ORACLE_SCRUB_PII = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+         '\b\d{6,}\b', '[NUM]', 'g') AS clean_text,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+         '\b\d{6,}\b', '[NUM]', 'g') <> text AS redacted
+FROM documents
+"""
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over embeddings (k=8, one refinement):
+    broadcast centroids, vectorized per-batch assignment, k-sized partial
+    sums — the oracle unrolls the same two assignment rounds in SQL."""
+    from odinson_ray.stages.sample import kmeans_assign
+
+    return kmeans_assign(sf_dir, k=8, refinements=1)
+
+
+ORACLE_KMEANS_CLUSTERS = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cluster, e AS c FROM emb WHERE vec_id < 8
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT emb.vec_id, c0.cluster,
+           row_number() OVER (PARTITION BY emb.vec_id
+                              ORDER BY list_distance(emb.e, c0.c), c0.cluster) AS rn
+    FROM emb CROSS JOIN c0
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT cluster, i, avg(v) AS m FROM (
+    SELECT a1.cluster,
+           unnest(emb.e) AS v,
+           unnest(generate_series(1, len(emb.e))) AS i
+    FROM a1 JOIN emb USING (vec_id)
+  ) GROUP BY cluster, i
+),
+c1 AS (
+  SELECT cluster, list(m ORDER BY i) AS c FROM means GROUP BY cluster
+)
+SELECT vec_id, cluster FROM (
+  SELECT emb.vec_id, c1.cluster,
+         row_number() OVER (PARTITION BY emb.vec_id
+                            ORDER BY list_distance(emb.e, c1.c), c1.cluster) AS rn
+  FROM emb CROSS JOIN c1
+) WHERE rn = 1
+"""
+
+
+QUERIES.update(
+    {
+        "stratified_sample": q_stratified_sample,
+        "scrub_pii": q_scrub_pii,
+        "kmeans_clusters": q_kmeans_clusters,
+    }
+)
+
+ORACLES.update(
+    {
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "scrub_pii": ORACLE_SCRUB_PII,
+        "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
+    }
+)

@@ -84,12 +84,17 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(g["doc_id"]))
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-    return pd.DataFrame(
-        {"a_id": [p[0] for p in pairs], "b_id": [p[1] for p in pairs]}
-    ).astype({"a_id": "int64", "b_id": "int64"})
+def _bucket_pairs(g: pa.Table) -> pa.Table:
+    """Arrow-format group fn: cheap per-group overhead matters — LSH
+    banding produces one (usually singleton) group per band hash."""
+    ids = sorted({v for v in g["doc_id"].to_pylist()})
+    a: List[int] = []
+    b: List[int] = []
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            a.append(x)
+            b.append(y)
+    return pa.table({"a_id": pa.array(a, pa.int64()), "b_id": pa.array(b, pa.int64())})
 
 
 def jaccard(a: str, b: str, n: int = 3) -> float:
@@ -121,7 +126,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9):
     bands = docs.map_batches(minhash_bands_batch, batch_format="pyarrow")
     candidates = (
         bands.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
     # distributed candidate dedup (a pair may collide in many bands)
     candidates = (

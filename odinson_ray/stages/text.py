@@ -91,3 +91,32 @@ def quality_batch(batch: pa.Table, stopwords=("the", "a")) -> pa.Table:
             "avg_token_len": pa.array(avg_len, pa.float64()),
         }
     )
+
+
+# PII scrubbing: fully vectorized Arrow RE2 kernels (replace_substring_regex);
+# DuckDB's regexp_replace(..., 'g') is also RE2, so the SQL oracle applies
+# the IDENTICAL patterns in the identical order — byte-exact outputs.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\d{6,}\b", "[NUM]"),
+)
+
+
+def scrub_batch(batch: pa.Table) -> pa.Table:
+    col = batch["text"]
+    for pattern, repl in PII_PATTERNS:
+        col = pc.replace_substring_regex(col, pattern=pattern, replacement=repl)
+    changed = pc.not_equal(col, batch["text"])
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "clean_text": col, "redacted": changed}
+    )
+
+
+def scrub_pii(sf_dir: str):
+    """Redact emails / IPv4s / long digit runs from the text column."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(scrub_batch, batch_format="pyarrow")
