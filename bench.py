@@ -121,13 +121,9 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     events = mentions.map_batches(
         lambda t: t.filter(pc.equal(t["label"], "SVO")), batch_format="pyarrow"
     )
-    from odinson_ray.pipelines.kg import checkpoint_triples
-
-    # disk-backed checkpoint (same as the flagship pipeline): the triple
-    # stream is consumed twice downstream but never pinned in the object store
-    raw_triples = checkpoint_triples(
-        events.map_batches(mentions_to_triples, batch_format="pyarrow")
-    )
+    # fully streaming: canonicalization needs no vocabulary pass, so the
+    # triple stream has ONE consumer — no pin, no spill, no barrier
+    raw_triples = events.map_batches(mentions_to_triples, batch_format="pyarrow")
     canon_ds, mapping = canonicalize_dataset(raw_triples, columns=("subj", "obj"))
     alias_ref = ray.put(build_alias_table(mapping.keys()))
     linked = canon_ds.map_batches(make_linker(alias_ref, ("subj", "obj")), batch_format="pyarrow")

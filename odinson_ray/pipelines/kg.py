@@ -108,10 +108,13 @@ def triples_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
     raw_triples = events.map_batches(mentions_to_triples, batch_format="pyarrow")
     if not canonicalize:
         return raw_triples
-    # checkpoint the raw-triple stream once (disk, not object store): the
-    # canonicalization vocabulary pass and the final aggregation both
-    # stream from the checkpoint instead of re-running the matcher
-    raw_triples = checkpoint_triples(raw_triples, checkpoint_dir)
+    # Since canonicalization needs no whole-corpus vocabulary pass (the
+    # broadcast side is edge-derived only), the triple stream has exactly
+    # ONE consumer and flows end-to-end with no pin and no spill. A
+    # parquet checkpoint (write-to-temp + atomic rename, resumable) is
+    # inserted only when the caller asks for one via ``checkpoint_dir``.
+    if checkpoint_dir is not None:
+        raw_triples = checkpoint_triples(raw_triples, checkpoint_dir)
     canon_ds, mapping = canonicalize_dataset(raw_triples, columns=("subj", "obj"))
     alias_ref = ray.put(build_alias_table(mapping.keys()))
     linked = canon_ds.map_batches(

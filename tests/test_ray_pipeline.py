@@ -196,3 +196,31 @@ def test_incremental_fragment_append(sf_dir, tmp_path):
     assert os.path.isdir(os.path.join(out, "shard=f2"))
     for d, mtime in before.items():
         assert os.path.getmtime(os.path.join(out, d)) == mtime
+
+
+def test_triples_checkpoint_resume(sf_dir, tmp_path):
+    """Opt-in flagship checkpoint: same aggregated triples, and a re-run
+    with the same checkpoint_dir reads the spilled parquet instead of
+    re-running the matcher (the directory's mtime is untouched)."""
+    import os
+
+    from odinson_ray.pipelines.kg import triples_dataset
+
+    ckpt = str(tmp_path / "triples_ckpt")
+    streamed = triples_dataset(sf_dir, concurrency=2).to_pandas()
+    ckpted = triples_dataset(sf_dir, concurrency=2, checkpoint_dir=ckpt).to_pandas()
+    key = ["subj_canon", "pred", "obj_canon", "subj", "obj"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        streamed.sort_values(key).reset_index(drop=True),
+        ckpted.sort_values(key).reset_index(drop=True),
+    )
+    assert os.path.isdir(ckpt)
+    stamp = os.stat(ckpt).st_mtime_ns
+    again = triples_dataset(sf_dir, concurrency=2, checkpoint_dir=ckpt).to_pandas()
+    assert os.stat(ckpt).st_mtime_ns == stamp  # resumed, not rewritten
+    pd.testing.assert_frame_equal(
+        ckpted.sort_values(key).reset_index(drop=True),
+        again.sort_values(key).reset_index(drop=True),
+    )
