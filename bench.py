@@ -6,8 +6,9 @@
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32),
-     BENCH_REPLICATE (default 8: input replication factor for the headline
-     so the matcher stage has enough blocks to scale past 8 cores).
+     BENCH_REPLICATE (default 24: input replication factor for the headline
+     — 120k docs at sf0.1, enough work to amortize actor startup and keep
+     all 32 cores busy; copies carry disjoint doc_id ranges).
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "24"))
 SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES", "") == "1"
 
 # the representative per-query set timed in the main bench run
@@ -146,6 +147,9 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # one expensive actor-pool stage per pipeline: per-operator resource
+    # reservation starves it (see __ray_entry__._configure_data_context)
+    ctx.op_resource_reservation_enabled = False
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__  # registers package by-value for workers

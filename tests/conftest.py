@@ -19,6 +19,9 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    from ray.data import DataContext
+
+    DataContext.get_current().op_resource_reservation_enabled = False
     yield
     ray.shutdown()
 
