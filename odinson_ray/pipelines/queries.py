@@ -1449,3 +1449,48 @@ ORACLES.update(
         "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
     }
 )
+
+
+def q_neardup_groups(sf_dir: str):
+    """Near-dup grouping: MinHash pairs -> distributed connected
+    components -> (doc_id, group_id = min doc_id of the cluster); the
+    keep-one-per-cluster dedup primitive. Oracle: transitive closure via
+    recursive CTE over the exact-jaccard pair set."""
+    from odinson_ray.stages.dedup import neardup_groups
+
+    return neardup_groups(sf_dir, threshold=0.9)
+
+
+ORACLE_NEARDUP_GROUPS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+         i -> t[i] || CASE WHEN t[i+1] IS NULL THEN '' ELSE ' ' || t[i+1] END
+                   || CASE WHEN t[i+2] IS NULL THEN '' ELSE ' ' || t[i+2] END)) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.9
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS grp FROM reach GROUP BY u
+)
+SELECT d.doc_id, CAST(COALESCE(c.grp, d.doc_id) AS BIGINT) AS group_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+QUERIES["neardup_groups"] = q_neardup_groups
+ORACLES["neardup_groups"] = ORACLE_NEARDUP_GROUPS

@@ -138,7 +138,21 @@ def connected_components(edges_ds, max_rounds: int = 25):
             {"node": pa.array(a + b, pa.string()), "nbr": pa.array(b + a, pa.string())}
         )
 
-    nbrs = edges.map_batches(symmetric, batch_format="pyarrow").materialize()
+    # bound every round's shuffle width: the edge stream may arrive in
+    # hundreds of splinter blocks (upstream map_groups), and each CC round
+    # inherits that as its sort-partition count — repartition ONCE to a
+    # cluster-proportional block count before pinning
+    try:
+        import ray
+
+        nblocks = max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        nblocks = 8
+    nbrs = (
+        edges.map_batches(symmetric, batch_format="pyarrow")
+        .repartition(nblocks)
+        .materialize()
+    )
     # initial labels: label(node) = node (distinct nodes via groupby-min)
     labels = (
         nbrs.map_batches(
@@ -149,31 +163,42 @@ def connected_components(edges_ds, max_rounds: int = 25):
         .aggregate(Min("label", alias_name="label"))
         .materialize()
     )
+    from ray.data.aggregate import Max
+
     for _ in range(max_rounds):
-        # label(nbr) for each (node, nbr): hash-join labels onto nbr
+        # label(nbr) for each (node, nbr): hash-join labels onto nbr;
+        # candidate rows carry old=null, self rows carry old=label, so ONE
+        # groupby yields both the new label (Min over candidates+self) and
+        # the previous one (Max ignores nulls; exactly one self row/node)
+        # — change detection without a second join.
         prop = hash_join(
             nbrs, labels, on="nbr", right_on="node",
             left_schema=_nbr_schema, right_schema=_lbl_schema,
         ).map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["label"]}),
+            lambda t: pa.table({
+                "node": t["node"], "cand": t["label"],
+                "old": pa.nulls(len(t), pa.string()),
+            }),
+            batch_format="pyarrow",
+        )
+        self_rows = labels.map_batches(
+            lambda t: pa.table({
+                "node": t["node"], "cand": t["label"], "old": t["label"],
+            }),
             batch_format="pyarrow",
         )
         new_labels = (
-            prop.union(labels)
+            prop.union(self_rows)
             .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            .aggregate(Min("cand", alias_name="label"),
+                       Max("old", alias_name="old"))
             .materialize()
         )
-        # convergence: any node whose label shrank this round?
-        changed = (
-            hash_join(
-                new_labels, labels, on="node", right_suffix="_old",
-                left_schema=_lbl_schema, right_schema=_lbl_schema,
-            )
-            .filter(lambda r: r["label"] != r["label_old"])
-            .count()
+        changed = new_labels.filter(lambda r: r["label"] != r["old"]).count()
+        labels = new_labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["label"]}),
+            batch_format="pyarrow",
         )
-        labels = new_labels
         if changed == 0:
             break
     return labels.map_batches(

@@ -290,3 +290,57 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, block_col: str = "s
         .groupby(block_col)
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------- dedup groups
+
+def neardup_groups(sf_dir: str, threshold: float = 0.9):
+    """Near-duplicate GROUPING: MinHash-verified pairs -> distributed
+    connected components -> one canonical group id (the smallest doc_id of
+    the component) per document. Docs with no near-dup keep their own id.
+
+    This is the keep-one-per-cluster primitive a training-data pipeline
+    actually wants from dedup (pairs alone aren't actionable). Everything
+    is Dataset stages: the pair set feeds the min-label-propagation
+    components (stages/canon.connected_components, zero-padded ids so
+    lexicographic min == numeric min), and group ids come back onto the
+    full doc table via a left-outer hash join."""
+    import ray.data as rd
+
+    from .canon import connected_components
+    from .shuffle import hash_join
+
+    pairs = minhash_lsh_pairs(sf_dir, threshold)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.array([f"{v:012d}" for v in t["a_id"].to_pylist()], pa.string()),
+            "b": pa.array([f"{v:012d}" for v in t["b_id"].to_pylist()], pa.string()),
+        })
+
+    roots = connected_components(pairs.map_batches(to_edges, batch_format="pyarrow"))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_key", pa.array([f"{v:012d}" for v in t["doc_id"].to_pylist()], pa.string())
+        )
+
+    keyed = docs.map_batches(add_key, batch_format="pyarrow")
+    joined = hash_join(
+        keyed, roots, on="_key", right_on="node", how="left_outer",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("_key", pa.string())]),
+        right_schema=pa.schema([("node", pa.string()), ("root", pa.string())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        rts = t["root"].to_pylist()
+        grp = [int(r) if r is not None else i for i, r in zip(ids, rts)]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "group_id": pa.array(grp, pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
