@@ -75,11 +75,26 @@ class SentenceIndex:
         if field in EDGE_FIELDS:
             adj = self.graph.incoming if field == "incoming" else self.graph.outgoing
             for i in range(self.length):
+                edges_i = adj[i]
+                if not edges_i:
+                    continue
+                if len(edges_i) == 1:
+                    label = edges_i[0][1]
+                    lst = p.get(label)
+                    if lst is None:
+                        p[label] = [i]
+                    else:
+                        lst.append(i)
+                    continue
                 seen = set()
-                for _, label in adj[i]:
+                for _, label in edges_i:
                     if label not in seen:
                         seen.add(label)
-                        p.setdefault(label, []).append(i)
+                        lst = p.get(label)
+                        if lst is None:
+                            p[label] = [i]
+                        else:
+                            lst.append(i)
         elif field == NORM_FIELD:
             raw = self.fields.get("raw", [])
             word = self.fields.get("word", raw)
@@ -92,10 +107,15 @@ class SentenceIndex:
         else:
             toks = self.fields.get(field)
             if toks is not None:
+                get = p.get
                 for i, t in enumerate(toks):
                     # NFKC is the identity on ASCII: skip the call
                     key = t if t.isascii() else normalize_unicode(t)
-                    p.setdefault(key, []).append(i)
+                    lst = get(key)
+                    if lst is None:
+                        p[key] = [i]
+                    else:
+                        lst.append(i)
         self._postings[field] = p
         return p
 
