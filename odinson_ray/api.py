@@ -167,13 +167,13 @@ class OdinsonEngine:
                         concurrency: int = 4, batch_size: int = 256):
         """The same grammar as a Ray Data actor-pool stage over an
         interleaved-docs Dataset (with or without a sentences column)."""
-        from .stages.match import GrammarMatcher
+        from .stages.match import GrammarMatcher, clamp_pool
 
         return docs_ds.map_batches(
             GrammarMatcher,
             fn_constructor_args=(rules_yaml, variables),
             batch_format="pyarrow",
-            concurrency=concurrency,
+            concurrency=clamp_pool(concurrency),
             batch_size=batch_size,
             num_cpus=1,
         )

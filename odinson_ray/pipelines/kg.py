@@ -51,12 +51,14 @@ def mentions_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
     # annotation runs inline inside the matcher actors (deterministic
     # annotator): no nested-annotation Arrow column ships through the
     # object store. Pre-annotated corpora can insert annotate_batch here.
+    from ..stages.match import clamp_pool
+
     docs = read_interleaved(sf_dir)
     return docs.map_batches(
         GrammarMatcher,
         fn_constructor_args=(rules_yaml,),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=clamp_pool(concurrency),
         batch_size=batch_size,
         num_cpus=1,
     )

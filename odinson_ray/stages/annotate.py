@@ -166,11 +166,13 @@ def annotate_stage(docs_ds, annotator_cls=DeterministicAnnotator,
     annotate pool -> matcher pool). Use for model-backed annotators whose
     setup cost must amortize per actor; cheap annotators are better run
     inline in the matcher (see GrammarMatcher)."""
+    from .match import clamp_pool
+
     return docs_ds.map_batches(
         annotator_cls,
         fn_constructor_kwargs=ctor_kwargs,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=clamp_pool(concurrency),
         batch_size=batch_size,
         num_cpus=1,
     )

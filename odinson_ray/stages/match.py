@@ -63,6 +63,24 @@ def sentence_index_from_struct(s: Dict) -> SentenceIndex:
     return SentenceIndex(fields, edges, roots)
 
 
+def clamp_pool(requested: int) -> int:
+    """Never let an actor pool reserve every cluster CPU: with per-operator
+    resource reservation disabled (__ray_entry__), a pool sized == total
+    CPUs starves the stateless read/consume stages and deadlocks the
+    streaming executor (observed with jobs/run_pipeline.py at
+    --num-cpus 4 --concurrency 4). Always leave >= 1 CPU of headroom."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            if cpus:
+                return max(1, min(requested, cpus - 1))
+    except Exception:
+        pass
+    return max(1, requested)
+
+
 class GrammarMatcher:
     """Callable class for map_batches: compile grammar once per actor.
 
@@ -221,7 +239,7 @@ def match_stage(docs_ds, rules_yaml: str, variables=None, concurrency: int = 4,
         GrammarMatcher,
         fn_constructor_args=(rules_yaml, variables),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=clamp_pool(concurrency),
         batch_size=batch_size,
         num_cpus=1,
     )

@@ -78,7 +78,7 @@ def kg_run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,
 
     from ..pipelines.kg import FLAGSHIP_RULES
     from ..sources.interleaved import build_interleaved
-    from ..stages.match import GrammarMatcher
+    from ..stages.match import GrammarMatcher, clamp_pool
     from ..stages.triples import mentions_to_triples
 
     rules = rules_yaml or FLAGSHIP_RULES
@@ -100,7 +100,7 @@ def kg_run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,
             GrammarMatcher,
             fn_constructor_args=(rules,),
             batch_format="pyarrow",
-            concurrency=concurrency,
+            concurrency=clamp_pool(concurrency),
             batch_size=256,
             num_cpus=1,
         )
@@ -132,7 +132,7 @@ def kg_run_fragments(sf_dir: str, out_dir: str, fragments, rules_yaml: Optional[
 
     from ..pipelines.kg import FLAGSHIP_RULES
     from ..sources.interleaved import build_interleaved
-    from ..stages.match import GrammarMatcher
+    from ..stages.match import GrammarMatcher, clamp_pool
     from ..stages.triples import mentions_to_triples
 
     rules = rules_yaml or FLAGSHIP_RULES
@@ -150,7 +150,7 @@ def kg_run_fragments(sf_dir: str, out_dir: str, fragments, rules_yaml: Optional[
         )
         mentions = docs.map_batches(build_interleaved, batch_format="pyarrow").map_batches(
             GrammarMatcher, fn_constructor_args=(rules,), batch_format="pyarrow",
-            concurrency=concurrency, batch_size=256, num_cpus=1,
+            concurrency=clamp_pool(concurrency), batch_size=256, num_cpus=1,
         )
         events = mentions.map_batches(
             lambda t: t.filter(pc.equal(t["label"], "SVO")), batch_format="pyarrow"
