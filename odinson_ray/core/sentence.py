@@ -45,10 +45,14 @@ class SentenceIndex:
         graph_roots: Sequence[int] = (),
         presanitized: bool = False,
         prenormalized_labels: bool = False,
+        take_ownership: bool = False,
     ):
         # `raw` is required (displayField); other layers optional
         self.length = len(fields.get("raw") or next(iter(fields.values())))
-        if presanitized:
+        if take_ownership:
+            # caller guarantees fresh, sanitized lists: no defensive copy
+            self.fields = fields
+        elif presanitized:
             # trusted annotator output: skip the per-token sanitize copy
             self.fields = {k: list(v) for k, v in fields.items() if v is not None}
         else:

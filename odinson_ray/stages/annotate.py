@@ -80,6 +80,31 @@ def annotate_sentence(text: str) -> Dict:
     }
 
 
+def annotate_tokens_fast(toks: List[str]):
+    """Allocation-light annotation for the inline matcher path: same
+    layers as annotate_sentence but edges as (src, dst, label) TUPLES
+    (what SentenceIndex consumes directly) and no wrapper dict. Keep in
+    lockstep with annotate_sentence — the DuckDB oracles encode these
+    rules."""
+    n = len(toks)
+    edges = []
+    for i in range(1, n):
+        j = i % GROUP
+        if j == 0:
+            edges.append((i - GROUP, i, "conj"))
+        else:
+            edges.append((i - j, i, GROUP_LABELS[j - 1]))
+    fields = {
+        "raw": toks,
+        "word": toks,
+        "lemma": [t.lower() for t in toks],
+        "tag": [tag_of(t) for t in toks],
+        "chunk": ["O"] * n,
+        "entity": ["B-TECH" if t in TECH_WORDS else "O" for t in toks],
+    }
+    return fields, edges, ([0] if n else [])
+
+
 def _append_sentences(batch: pa.Table, annotate_fn) -> pa.Table:
     spans_col = batch["spans"].to_pylist()
     sentences: List[List[Dict]] = []

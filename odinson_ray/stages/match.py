@@ -23,7 +23,7 @@ from ..core.engine import DocumentEngine
 from ..core.sentence import AnnotatedDocument, SentenceIndex
 from ..lang.rules import RuleReader
 from ..sources.odinson_json import fields_to_metadata
-from .annotate import annotate_sentence
+from .annotate import annotate_sentence, annotate_tokens_fast
 
 ARG_TYPE = pa.struct(
     [
@@ -107,17 +107,16 @@ class GrammarMatcher:
         self.verbosity = verbosity
 
     def _sentences_from_texts(self, texts: List[str]) -> List[SentenceIndex]:
-        # NOTE: annotate_sentence must be imported at module level — a lazy
-        # import here would execute inside Ray workers, where the package
-        # is only available by-value (no importable module)
+        # NOTE: annotate_tokens_fast must be imported at module level — a
+        # lazy import here would execute inside Ray workers, where the
+        # package is only available by-value (no importable module)
         out = []
         for text in texts:
-            s = annotate_sentence(text)
-            graph = s["graph"]
-            edges = [(e["src"], e["dst"], e["label"]) for e in graph["edges"]]
-            fields = {k: s[k] for k in ("raw", "word", "lemma", "tag", "chunk", "entity")}
-            out.append(SentenceIndex(fields, edges, graph["roots"],
-                                     presanitized=True, prenormalized_labels=True))
+            toks = text.split(" ") if text else []
+            fields, edges, roots = annotate_tokens_fast(toks)
+            out.append(SentenceIndex(fields, edges, roots,
+                                     presanitized=True, prenormalized_labels=True,
+                                     take_ownership=True))
         return out
 
     METADATA_COLUMNS = ("lang", "source", "pub_date", "citations", "metadata",

@@ -73,3 +73,22 @@ def test_engine_uses_lucene_dialect():
     q = Compiler().compile(r"/\d/")
     got = [toks[m.start] for m in select_matches(q.matches(Ctx(sent, 0, None)))]
     assert got == ["d"]  # literal d under Lucene; a Python-dialect engine would say ['5']
+
+
+def test_edge_label_lucene_dialect():
+    """Traversal edge-label regexes use the Lucene dialect too: '@' is
+    any-string (not a literal) and '\\d' is the literal d."""
+    from odinson_ray.core.engine import DocumentEngine
+    from odinson_ray.core.sentence import AnnotatedDocument, SentenceIndex
+    from odinson_ray.lang.rules import RuleReader
+
+    doc = AnnotatedDocument("d", [SentenceIndex(
+        {"raw": ["Becky", "ate", "bears"]},
+        [(1, 0, "nsubj"), (1, 2, "dobj")], [1])])
+    rules = """
+rules:
+  - {name: x, label: A, type: basic, pattern: 'ate >/n@/ []'}
+"""
+    ms = DocumentEngine(doc).extract_mentions(RuleReader().compile_rule_string(rules))
+    got = sorted((m.start, m.end) for m in ms)
+    assert got == [(0, 1)]  # only the nsubj edge matches /n@/ (n + any string)
