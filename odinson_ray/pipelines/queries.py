@@ -1494,3 +1494,38 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 
 QUERIES["neardup_groups"] = q_neardup_groups
 ORACLES["neardup_groups"] = ORACLE_NEARDUP_GROUPS
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame sampling (multimodal stub): deterministic manifest ->
+    actor-pool frame expansion (1 fps, max 8 frames); the oracle re-derives
+    the stub duration formula and unrolls the frame series in SQL."""
+    from odinson_ray.stages.media import video_frames
+
+    return video_frames(sf_dir)
+
+
+ORACLE_VIDEO_FRAMES = """
+WITH vids AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id,
+         'media://vid/' || doc_id AS media_ref
+  FROM documents WHERE doc_id % 7 = 0
+),
+scored AS (
+  SELECT *, list_sum(list_transform(string_split(media_ref, ''), x -> ascii(x))) AS n
+  FROM vids
+),
+framed AS (
+  SELECT doc_id, media_ref,
+         least(8, CAST(floor(1 + n % 300) AS INT)) AS n_frames
+  FROM scored
+)
+SELECT doc_id, media_ref,
+       CAST(i - 1 AS INT) AS frame_idx,
+       round((i - 1) * 1.0, 6) AS t_s
+FROM framed, unnest(generate_series(1, n_frames)) AS t(i)
+"""
+
+
+QUERIES["video_frames"] = q_video_frames
+ORACLES["video_frames"] = ORACLE_VIDEO_FRAMES

@@ -86,3 +86,77 @@ def media_features(sf_dir: str, concurrency: int = 2, batch_size: int = 64):
         batch_size=batch_size,
         num_cpus=1,
     )
+
+
+# ------------------------------------------------------------ frame sampling
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("t_s", pa.float64()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool stage: video rows -> one row PER SAMPLED FRAME (uniform
+    1/``fps`` stride, capped at ``max_frames``). The decode that would
+    yield pixel payloads is the same clearly-marked stub (duration comes
+    from ``_decode_stub``); the flat-map expansion, frame schema, and
+    deterministic timestamps are the real plumbing a video pipeline needs.
+    A real implementation replaces the stub with ffmpeg seek+decode inside
+    this same actor."""
+
+    def __init__(self, fps: float = 1.0, max_frames: int = 8):
+        self.fps = fps
+        self.max_frames = max_frames
+        self.decode = _decode_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: Dict[str, List] = {k: [] for k in ("doc_id", "media_ref", "frame_idx", "t_s")}
+        for doc_id, ref in zip(batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist()):
+            duration = self.decode("video", ref)["duration_s"]
+            n_frames = min(self.max_frames, int(duration * self.fps))
+            for i in range(n_frames):
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(ref)
+                out["frame_idx"].append(i)
+                out["t_s"].append(round(i / self.fps, 6))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "media_ref": pa.array(out["media_ref"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "t_s": pa.array(out["t_s"], pa.float64()),
+            }
+        )
+
+
+def video_frames(sf_dir: str, fps: float = 1.0, max_frames: int = 8,
+                 concurrency: int = 2, batch_size: int = 64):
+    """Deterministic video manifest (doc_id % 7 == 0 -> media://vid/<id>)
+    -> frame-sample rows via the actor pool. Small batches: real video
+    rows carry large payloads."""
+    import ray.data as rd
+
+    def manifest(t: pa.Table) -> pa.Table:
+        ids = [int(v) for v in t["doc_id"].to_pylist()]
+        keep = [i for i in ids if i % 7 == 0]
+        return pa.table({
+            "doc_id": pa.array([f"doc-{i:06d}" for i in keep], pa.string()),
+            "media_ref": pa.array([f"media://vid/{i}" for i in keep], pa.string()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        manifest, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"fps": fps, "max_frames": max_frames},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=1,
+    )
