@@ -1529,3 +1529,49 @@ FROM framed, unnest(generate_series(1, n_frames)) AS t(i)
 
 QUERIES["video_frames"] = q_video_frames
 ORACLES["video_frames"] = ORACLE_VIDEO_FRAMES
+
+
+def q_sliding_window(sf_dir: str):
+    """Sliding 2-hour windows hopping hourly per event type: each event
+    expands to its two covering windows inside map_batches (vectorized),
+    then one groupby — the flat-map + aggregate shape for hop < width."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    def expand(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t["ts"], unit="hour")
+        hour = pa.scalar(3600_000_000, pa.duration("us"))
+        parts = []
+        for k in (0, 1):
+            win = base if k == 0 else pc.subtract(base, hour)
+            parts.append(pa.table({
+                "event_type": t["event_type"],
+                "window_start": win.cast(pa.timestamp("us")),
+                "value": t["value"],
+            }))
+        return pa.concat_tables(parts)
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["total_value"] = out["total_value"].round(2)
+    return out
+
+
+ORACLE_SLIDING_WINDOW = """
+SELECT event_type, window_start, count(*) AS n, round(sum(value), 2) AS total_value
+FROM (
+  SELECT event_type, value,
+         date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start
+  FROM events, unnest([0, 1]) AS t(k)
+)
+GROUP BY event_type, window_start
+"""
+
+
+QUERIES["sliding_window"] = q_sliding_window
+ORACLES["sliding_window"] = ORACLE_SLIDING_WINDOW
