@@ -92,3 +92,47 @@ rules:
     ms = DocumentEngine(doc).extract_mentions(RuleReader().compile_rule_string(rules))
     got = sorted((m.start, m.end) for m in ms)
     assert got == [(0, 1)]  # only the nsubj edge matches /n@/ (n + any string)
+
+
+# property: on the subset where the Lucene and Python dialects coincide
+# (literals, ., classes, groups, alternation, quantifiers — no escapes, no
+# Lucene-only operators), translation must preserve semantics exactly.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_LIT = "abc1"
+
+
+@st.composite
+def _shared_pattern(draw, depth=0):
+    if depth >= 2:
+        kind = draw(st.sampled_from(["lit", "dot", "cls"]))
+    else:
+        kind = draw(st.sampled_from(["lit", "dot", "cls", "grp", "alt", "cat"]))
+    if kind == "lit":
+        base = draw(st.sampled_from(_LIT))
+    elif kind == "dot":
+        base = "."
+    elif kind == "cls":
+        chars = draw(st.lists(st.sampled_from(_LIT), min_size=1, max_size=3))
+        neg = draw(st.booleans())
+        base = "[" + ("^" if neg else "") + "".join(sorted(set(chars))) + "]"
+    elif kind == "grp":
+        base = "(" + draw(_shared_pattern(depth=depth + 1)) + ")"
+    elif kind == "alt":
+        parts = draw(st.lists(_shared_pattern(depth=depth + 1), min_size=2, max_size=3))
+        return "(" + "|".join(parts) + ")"
+    else:  # cat
+        parts = draw(st.lists(_shared_pattern(depth=depth + 1), min_size=2, max_size=3))
+        return "".join(parts)
+    quant = draw(st.sampled_from(["", "?", "*", "+", "{1,2}", "{2}"]))
+    return base + quant
+
+
+@given(pattern=_shared_pattern(),
+       s=st.text(alphabet=_LIT + "xz", max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_translation_preserves_shared_subset(pattern, s):
+    got = re.compile(lucene_to_python(pattern)).fullmatch(s) is not None
+    want = re.compile(pattern).fullmatch(s) is not None
+    assert got == want, (pattern, s)
