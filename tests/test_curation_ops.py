@@ -58,3 +58,21 @@ def test_kmeans_assignment_matches_local(ray_session, sf_dir):
     expect = {int(v): int(ids[c]) for v, c in zip(emb.vec_id, a2)}
     got_map = dict(zip(got.vec_id, got.cluster))
     assert got_map == expect
+
+
+def test_neardup_groups_matches_union_find(ray_session, sf_dir):
+    """Distributed grouping == driver union-find over the verified pairs."""
+    from odinson_ray.stages.canon import UnionFind
+    from odinson_ray.stages.dedup import minhash_lsh_pairs, neardup_groups
+
+    pairs = minhash_lsh_pairs(sf_dir).to_pandas()
+    uf = UnionFind()
+    for r in pairs.itertuples():
+        uf.union(f"{r.a_id:012d}", f"{r.b_id:012d}")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    expect = {int(d): int(uf.find(f"{int(d):012d}")) for d in docs.doc_id}
+    out = neardup_groups(sf_dir).to_pandas()
+    got = {int(r.doc_id): int(r.group_id) for r in out.itertuples()}
+    assert got == expect
+    # at least one non-singleton cluster exists in the corpus
+    assert any(k != v for k, v in got.items())
