@@ -104,12 +104,6 @@ def jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-_EMPTY_PAIRS = pa.table(
-    {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
-     "j": pa.array([], pa.float64())}
-)
-
-
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9):
     """Full MinHash-LSH near-dup pipeline; returns a Dataset of verified
     pairs (a_id, b_id, j) with exact jaccard >= threshold.
@@ -184,16 +178,6 @@ def simhash64(text: str) -> int:
         if v > 0:
             out |= 1 << i
     return out
-
-
-def simhash_batch(batch: pa.Table) -> pa.Table:
-    hashes = [simhash64(t) for t in batch["text"].to_pylist()]
-    return pa.Table.from_pydict(
-        {
-            "doc_id": batch["doc_id"],
-            "simhash": pa.array([f"{h:016x}" for h in hashes], pa.string()),
-        }
-    )
 
 
 def simhash_block_rows(batch: pa.Table) -> pa.Table:
