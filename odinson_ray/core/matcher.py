@@ -428,13 +428,15 @@ class SingleStepFullTraversal:
         # endpoint pre-filter: drop src matches whose tokens cannot start
         # this traversal BEFORE evaluating the dst surface query (the
         # reference's main traversal pruning; identical match set).
-        # Memoized per sentence: cascades re-run the same step each epoch.
+        # Memoized per sentence, keyed by the step OBJECT (a strong ref:
+        # id()-keying returned stale sets when CPython reused a freed
+        # query object's address — observed wrong results on a persistent
+        # engine issuing several ad-hoc traversal queries).
         memo = ctx.sent._trav_starts
-        key = id(self)
-        if key in memo:
-            starts = memo[key]
+        if self in memo:
+            starts = memo[self]
         else:
-            starts = memo[key] = _start_tokens(self.traversal, ctx.sent)
+            starts = memo[self] = _start_tokens(self.traversal, ctx.sent)
         if starts is not None:
             src_matches = [
                 m for m in src_matches

@@ -604,32 +604,32 @@ rules:
 """
 
 
+def _svo_project(t: pa.Table) -> pa.Table:
+    t = t.filter(pc.equal(t["label"], "SVO"))
+    args_col = t["args"].to_pylist()
+    subj, obj = [], []
+    for args in args_col:
+        subj.append(next(a["text"] for a in args if a["name"] == "subject"))
+        obj.append(next(a["text"] for a in args if a["name"] == "object"))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": t["doc_id"],
+            "sent_id": t["sent_id"],
+            "start": t["start"],
+            "subj": pa.array(subj, pa.string()),
+            "pred": t["text"],
+            "obj": pa.array(obj, pa.string()),
+        }
+    )
+
+
 def q_odinson_svo(sf_dir: str):
     """Event extraction over the deterministic dependency groups: the
     oracle recomputes (head, nsubj-child, dobj-child) by position."""
     from .kg import mentions_dataset
 
     ds = mentions_dataset(sf_dir, SVO_RULES)
-
-    def project(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["label"], "SVO"))
-        args_col = t["args"].to_pylist()
-        subj, obj = [], []
-        for args in args_col:
-            subj.append(next(a["text"] for a in args if a["name"] == "subject"))
-            obj.append(next(a["text"] for a in args if a["name"] == "object"))
-        return pa.Table.from_pydict(
-            {
-                "doc_id": t["doc_id"],
-                "sent_id": t["sent_id"],
-                "start": t["start"],
-                "subj": pa.array(subj, pa.string()),
-                "pred": t["text"],
-                "obj": pa.array(obj, pa.string()),
-            }
-        )
-
-    return ds.map_batches(project, batch_format="pyarrow")
+    return ds.map_batches(_svo_project, batch_format="pyarrow")
 
 
 ORACLE_ODINSON_SVO = """
@@ -651,25 +651,6 @@ FROM postoks a JOIN postoks b ON b.did = a.did AND b.p = a.p + 1
                JOIN postoks c ON c.did = a.did AND c.p = a.p + 2
 WHERE a.l % 5 = 0 AND a.tok IN ('scan', 'join', 'sort', 'merge', 'filter', 'group')
 """
-
-
-def _svo_project(t: pa.Table) -> pa.Table:
-    t = t.filter(pc.equal(t["label"], "SVO"))
-    args_col = t["args"].to_pylist()
-    subj, obj = [], []
-    for args in args_col:
-        subj.append(next(a["text"] for a in args if a["name"] == "subject"))
-        obj.append(next(a["text"] for a in args if a["name"] == "object"))
-    return pa.Table.from_pydict(
-        {
-            "doc_id": t["doc_id"],
-            "sent_id": t["sent_id"],
-            "start": t["start"],
-            "subj": pa.array(subj, pa.string()),
-            "pred": t["text"],
-            "obj": pa.array(obj, pa.string()),
-        }
-    )
 
 
 def q_odinson_svo_two_stage(sf_dir: str):

@@ -100,7 +100,16 @@ def fields_to_metadata(fields: List[Dict]) -> Dict:
         elif kind == "NumberField":
             md[name] = float(f["value"])
         elif kind == "NestedField":
-            md.setdefault(name, []).append(fields_to_metadata(f.get("fields", [])))
+            # duplicates are legal (addMetadata appends); nested entries
+            # accumulate in a list of dicts. If a NON-nested field of the
+            # same name came first, the nested entries start a fresh list
+            # (and a later non-nested field overwrites it) — last-kind-wins,
+            # never a crash.
+            cur = md.get(name)
+            if not isinstance(cur, list) or (cur and not isinstance(cur[0], dict)):
+                cur = []
+                md[name] = cur
+            cur.append(fields_to_metadata(f.get("fields", [])))
     return md
 
 

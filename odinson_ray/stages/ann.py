@@ -118,9 +118,13 @@ def build_bucket_layout(sf_dir: str, n_planes: "int | None" = None) -> str:
     out = _layout_dir(sf_dir, n_planes)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
-    tmp = out + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    import tempfile
+
     os.makedirs(_ANN_CACHE_ROOT, exist_ok=True)
+    # per-process-unique tmp: a shared `out + ".tmp"` let two concurrent
+    # builders delete each other's in-progress fragments and publish a
+    # truncated layout
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".tmp.", dir=_ANN_CACHE_ROOT)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ds.map_batches(
         lambda t: add_bucket_batch(t, n_planes), batch_format="pyarrow"
@@ -128,7 +132,12 @@ def build_bucket_layout(sf_dir: str, n_planes: "int | None" = None) -> str:
     with open(os.path.join(tmp, "_meta.json"), "w") as fh:
         json.dump({"n_planes": n_planes}, fh)
     shutil.rmtree(out, ignore_errors=True)  # stale/incomplete previous build
-    os.replace(tmp, out)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        # another builder won the publish race; use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
     with open(os.path.join(out, "_SUCCESS"), "w"):
         pass
     return out
@@ -139,7 +148,12 @@ def lsh_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10, probes: int = 6):
     reads ONLY the query's bucket partition and its ``probes`` nearest
     (single-bit-flip) multiprobe buckets — candidates scanned is the sum
     of probed bucket sizes, independent of corpus size. Returns a Dataset
-    (vec_id, score) of the top k by cosine."""
+    (vec_id, score) of the top k by cosine.
+
+    NOTE (multi-node): the layout directory must live on storage visible
+    to driver AND workers (object store / NFS — set ODINSON_RAY_ANN_CACHE);
+    the default /tmp path is only correct single-node, since bucket
+    discovery lists the directory driver-side."""
     import ray
     import ray.data as rd
 

@@ -201,6 +201,16 @@ def connected_components(edges_ds, max_rounds: int = 25):
         )
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: max_rounds={max_rounds} exhausted with "
+            f"{changed} labels still changing — components of diameter > "
+            f"max_rounds are NOT fully merged; raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.map_batches(
         lambda t: pa.table({"node": t["node"], "root": t["label"]}),
         batch_format="pyarrow",

@@ -62,3 +62,24 @@ def test_incoming_outgoing_wildcards():
     # "ate" governs Becky via nsubj: << from Becky reaches ate
     assert run("becky-gummy-bears", "Becky << []") == ["ate"]
     assert run("becky-gummy-bears", "ate >> []")  # non-empty fan-out
+
+
+def test_traversal_prefilter_memo_not_keyed_by_address():
+    """Regression: the per-sentence start-set memo must key on the step
+    OBJECT, not id() — a freed query object's reused address returned a
+    stale (empty) start set and silently dropped matches on a persistent
+    engine issuing several ad-hoc traversal queries."""
+    import gc
+
+    from odinson_ray.api import OdinsonEngine
+    from odinson_ray.core.sentence import AnnotatedDocument, SentenceIndex
+
+    doc = AnnotatedDocument("d", [SentenceIndex(
+        {"raw": ["x", "y"], "word": ["x", "y"]}, [(0, 1, "nsubj")], [0])])
+    engine = OdinsonEngine([doc])
+    for _ in range(20):
+        # a query with a never-matching traversal memoizes an EMPTY start set
+        assert engine.query("[word=x] >dobj []") == []
+        gc.collect()
+        got = [(m.start, m.end) for m in engine.query("[word=x] >nsubj []")]
+        assert got == [(1, 2)], got
