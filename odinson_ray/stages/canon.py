@@ -110,21 +110,50 @@ def _dedupe_edges_batch(t: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(lo, pa.string()), "b": pa.array(hi, pa.string())})
 
 
-def connected_components(edges_ds, max_rounds: int = 25):
+def connected_components(edges_ds, max_rounds: int = 25,
+                         checkpoint_dir: "str | None" = None,
+                         stats: "dict | None" = None):
     """Distributed connected components over an edge Dataset (a, b) of
     surface strings; returns a Dataset (node, root) with root = the
     lexicographically smallest key in the component.
 
-    Min-label propagation: each round every node adopts the smallest label
-    among itself and its neighbors' labels; converges in O(diameter)
-    rounds. Per round: one hash join (labels onto edge endpoints) + one
-    groupby-min — all distributed; the driver sees only the scalar
-    changed-row count. This is the partitioned union-find the VERDICT r01
-    asked for: no vocabulary or edge list ever materializes driver-side."""
+    Min-label propagation WITH POINTER JUMPING (VERDICT r02 item 4 /
+    ADVICE r02): each round (1) every node adopts the smallest label among
+    itself and its neighbors' labels, then (2) jumps through the previous
+    round's label map (``label := prev_label(label)``). Jumping roughly
+    doubles the propagation distance per round, so convergence is
+    O(log diameter) rounds — a 10^6-link chain converges in ~20 rounds
+    instead of 10^6. Per round: two hash joins + one groupby-min — all
+    distributed; the driver sees only the scalar changed-row count.
+
+    Iterative Datasets must be pinned each round (otherwise lineage
+    re-executes all prior rounds); by default that pin is ``materialize()``
+    (object store). For graphs near object-store capacity pass
+    ``checkpoint_dir`` to spill each round's label table to parquet
+    instead, bounding object-store residency to ~one round.
+
+    Raises RuntimeError if ``max_rounds`` is exhausted with labels still
+    changing (was a silent RuntimeWarning; with pointer jumping 25 rounds
+    covers diameters up to ~2^25, so hitting this means something is
+    genuinely wrong). ``stats``, if given, receives ``{"rounds": n}``."""
     import ray.data as rd
     from ray.data.aggregate import Min
 
     from .shuffle import hash_join
+
+    def pin(lazy_ds, name):
+        """Pin an iteration result: object-store materialize by default,
+        parquet spill when checkpoint_dir is set."""
+        if checkpoint_dir is None:
+            return lazy_ds.materialize()
+        import os
+        import shutil
+
+        path = os.path.join(checkpoint_dir, name)
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        lazy_ds.write_parquet(path)
+        return rd.read_parquet(path)
 
     _nbr_schema = pa.schema([("node", pa.string()), ("nbr", pa.string())])
     _lbl_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
@@ -148,24 +177,30 @@ def connected_components(edges_ds, max_rounds: int = 25):
         nblocks = max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
     except Exception:
         nblocks = 8
-    nbrs = (
-        edges.map_batches(symmetric, batch_format="pyarrow")
-        .repartition(nblocks)
-        .materialize()
+    nbrs = pin(
+        edges.map_batches(symmetric, batch_format="pyarrow").repartition(nblocks),
+        "cc_nbrs",
     )
     # initial labels: label(node) = node (distinct nodes via groupby-min)
-    labels = (
+    labels = pin(
         nbrs.map_batches(
             lambda t: pa.table({"node": t["node"], "label": t["node"]}),
             batch_format="pyarrow",
         )
         .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
+        .aggregate(Min("label", alias_name="label")),
+        "cc_labels_init",
     )
     from ray.data.aggregate import Max
 
-    for _ in range(max_rounds):
+    import pyarrow.compute as pc
+
+    _jmp_schema = pa.schema(
+        [("node", pa.string()), ("label", pa.string()), ("old", pa.string())]
+    )
+    rounds_used = max_rounds
+    changed = -1
+    for rnd in range(max_rounds):
         # label(nbr) for each (node, nbr): hash-join labels onto nbr;
         # candidate rows carry old=null, self rows carry old=label, so ONE
         # groupby yields both the new label (Min over candidates+self) and
@@ -187,30 +222,54 @@ def connected_components(edges_ds, max_rounds: int = 25):
             }),
             batch_format="pyarrow",
         )
-        new_labels = (
+        propagated = (
             prop.union(self_rows)
             .groupby("node")
             .aggregate(Min("cand", alias_name="label"),
                        Max("old", alias_name="old"))
-            .materialize()
         )
-        changed = new_labels.filter(lambda r: r["label"] != r["old"]).count()
-        labels = new_labels.map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["label"]}),
-            batch_format="pyarrow",
+        # POINTER JUMP: label := prev_label(label). Labels are node ids and
+        # prev_label(x) <= x (self rows are in every min), so jumping
+        # through the previous round's (pinned) map is a pure contraction
+        # and needs no extra materialization of `propagated`.
+        jumped = hash_join(
+            propagated, labels, on="label", right_on="node",
+            how="left_outer", left_schema=_jmp_schema,
+            right_schema=_lbl_schema, right_suffix="_j",
         )
+
+        def finish_round(t: pa.Table) -> pa.Table:
+            lbl = pc.coalesce(
+                pc.min_element_wise(t["label_j"], t["label"]), t["label"]
+            )
+            return pa.table({
+                "node": t["node"], "label": lbl,
+                "chg": pc.cast(pc.not_equal(lbl, t["old"]), pa.int64()),
+            })
+
+        # repartition before the pin: sort-shuffle output block counts
+        # compound round over round otherwise (each round inherits and
+        # multiplies the previous round's partitioning), which makes round
+        # wall-time grow exponentially with tiny blocks
+        new_labels = pin(
+            jumped.map_batches(finish_round, batch_format="pyarrow")
+            .repartition(nblocks),
+            f"cc_labels_{rnd % 2}",
+        )
+        changed = int(new_labels.sum("chg") or 0)
+        labels = new_labels.drop_columns(["chg"])
         if changed == 0:
+            rounds_used = rnd + 1
             break
     else:
-        import warnings
-
-        warnings.warn(
+        raise RuntimeError(
             f"connected_components: max_rounds={max_rounds} exhausted with "
-            f"{changed} labels still changing — components of diameter > "
-            f"max_rounds are NOT fully merged; raise max_rounds",
-            RuntimeWarning,
-            stacklevel=2,
+            f"{changed} labels still changing — components are NOT fully "
+            "merged; raise max_rounds (with pointer jumping this covers "
+            f"diameters up to ~2^{max_rounds}, so check the input graph)"
         )
+    if stats is not None:
+        stats["rounds"] = rounds_used
     return labels.map_batches(
         lambda t: pa.table({"node": t["node"], "root": t["label"]}),
         batch_format="pyarrow",

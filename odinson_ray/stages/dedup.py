@@ -132,6 +132,31 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9):
     # pipeline end to end, nothing driver-side
     from .shuffle import hash_join
 
+    # SEMI-JOIN PRUNE (VERDICT r02 "What's wrong" #2): the candidate-pair
+    # set is typically orders of magnitude smaller than the corpus, but the
+    # verify joins would otherwise shuffle EVERY document's text. Collect
+    # the candidate doc_id set once (it is the small side by construction —
+    # near-dup pairs, not documents), broadcast it, and filter ``docs``
+    # inside map_batches before either join, so only candidate texts ever
+    # enter the shuffle.
+    import ray
+    import pyarrow.compute as pc
+
+    from .link import get_broadcast
+
+    candidates = candidates.materialize()  # small: verified-pair scale
+    cand_ids: set = set()
+    for cb in candidates.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(cb["a_id"].to_pylist())
+        cand_ids.update(cb["b_id"].to_pylist())
+    ids_ref = ray.put(np.fromiter(sorted(cand_ids), dtype=np.int64, count=len(cand_ids)))
+
+    def prune_docs(t: pa.Table) -> pa.Table:
+        ids = get_broadcast(ids_ref)
+        return t.filter(pc.is_in(t["doc_id"], value_set=pa.array(ids, pa.int64())))
+
+    docs = docs.map_batches(prune_docs, batch_format="pyarrow")
+
     pair_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
     doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
     with_a = hash_join(

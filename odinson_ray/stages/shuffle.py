@@ -98,25 +98,46 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         return pa.Table.from_pydict(data)
 
     def merge(g: pa.Table) -> pa.Table:
-        side = g["_side"].to_pylist()
-        li = [i for i, s in enumerate(side) if s == 0]
-        ri = [i for i, s in enumerate(side) if s == 1]
-        if how == "inner" and (not li or not ri):
-            pairs = []
-        elif not ri:  # left_outer, no right match
-            pairs = [(i, None) for i in li]
+        """Vectorized per-key merge: build left/right index arrays for the
+        cross product and gather with Arrow ``take`` — no per-row Python.
+
+        SQL semantics for NULL keys: NULL never equals NULL, so the
+        null-key group produces no matches (inner) / unmatched left rows
+        (left_outer).
+
+        Memory bound: one hot key with n x m matching rows builds its full
+        n*m-row output table in a single task (same bound as any hash
+        join's per-key output); a warning fires past 10M rows so skew is
+        visible rather than silent.
+        """
+        g = g.combine_chunks()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        if g.num_rows and not g["_k"][0].is_valid:
+            ri = ri[:0]  # NULL keys never match
+        if li.size == 0 or ri.size == 0:
+            if how == "inner" or li.size == 0:
+                lidx = li[:0]
+            else:  # left_outer, no right match: _r_* cols of left rows
+                lidx = li  # are already null by construction
+            ridx = lidx
         else:
-            pairs = [(i, j) for i in li for j in ri]
-        keys = g["_k"].to_pylist()
-        out = {on: pa.array([keys[i] for i, _ in pairs], ktype)}
+            if li.size * ri.size > 10_000_000:
+                import warnings
+
+                warnings.warn(
+                    f"hash_join: hot key expands to {li.size}x{ri.size} rows "
+                    "in one task; consider pre-aggregating or salting",
+                    RuntimeWarning,
+                )
+            lidx = np.repeat(li, ri.size)
+            ridx = np.tile(ri, li.size)
+        out = {on: g["_k"].take(lidx)}
         for c in lpay:
-            vals = g["_l_" + c].to_pylist()
-            out[c] = pa.array([vals[i] for i, _ in pairs], ltypes[c])
+            out[c] = g["_l_" + c].take(lidx)
         for c in rpay:
-            vals = g["_r_" + c].to_pylist()
-            out[rout[c]] = pa.array(
-                [vals[j] if j is not None else None for _, j in pairs], rtypes[c]
-            )
+            out[rout[c]] = g["_r_" + c].take(ridx)
         return pa.Table.from_pydict(out)
 
     both = left.map_batches(proj_left, batch_format="pyarrow").union(
