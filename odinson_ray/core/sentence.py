@@ -63,8 +63,14 @@ class SentenceIndex:
             graph_edges, graph_roots, self.length, prenormalized=prenormalized_labels
         )
         self._postings: Dict[str, Dict[str, List[int]]] = {}
-        # per-sentence memo for traversal endpoint pre-filter sets
-        self._trav_starts: Dict[int, object] = {}
+        # per-sentence memo for traversal endpoint pre-filter sets, keyed
+        # by the compiled step OBJECT. Weak keys: on a persistent engine
+        # each ad-hoc query()'s step objects would otherwise be pinned by
+        # every sentence's memo forever — O(queries x sentences) growth
+        # (ADVICE r02). Entries die with the query's compiled objects.
+        import weakref
+
+        self._trav_starts = weakref.WeakKeyDictionary()
 
     # ------------------------------------------------------------ postings
 

@@ -86,6 +86,7 @@ def fields_to_metadata(fields: List[Dict]) -> Dict:
     multiple same-named fields accumulate — the block-join 'any entry
     matches' semantics)."""
     md: Dict = {}
+    last_kind: Dict[str, str] = {}  # kind of the last field written per name
     for f in fields or []:
         kind = _field_kind(f)
         name = f.get("name")
@@ -104,12 +105,15 @@ def fields_to_metadata(fields: List[Dict]) -> Dict:
             # accumulate in a list of dicts. If a NON-nested field of the
             # same name came first, the nested entries start a fresh list
             # (and a later non-nested field overwrites it) — last-kind-wins,
-            # never a crash.
-            cur = md.get(name)
-            if not isinstance(cur, list) or (cur and not isinstance(cur[0], dict)):
-                cur = []
-                md[name] = cur
-            cur.append(fields_to_metadata(f.get("fields", [])))
+            # never a crash. The kind is TRACKED, not sniffed from the
+            # accumulated value: an empty TokensField must also reset to a
+            # fresh nested list (ADVICE r02).
+            if last_kind.get(name) != "NestedField":
+                md[name] = []
+            md[name].append(fields_to_metadata(f.get("fields", [])))
+        else:
+            continue
+        last_kind[name] = kind
     return md
 
 

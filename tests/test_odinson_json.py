@@ -81,6 +81,30 @@ def test_fields_to_metadata_conventions():
     assert md["author"] == [{"first": "Jane", "last": "Doe"}, {"first": "John"}]
 
 
+def test_fields_to_metadata_empty_tokens_then_nested_resets():
+    """An EMPTY TokensField followed by a same-named NestedField must reset
+    to a fresh nested list (kind is tracked, not sniffed from the value —
+    ADVICE r02); and a nested run interrupted by a non-nested field starts
+    over."""
+    fields = [
+        tokens_field("author", []),
+        {"$type": T + "NestedField", "name": "author",
+         "fields": [{"$type": T + "StringField", "name": "first", "string": "Jane"}]},
+        tokens_field("topic", ["x"]),
+        {"$type": T + "NestedField", "name": "topic",
+         "fields": [{"$type": T + "StringField", "name": "t", "string": "a"}]},
+        {"$type": T + "NestedField", "name": "topic",
+         "fields": [{"$type": T + "StringField", "name": "t", "string": "b"}]},
+        tokens_field("topic", ["y"]),
+        {"$type": T + "NestedField", "name": "topic",
+         "fields": [{"$type": T + "StringField", "name": "t", "string": "c"}]},
+    ]
+    md = fields_to_metadata(fields)
+    assert md["author"] == [{"first": "Jane"}]
+    # the tokens field in between RESET the accumulating nested list
+    assert md["topic"] == [{"t": "c"}]
+
+
 GUMMY_RULES = """
 rules:
   - name: gummy-eater

@@ -118,6 +118,53 @@ def test_ann_lsh_recall(sf_dir):
     assert len(exact & approx) >= 2
 
 
+def test_ann_lsh_never_lists_layout_dir(sf_dir, monkeypatch):
+    """Probe discovery must come from the build-time manifest, never a
+    driver-side listdir of the layout (VERDICT r02 item 5): listing the
+    published layout is forbidden after the build."""
+    import os as _os
+
+    from odinson_ray.stages import ann
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(emb[emb.vec_id == 0].iloc[0].embedding, dtype=np.float64)
+    layout = ann.build_bucket_layout(sf_dir)  # idempotent pre-build
+    real_listdir = _os.listdir
+
+    def guarded(path="."):
+        if str(path).startswith(layout):
+            raise AssertionError(f"listdir on published layout: {path}")
+        return real_listdir(path)
+
+    monkeypatch.setattr(_os, "listdir", guarded)
+    got = ann.lsh_topk(sf_dir, q, k=10).to_pandas()
+    assert len(got) == 10
+
+
+def test_ann_layout_publish_never_deletes_complete(sf_dir):
+    """A complete (_SUCCESS-marked) layout is never rmtree'd by a second
+    builder racing in (ADVICE r02): the rebuild must return the existing
+    layout with its manifest intact."""
+    import json
+    import os as _os
+
+    from odinson_ray.stages import ann
+
+    layout = ann.build_bucket_layout(sf_dir)
+    marker = _os.path.join(layout, "_probe_marker")
+    with open(marker, "w"):
+        pass
+    again = ann.build_bucket_layout(sf_dir)
+    assert again == layout
+    assert _os.path.exists(marker), "complete layout was deleted and rebuilt"
+    with open(_os.path.join(layout, "_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["buckets"], "manifest missing bucket entries"
+    assert sum(b["rows"] for b in meta["buckets"].values()) == len(
+        pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
 def test_checkpoint_resume(sf_dir, tmp_path):
     from odinson_ray.state.checkpoint import kg_run_sharded
 

@@ -83,3 +83,21 @@ def test_traversal_prefilter_memo_not_keyed_by_address():
         gc.collect()
         got = [(m.start, m.end) for m in engine.query("[word=x] >nsubj []")]
         assert got == [(1, 2)], got
+
+
+def test_trav_starts_memo_does_not_pin_queries():
+    """The per-sentence traversal memo holds WEAK refs to compiled step
+    objects: a persistent engine running many ad-hoc queries must not grow
+    each sentence's memo unboundedly (ADVICE r02)."""
+    import gc
+
+    d = DOCS["alien-species"]
+    s = d["sentences"][0]
+    sent = SentenceIndex(s["fields"], s["edges"], s["roots"])
+    for _ in range(3):
+        q = compiler.compile("[word=cats] >conj_and [tag=/N.*/]")
+        selected = select_matches(q.matches(Ctx(sent, 0, None)))
+        assert selected
+        del q, selected
+    gc.collect()
+    assert len(sent._trav_starts) == 0
