@@ -48,12 +48,30 @@ def shingles(text: str, n: int = 3) -> List[str]:
     return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
 
 
+# md5 digests are the oracle contract (DuckDB recomputes them), so the
+# hash FUNCTION cannot change — but its per-string cost can be amortized:
+# batch functions hash only the UNIQUE strings of a batch (np.unique) and
+# a bounded per-process cache carries repeats across batches (duplicate
+# documents share all their shingles/tokens — the dedup workload's common
+# case). VERDICT r02 item 6.
+_MD5_CACHE: Dict[str, int] = {}
+_MD5_CACHE_MAX = 1 << 20
+
+
+def _md5_64(s: str) -> int:
+    """int.from_bytes(md5(s)[:8], 'little') with a bounded process cache."""
+    v = _MD5_CACHE.get(s)
+    if v is None:
+        v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+        if len(_MD5_CACHE) >= _MD5_CACHE_MAX:
+            _MD5_CACHE.clear()
+        _MD5_CACHE[s] = v
+    return v
+
+
 def _shingle_hashes(sh: List[str]) -> np.ndarray:
     """stable sub-31-bit hashes of shingles (md5-based, hash-seed-free)."""
-    return np.array(
-        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") % _MERSENNE for s in sh],
-        dtype=np.uint64,
-    )
+    return np.array([_md5_64(s) % _MERSENNE for s in sh], dtype=np.uint64)
 
 
 def minhash_signature(text: str) -> np.ndarray:
@@ -65,16 +83,47 @@ def minhash_signature(text: str) -> np.ndarray:
     return vals.min(axis=0)
 
 
+def _batch_signatures(texts: List[str]) -> np.ndarray:
+    """(n_docs, N_HASHES) signatures for a whole batch in ONE numpy pass:
+    flat shingle stream -> unique-only md5 -> one (T, 128) affine-mod
+    matrix -> per-doc min via minimum.reduceat. Identical values to
+    minhash_signature (tested), severalfold faster on real batches."""
+    per_doc = [shingles(t) for t in texts]
+    counts = np.fromiter((len(s) for s in per_doc), dtype=np.int64, count=len(per_doc))
+    flat: List[str] = [s for sh in per_doc for s in sh]
+    sigs = np.zeros((len(texts), N_HASHES), dtype=np.uint64)
+    if not flat:
+        return sigs
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    hu = np.fromiter((_md5_64(s) % _MERSENNE for s in uniq),
+                     dtype=np.uint64, count=len(uniq))
+    # affine-mod over UNIQUE shingles only, with a shift-add Mersenne
+    # reduction (x mod 2^31-1 == (x & p) + (x >> 31), twice, then one
+    # conditional subtract) — severalfold cheaper than uint64 division
+    p = np.uint64(_MERSENNE)
+    vu = _A[None, :] * hu[:, None] + _B[None, :]  # < 2^62, no wrap
+    vu = (vu & p) + (vu >> np.uint64(31))
+    vu = (vu & p) + (vu >> np.uint64(31))
+    vu = np.where(vu >= p, vu - p, vu)
+    vals = vu[inv]  # (T, 128) gather back into doc order
+    nonempty = np.flatnonzero(counts)
+    starts = np.concatenate(([0], np.cumsum(counts[nonempty])))[:-1]
+    sigs[nonempty] = np.minimum.reduceat(vals, starts, axis=0)
+    return sigs
+
+
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     """documents batch -> (band_id, band_hash, doc_id) rows."""
-    out_band, out_hash, out_doc = [], [], []
-    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        sig = minhash_signature(text)
-        for b in range(N_BANDS):
-            row = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            out_band.append(b)
-            out_hash.append(hashlib.md5(row.tobytes()).hexdigest())
-            out_doc.append(doc_id)
+    doc_ids = batch["doc_id"].to_pylist()
+    sigs = _batch_signatures(batch["text"].to_pylist())
+    out_band = np.tile(np.arange(N_BANDS, dtype=np.int32), len(doc_ids))
+    out_doc = np.repeat(np.asarray(doc_ids, dtype=np.int64), N_BANDS)
+    md5 = hashlib.md5
+    out_hash = [
+        md5(sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND].tobytes()).hexdigest()
+        for sig in sigs
+        for b in range(N_BANDS)
+    ]
     return pa.Table.from_pydict(
         {
             "band_id": pa.array(out_band, pa.int32()),
@@ -190,12 +239,15 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9):
 # ---------------------------------------------------------------- simhash
 
 def simhash64(text: str) -> int:
+    """Per-row reference implementation (kept as the tested spec for
+    _batch_simhash; the md5-derived values are the DuckDB oracle
+    contract)."""
     toks = text.split(" ") if text else []
     if not toks:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for tok, cnt in pd.Series(toks).value_counts().items():
-        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        h = _md5_64(tok)
         bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
         acc += (bits.astype(np.int64) * 2 - 1) * int(cnt)
     out = 0
@@ -205,26 +257,50 @@ def simhash64(text: str) -> int:
     return out
 
 
+def _batch_simhash(texts: List[str]) -> np.ndarray:
+    """(n_docs,) uint64 simhashes for a whole batch in one numpy pass:
+    flat token stream -> unique-only md5 -> (U, 64) sign matrix ->
+    per-doc accumulate via add.at -> sign bits packed. Identical values
+    to simhash64 (tested; token counts fold in because every occurrence
+    contributes its sign once)."""
+    tok_lists = [t.split(" ") if t else [] for t in texts]
+    counts = np.fromiter((len(s) for s in tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat = [tok for toks in tok_lists for tok in toks]
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not flat:
+        return out
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    hbytes = b"".join(_md5_64(u).to_bytes(8, "little") for u in uniq)
+    bits = np.unpackbits(
+        np.frombuffer(hbytes, dtype=np.uint8).reshape(len(uniq), 8), axis=1
+    )
+    signs = bits.astype(np.int8) * 2 - 1  # (U, 64)
+    acc = np.zeros((len(texts), 64), dtype=np.int64)
+    doc_idx = np.repeat(np.arange(len(texts)), counts)
+    np.add.at(acc, doc_idx, signs[inv])
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    nonempty = counts > 0
+    out[nonempty] = ((acc[nonempty] > 0).astype(np.uint64) * weights).sum(axis=1)
+    return out
+
+
 def simhash_block_rows(batch: pa.Table) -> pa.Table:
     """documents batch -> (blk, sub, doc_id, h) LSH-block rows.
 
     8 blocks of 8 bits: any pair within Hamming distance <= 7 of 64 bits
     agrees exactly on >= 1 block (pigeonhole), so bucketing by (blk, sub)
     has perfect recall for max_hamming <= 7."""
-    out_blk, out_sub, out_doc, out_h = [], [], [], []
-    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        h = simhash64(text)
-        for blk in range(8):
-            out_blk.append(blk)
-            out_sub.append((h >> (8 * blk)) & 0xFF)
-            out_doc.append(doc_id)
-            out_h.append(h)
+    doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+    hs = _batch_simhash(batch["text"].to_pylist())
+    blks = np.tile(np.arange(8, dtype=np.int32), len(doc_ids))
+    h_rep = np.repeat(hs, 8)
+    subs = ((h_rep >> (8 * blks.astype(np.uint64))) & np.uint64(0xFF)).astype(np.int32)
     return pa.Table.from_pydict(
         {
-            "blk": pa.array(out_blk, pa.int32()),
-            "sub": pa.array(out_sub, pa.int32()),
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "h": pa.array(out_h, pa.uint64()),
+            "blk": pa.array(blks, pa.int32()),
+            "sub": pa.array(subs, pa.int32()),
+            "doc_id": pa.array(np.repeat(doc_ids, 8), pa.int64()),
+            "h": pa.array(h_rep, pa.uint64()),
         }
     )
 
