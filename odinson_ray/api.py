@@ -156,9 +156,10 @@ class OdinsonEngine:
             return {}
         doc = next(d for d in self.docs if d.doc_id == m.doc_id)
         sent = doc.sentences[m.sent_idx]
-        names = ["raw"] if level == self.DISPLAY else sorted(sent.fields)
-        return {name: list(sent.fields[name][m.start : m.end])
-                for name in names if name in sent.fields}
+        fl = sent.fields if level == self.DISPLAY else sent.all_fields()
+        names = ["raw"] if level == self.DISPLAY else sorted(fl)
+        return {name: list(fl[name][m.start : m.end])
+                for name in names if name in fl}
 
     # ------------------------------------------------------------ dataset scale
 

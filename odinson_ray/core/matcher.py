@@ -84,13 +84,12 @@ class RegexTermQuery(Query):
     def __init__(self, field: str, pattern: str):
         self.field = field
         self.regex = re.compile(lucene_to_python(pattern))
+        self._pred = lambda term, _m=self.regex.fullmatch: _m(term) is not None
 
     def matches(self, ctx):
-        positions = []
-        for term, pos in ctx.sent.postings(self.field).items():
-            if self.regex.fullmatch(term):
-                positions.extend(pos)
-        positions.sort()
+        # predicate evaluated once per batch vocabulary (memo keyed by the
+        # compiled query object), not once per sentence
+        positions = ctx.sent.positions_matching(self.field, self, self._pred)
         return [NGramMatch(i, i + 1) for i in positions]
 
 
@@ -117,13 +116,10 @@ class FuzzyTermQuery(Query):
     def __init__(self, field: str, term: str):
         self.field = field
         self.term = term
+        self._pred = lambda t, _q=term: _edit_distance_le2(t, _q)
 
     def matches(self, ctx):
-        positions = []
-        for term, pos in ctx.sent.postings(self.field).items():
-            if _edit_distance_le2(term, self.term):
-                positions.extend(pos)
-        positions.sort()
+        positions = ctx.sent.positions_matching(self.field, self, self._pred)
         return [NGramMatch(i, i + 1) for i in positions]
 
 
@@ -440,24 +436,53 @@ class SingleStepFullTraversal:
         if starts is not None:
             src_matches = [
                 m for m in src_matches
-                if any(t in starts for t in range(m.start, m.end))
+                if (m.start in starts if m.end == m.start + 1
+                    else any(t in starts for t in range(m.start, m.end)))
             ]
             if not src_matches:
                 return []
-        dst_matches = self.surface.matches(ctx)
-        # inverted index: token -> matches containing it
-        inv: List[List[Match]] = [[] for _ in range(ctx.sent.length)]
-        for m in dst_matches:
-            for j in range(m.start, min(m.end, ctx.sent.length)):
-                inv[j].append(m)
-        out = []
         graph = ctx.sent.graph
+        surface = self.surface
+        if type(surface) is AllNGramsQuery and surface.n == 1:
+            # wildcard dst (`>edge []`, the common event-argument shape):
+            # every landing token IS its own unigram match — skip building
+            # the n dst matches and the token->match inverted index. The
+            # shared per-token NGramMatch preserves the general path's
+            # object identity (two srcs landing on one token share the dm).
+            length = ctx.sent.length
+            cache: Dict[int, NGramMatch] = {}
+            out = []
+            for src in src_matches:
+                dst_tokens = self.traversal.traverse_from(graph, range(src.start, src.end))
+                for t in dst_tokens:
+                    if 0 <= t < length:
+                        dm = cache.get(t)
+                        if dm is None:
+                            dm = cache[t] = NGramMatch(t, t + 1)
+                        out.append(GraphTraversalMatch(src, dm))
+            return out
+        dst_matches = surface.matches(ctx)
+        if not dst_matches:
+            return []
+        # inverted index: token -> matches containing it (sparse: only
+        # tokens covered by some dst match get an entry)
+        inv: Dict[int, List[Match]] = {}
+        length = ctx.sent.length
+        for m in dst_matches:
+            for j in range(m.start, min(m.end, length)):
+                lst = inv.get(j)
+                if lst is None:
+                    inv[j] = [m]
+                else:
+                    lst.append(m)
+        out = []
         for src in src_matches:
             dst_tokens = self.traversal.traverse_from(graph, range(src.start, src.end))
             seen = dict()
             for t in dst_tokens:
-                if 0 <= t < len(inv):
-                    for dm in inv[t]:
+                ms = inv.get(t)
+                if ms is not None:
+                    for dm in ms:
                         seen[id(dm)] = dm
             out.extend(GraphTraversalMatch(src, dm) for dm in seen.values())
         return out

@@ -27,6 +27,9 @@ from typing import Dict, List
 
 import pyarrow as pa
 
+from ..core.sentence import BatchVocab, SentenceIndex, SharedGraphContext
+from ..core.traversal import DirectedGraph
+
 VERB_WORDS = frozenset({"scan", "join", "sort", "merge", "filter", "group"})
 ADJ_WORDS = frozenset({"fast", "slow", "small", "big"})
 DET_WORDS = frozenset({"the", "a"})
@@ -78,6 +81,123 @@ def annotate_sentence(text: str) -> Dict:
         "entity": ["B-TECH" if t in TECH_WORDS else "O" for t in toks],
         "graph": {"edges": edges, "roots": [0] if n else []},
     }
+
+
+def _shared_graph_for_length(n: int):
+    """Per-process cache of SharedGraphContext keyed by sentence length:
+    the deterministic annotator's dependency graph is a pure function of
+    n, so the DirectedGraph, its incoming/outgoing label postings and the
+    traversal-prefilter memo are built once per length and shared by every
+    same-length sentence the worker ever sees."""
+    ctx = _GRAPH_CACHE.get(n)
+    if ctx is None:
+        edges = []
+        for i in range(1, n):
+            j = i % GROUP
+            if j == 0:
+                edges.append((i - GROUP, i, "conj"))
+            else:
+                edges.append((i - j, i, GROUP_LABELS[j - 1]))
+        graph = DirectedGraph(edges, [0] if n else [], n, prenormalized=True)
+        ctx = _GRAPH_CACHE[n] = SharedGraphContext(graph)
+    return ctx
+
+
+_GRAPH_CACHE: Dict[int, object] = {}
+
+
+_LAZY_LAYERS = ("lemma", "tag", "chunk", "entity")
+
+
+def annotate_texts_vectorized(sent_texts: List[str]):
+    """All sentence texts of a batch -> SentenceIndex list: tokenization
+    and token interning run as Arrow kernels (split_pattern +
+    dictionary_encode), every per-token derivation runs once per UNIQUE
+    token, and derived layers (lemma/tag/chunk/entity) materialize lazily
+    only if something actually reads the string lists. Output layers are
+    identical to annotate_tokens_fast (tested); each SentenceIndex carries
+    the BatchVocab backing so term/regex lookups inside the matcher are
+    batch-level vectorized (VERDICT r02 item 1)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    tok_lists = [t.split(" ") if t else [] for t in sent_texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    total = int(counts.sum())
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    if total == 0:
+        return [
+            SentenceIndex(
+                {"raw": [], "word": [], "lemma": [], "tag": [], "chunk": [], "entity": []},
+                take_ownership=True, shared=_shared_graph_for_length(0),
+            )
+            for _ in tok_lists
+        ]
+    # intern via Arrow's C++ dictionary encoder (much cheaper than a
+    # python dict loop or an object-array np.unique sort)
+    enc = pc.dictionary_encode(
+        pa.array([tok for toks in tok_lists for tok in toks], pa.string())
+    )
+    inv = enc.indices.to_numpy(zero_copy_only=False)
+    uniq = np.array(enc.dictionary.to_pylist(), dtype=object)
+    # per-unique derived layers (the deterministic annotation rules)
+    lemma_u = np.array([u.lower() for u in uniq], dtype=object)
+    tag_u = np.array([tag_of(u) for u in uniq], dtype=object)
+    ent_u = np.array(
+        ["B-TECH" if u in TECH_WORDS else "O" for u in uniq], dtype=object
+    )
+    # one global batch vocabulary over surface + derived forms
+    terms = np.unique(np.concatenate([uniq, lemma_u, tag_u, ent_u, np.array(["O"], object)]))
+    # vocab ids of each unique surface/derived form (terms is sorted)
+    raw_tid = np.searchsorted(terms, uniq).astype(np.int32)
+    lemma_tid = np.searchsorted(terms, lemma_u).astype(np.int32)
+    tag_tid = np.searchsorted(terms, tag_u).astype(np.int32)
+    ent_tid = np.searchsorted(terms, ent_u).astype(np.int32)
+    o_tid = np.int32(np.searchsorted(terms, "O"))
+    # flat per-position id arrays (one per field, shared by the batch)
+    raw_ids = raw_tid[inv]
+    flat_fields = {
+        "raw": raw_ids,
+        "word": raw_ids,  # same array: word == raw for this annotator
+        "lemma": lemma_tid[inv],
+        "tag": tag_tid[inv],
+        "chunk": np.full(total, o_tid, dtype=np.int32),
+        "entity": ent_tid[inv],
+    }
+    vocab = BatchVocab(terms, flat_fields, offsets)
+
+    # lazy string layers: the flat object gather runs once per batch per
+    # layer, and only if some consumer reads the lists (verbosity="all",
+    # non-vocab postings fallback)
+    layer_u = {"lemma": lemma_u, "tag": tag_u, "entity": ent_u}
+    flat_cache: Dict[str, np.ndarray] = {}
+
+    def field_loader(slot: int, field: str):
+        s, e = int(offsets[slot]), int(offsets[slot + 1])
+        if field == "chunk":
+            return ["O"] * (e - s)
+        u = layer_u.get(field)
+        if u is None:
+            return None
+        flat = flat_cache.get(field)
+        if flat is None:
+            flat = flat_cache[field] = u[inv]
+        return flat[s:e].tolist()
+
+    out = []
+    for i, toks in enumerate(tok_lists):
+        out.append(
+            SentenceIndex(
+                {"raw": toks, "word": toks},
+                take_ownership=True,
+                shared=_shared_graph_for_length(len(toks)),
+                vocab=vocab,
+                slot=i,
+                field_loader=field_loader,
+                lazy_layers=_LAZY_LAYERS,
+            )
+        )
+    return out
 
 
 def annotate_tokens_fast(toks: List[str]):

@@ -23,7 +23,7 @@ from ..core.engine import DocumentEngine
 from ..core.sentence import AnnotatedDocument, SentenceIndex
 from ..lang.rules import RuleReader
 from ..sources.odinson_json import fields_to_metadata
-from .annotate import annotate_sentence, annotate_tokens_fast
+from .annotate import annotate_sentence, annotate_texts_vectorized, annotate_tokens_fast
 
 ARG_TYPE = pa.struct(
     [
@@ -36,6 +36,8 @@ ARG_TYPE = pa.struct(
 )
 
 FIELDS_TYPE = pa.struct([("name", pa.string()), ("tokens", pa.list_(pa.string()))])
+
+EMPTY_ARGS: List[Dict] = []  # shared, never mutated (pa.array only reads)
 
 MENTIONS_SCHEMA = pa.schema(
     [
@@ -144,17 +146,34 @@ class GrammarMatcher:
             for p, k, tx in zip(parents, kinds, texts):
                 if k == "text":
                     spans_texts[p].append(tx)
+            # annotate the WHOLE batch in one vectorized pass (per-unique
+            # token derivation + BatchVocab id backing), then slice the
+            # flat SentenceIndex list back per document
+            flat_sents = annotate_texts_vectorized(
+                [t for st in spans_texts for t in st]
+            )
+            sents_per_doc: List[List[SentenceIndex]] = []
+            cur = 0
+            for st in spans_texts:
+                sents_per_doc.append(flat_sents[cur : cur + len(st)])
+                cur += len(st)
         # per-document metadata: scalar columns plus an optional struct column
         md_cols = {}
         for c in self.METADATA_COLUMNS:
             if c in batch.column_names:
                 md_cols[c] = batch[c].to_pylist()
-        out = {k: [] for k in ("doc_id", "sent_id", "label", "found_by", "start", "end", "text")}
+        col_doc: List[str] = []
+        col_sent: List[int] = []
+        col_label: List[Optional[str]] = []
+        col_found: List[str] = []
+        col_start: List[int] = []
+        col_end: List[int] = []
+        col_text: List[Optional[str]] = []
         out_args: List[List[Dict]] = []
         out_fields: List[List[Dict]] = []
         for row_idx, (doc_id, sents) in enumerate(zip(doc_ids, sentences_col)):
             if sents is None:
-                sent_indexes = self._sentences_from_texts(spans_texts[row_idx])
+                sent_indexes = sents_per_doc[row_idx]
             else:
                 sent_indexes = [sentence_index_from_struct(s) for s in sents]
             metadata = {}
@@ -182,43 +201,56 @@ class GrammarMatcher:
                     self.extractors, allow_trigger_overlaps=self.allow_trigger_overlaps
                 )
             minimal = self.verbosity == "minimal"
+            want_fields = self.verbosity == "all"
             for m in mentions:
                 sent = sent_indexes[m.sent_idx]
                 toks = sent.tokens()
-                out["doc_id"].append(doc_id)
-                out["sent_id"].append(m.sent_idx)
-                out["label"].append(m.label)
-                out["found_by"].append(m.found_by)
-                out["start"].append(m.start)
-                out["end"].append(m.end)
-                out["text"].append(None if minimal else " ".join(toks[m.start : m.end]))
-                args = []
-                for cap in m.match.named_captures:
-                    args.append(
-                        {
-                            "name": cap.name,
-                            "label": cap.label,
-                            "start": cap.captured.start,
-                            "end": cap.captured.end,
-                            "text": None if minimal else
-                                " ".join(toks[cap.captured.start : cap.captured.end]),
-                        }
+                ms, me = m.start, m.end
+                col_doc.append(doc_id)
+                col_sent.append(m.sent_idx)
+                col_label.append(m.label)
+                col_found.append(m.found_by)
+                col_start.append(ms)
+                col_end.append(me)
+                if minimal:
+                    col_text.append(None)
+                else:
+                    col_text.append(
+                        toks[ms] if me == ms + 1 else " ".join(toks[ms:me])
                     )
-                out_args.append(args)
-                if self.verbosity == "all":
+                caps = m.match.named_captures
+                if caps:
+                    args = []
+                    for cap in caps:
+                        cs, ce = cap.captured.start, cap.captured.end
+                        args.append(
+                            {
+                                "name": cap.name,
+                                "label": cap.label,
+                                "start": cs,
+                                "end": ce,
+                                "text": None if minimal else
+                                    (toks[cs] if ce == cs + 1 else " ".join(toks[cs:ce])),
+                            }
+                        )
+                    out_args.append(args)
+                else:
+                    out_args.append(EMPTY_ARGS)
+                if want_fields:
+                    fl = sent.all_fields()
                     out_fields.append(
-                        [{"name": name, "tokens": list(sent.fields[name][m.start : m.end])}
-                         for name in sorted(sent.fields)]
+                        [{"name": name, "tokens": list(fl[name][ms:me])}
+                         for name in sorted(fl)]
                     )
         table = pa.Table.from_pydict(
             {
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "sent_id": pa.array(out["sent_id"], pa.int32()),
-                "label": pa.array(out["label"], pa.string()),
-                "found_by": pa.array(out["found_by"], pa.string()),
-                "start": pa.array(out["start"], pa.int32()),
-                "end": pa.array(out["end"], pa.int32()),
-                "text": pa.array(out["text"], pa.string()),
+                "doc_id": pa.array(col_doc, pa.string()),
+                "sent_id": pa.array(col_sent, pa.int32()),
+                "label": pa.array(col_label, pa.string()),
+                "found_by": pa.array(col_found, pa.string()),
+                "start": pa.array(col_start, pa.int32()),
+                "end": pa.array(col_end, pa.int32()),
+                "text": pa.array(col_text, pa.string()),
                 "args": pa.array(out_args, pa.list_(ARG_TYPE)),
             }
         )
