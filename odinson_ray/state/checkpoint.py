@@ -18,19 +18,28 @@ from typing import Callable, Dict, List, Optional
 
 
 class CheckpointManifest:
+    """Append-only JSONL manifest; the LATEST record per shard wins, so an
+    updated shard is a new record with a new ``version`` and a deleted
+    shard is a record with ``retracted: true`` (the manifest analogue of
+    the reference's incremental delete/update of document blocks,
+    lucene/index/IncrementalOdinsonIndex.scala:104-121)."""
+
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
         self.path = os.path.join(out_dir, "_manifest.jsonl")
         os.makedirs(out_dir, exist_ok=True)
 
     def completed(self) -> Dict[str, dict]:
-        done = {}
+        done: Dict[str, dict] = {}
         if os.path.exists(self.path):
             with open(self.path) as f:
                 for line in f:
                     if line.strip():
                         rec = json.loads(line)
-                        done[rec["shard"]] = rec
+                        if rec.get("retracted"):
+                            done.pop(rec["shard"], None)
+                        else:
+                            done[rec["shard"]] = rec
         return done
 
     def record(self, shard: str, **metrics) -> None:
@@ -43,26 +52,46 @@ def run_sharded(
     shards: List[str],
     run_shard: Callable[[str, str], dict],
     out_dir: str,
+    versions: Optional[Dict[str, str]] = None,
+    retract_missing: bool = False,
 ) -> Dict[str, dict]:
     """Run ``run_shard(shard, shard_out_dir) -> metrics`` for every shard
-    not yet in the manifest. Output directories appear atomically.
+    that is new OR whose ``versions[shard]`` differs from the manifest's
+    recorded version (update = retract + recompute, atomically replacing
+    the shard's output directory). With ``retract_missing``, manifest
+    shards absent from ``shards`` have their outputs deleted and are
+    marked retracted. Output directories appear atomically.
 
     Returns the full manifest (completed shards -> lineage metrics)."""
     manifest = CheckpointManifest(out_dir)
     done = manifest.completed()
+    versions = versions or {}
+    if retract_missing:
+        live = set(shards)
+        for shard in list(done):
+            if shard not in live:
+                shutil.rmtree(os.path.join(out_dir, f"shard={shard}"), ignore_errors=True)
+                manifest.record(shard, retracted=True)
+                done.pop(shard)
     for shard in shards:
-        if shard in done:
+        prev = done.get(shard)
+        ver = versions.get(shard)
+        if prev is not None and prev.get("version") == ver:
             continue
         final_dir = os.path.join(out_dir, f"shard={shard}")
         tmp_dir = os.path.join(out_dir, f"_tmp_shard={shard}")
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
         if os.path.exists(final_dir):
-            shutil.rmtree(final_dir)  # uncommitted leftovers from a crash
+            # uncommitted leftovers from a crash, or the stale output of a
+            # changed-version shard being updated
+            shutil.rmtree(final_dir)
         t0 = time.time()
         metrics = run_shard(shard, tmp_dir) or {}
         os.replace(tmp_dir, final_dir)
         metrics.update({"wall_ms": int((time.time() - t0) * 1000)})
+        if ver is not None:
+            metrics["version"] = ver
         manifest.record(shard, **metrics)
         done[shard] = {"shard": shard, **metrics}
     return manifest.completed()
@@ -119,13 +148,41 @@ def kg_run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,
     return run_sharded([str(i) for i in range(num_shards)], run_shard, out_dir)
 
 
+def fragment_content_version(sf_dir: str, lo: int, hi: int) -> str:
+    """Content fingerprint of a doc_id-range fragment (md5 over doc_id+text
+    in doc_id order). Used to DETECT in-place fragment updates; at real
+    scale prefer the storage layer's fragment version ids (e.g. Lance
+    fragment metadata) over re-reading content."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.filter(pc.and_(pc.greater_equal(t["doc_id"], lo), pc.less(t["doc_id"], hi)))
+    t = t.sort_by("doc_id")
+    h = hashlib.md5()
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        h.update(str(d).encode())
+        h.update(b"\x00")
+        h.update((x or "").encode())
+        h.update(b"\x01")
+    return h.hexdigest()
+
+
 def kg_run_fragments(sf_dir: str, out_dir: str, fragments, rules_yaml: Optional[str] = None,
-                     concurrency: int = 4) -> Dict[str, dict]:
+                     concurrency: int = 4, retract_missing: bool = False) -> Dict[str, dict]:
     """Incremental-refresh analogue (the reference's IncrementalOdinsonIndex
-    append path): ``fragments`` is a list of (name, lo_doc_id, hi_doc_id)
-    input fragments. Re-running with NEW fragments appended computes only
-    the delta — completed fragments are skipped via the manifest, so a
-    growing corpus is processed append-only."""
+    append/update/delete path, IncrementalOdinsonIndex.scala:104-121):
+    ``fragments`` is a list of (name, lo_doc_id, hi_doc_id) or
+    (name, lo, hi, version) input fragments.
+
+    - APPEND: re-running with new fragments computes only the delta.
+    - UPDATE: a fragment whose ``version`` changed (pass
+      fragment_content_version or a storage-layer fragment id) is
+      recomputed and its output replaced atomically.
+    - DELETE: with ``retract_missing``, fragments dropped from the list
+      have their outputs removed and are marked retracted."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -136,7 +193,9 @@ def kg_run_fragments(sf_dir: str, out_dir: str, fragments, rules_yaml: Optional[
     from ..stages.triples import mentions_to_triples
 
     rules = rules_yaml or FLAGSHIP_RULES
-    bounds = {name: (lo, hi) for name, lo, hi in fragments}
+    frags = [f if len(f) == 4 else (*f, None) for f in fragments]
+    bounds = {name: (lo, hi) for name, lo, hi, _ in frags}
+    versions = {name: v for name, _, _, v in frags if v is not None}
 
     def run_shard(shard: str, shard_out: str) -> dict:
         lo, hi = bounds[shard]
@@ -163,4 +222,5 @@ def kg_run_fragments(sf_dir: str, out_dir: str, fragments, rules_yaml: Optional[
         )
         return {"docs": hi - lo, "triples": n_triples}
 
-    return run_sharded([name for name, _, _ in fragments], run_shard, out_dir)
+    return run_sharded([name for name, _, _, _ in frags], run_shard, out_dir,
+                       versions=versions, retract_missing=retract_missing)

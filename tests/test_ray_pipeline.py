@@ -245,6 +245,66 @@ def test_incremental_fragment_append(sf_dir, tmp_path):
         assert os.path.getmtime(os.path.join(out, d)) == mtime
 
 
+def test_incremental_fragment_update_delete(sf_dir, tmp_path):
+    """Update/delete refresh (IncrementalOdinsonIndex.scala:104-121 parity):
+    one fragment's input rows change in place (detected by content version),
+    another fragment is dropped (retract_missing). The re-run recomputes
+    ONLY the changed fragment, removes the dropped one, and the surviving
+    output matches a from-scratch run over the modified corpus exactly."""
+    import shutil as _sh
+
+    import pyarrow.parquet as pq
+
+    from odinson_ray.state.checkpoint import (
+        fragment_content_version, kg_run_fragments)
+
+    # editable corpus copy: the update step rewrites documents.parquet
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    _sh.copy(os.path.join(sf_dir, "documents.parquet"), corpus / "documents.parquet")
+    corpus = str(corpus)
+
+    def frags(names):
+        rng = {"f0": (0, 100), "f1": (100, 200), "f2": (200, 300)}
+        return [(n, *rng[n], fragment_content_version(corpus, *rng[n]))
+                for n in names]
+
+    out = str(tmp_path / "kg_inc")
+    m1 = kg_run_fragments(corpus, out, frags(["f0", "f1", "f2"]), concurrency=2)
+    assert set(m1) == {"f0", "f1", "f2"}
+
+    # in-place UPDATE of f1's rows + DELETE of f2
+    t = pq.read_table(os.path.join(corpus, "documents.parquet"))
+    df = t.to_pandas()
+    sel = (df.doc_id >= 100) & (df.doc_id < 200)
+    df.loc[sel, "text"] = "Alice Smith founded Acme Corp. " + df.loc[sel, "text"]
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(corpus, "documents.parquet"))
+
+    f0_mtime = os.path.getmtime(os.path.join(out, "shard=f0"))
+    m2 = kg_run_fragments(corpus, out, frags(["f0", "f1"]), concurrency=2,
+                          retract_missing=True)
+    assert set(m2) == {"f0", "f1"}
+    assert not os.path.exists(os.path.join(out, "shard=f2"))  # retracted
+    # unchanged fragment untouched; changed fragment recomputed
+    assert os.path.getmtime(os.path.join(out, "shard=f0")) == f0_mtime
+
+    # surviving output == a from-scratch run over the modified corpus
+    scratch = str(tmp_path / "kg_scratch")
+    kg_run_fragments(corpus, scratch, frags(["f0", "f1"]), concurrency=2)
+
+    def load(d):
+        import ray.data as rd
+
+        return (rd.read_parquet(d, file_extensions=["parquet"]).to_pandas()
+                .sort_values(["doc_id", "subj", "pred", "obj"])
+                .reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(load(out), load(scratch))
+
+
 def test_triples_checkpoint_resume(sf_dir, tmp_path):
     """Opt-in flagship checkpoint: same aggregated triples, and a re-run
     with the same checkpoint_dir reads the spilled parquet instead of
