@@ -253,21 +253,15 @@ FROM events GROUP BY event_type
 
 
 def q_sessionize(sf_dir: str):
-    """Session counts per user with a 30-minute inactivity gap
-    (stream-shaped op: partition by key, order by ts inside map_groups)."""
+    """Session counts per user with a 30-minute inactivity gap — the
+    skew-safe two-stage (key, time-bucket) decomposition from
+    stages/window.py, so one hot user cannot pin a whole task."""
     rd = _rd()
+    from ..stages.window import sessionize
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds() > 1800
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
-        )
-
-    return (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+    return sessionize(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]),
+        key="user_id", ts="ts", gap_s=1800,
     )
 
 
@@ -283,19 +277,18 @@ SELECT user_id, count(*) AS n_sessions FROM (
 
 
 def q_running_total(sf_dir: str):
-    """Per-user running sum ordered by (ts, event_id) — windowed aggregate
-    as groupby(key).map_groups over sorted groups."""
+    """Per-user running sum ordered by (ts, event_id) — skew-safe
+    two-stage windowed aggregate (stages/window.py): within-bucket seeded
+    cumsums + per-key prefix-summed bucket offsets, so no task ever holds
+    more than one time bucket of one key."""
     rd = _rd()
+    from ..stages.window import running_total
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g["running_value"] = g["value"].cumsum().round(4)
-        return g[["event_id", "user_id", "running_value"]]
-
-    return (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
-        .groupby("user_id")
-        .map_groups(running, batch_format="pandas")
+    return running_total(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id", "value"]),
+        key="user_id", ts="ts", order="event_id", value="value",
+        out="running_value", ndigits=4,
     )
 
 
@@ -1128,6 +1121,33 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def q_window_value_salted(sf_dir: str):
+    """Total value per 1-hour tumbling window across ALL users — the
+    window key is genuinely hot (every user's events land in the same
+    handful of hourly keys), so this routes through salted_aggregate:
+    stage 1 spreads each window over 8 sub-keys, stage 2 merges <= 8
+    partials per window (VERDICT r02 "What's wrong" #7)."""
+    rd = _rd()
+    from ..stages.shuffle import salted_aggregate
+
+    def add_window(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.Table.from_pydict({"window_start": win, "value": t["value"]})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"]).map_batches(
+        add_window, batch_format="pyarrow"
+    )
+    out = salted_aggregate(ds, "window_start", "value", salt=8).to_pandas()
+    out["total_value"] = out.pop("total").round(2)
+    return out
+
+
+ORACLE_WINDOW_VALUE_SALTED = """
+SELECT date_trunc('hour', ts) AS window_start, round(sum(value), 2) AS total_value
+FROM events GROUP BY date_trunc('hour', ts)
+"""
+
+
 def q_topk_per_group(sf_dir: str):
     """Top-2 orders per customer by total price (per-group top-k)."""
     rd = _rd()
@@ -1257,6 +1277,7 @@ SELECT event_id, user_id, o_orderkey AS last_orderkey FROM (
 QUERIES.update(
     {
         "tumbling_window": q_tumbling_window,
+        "window_value_salted": q_window_value_salted,
         "topk_per_group": q_topk_per_group,
         "distinct_users_per_type": q_distinct_users_per_type,
         "asof_join": q_asof_join,
@@ -1266,6 +1287,7 @@ QUERIES.update(
 ORACLES.update(
     {
         "tumbling_window": ORACLE_TUMBLING_WINDOW,
+        "window_value_salted": ORACLE_WINDOW_VALUE_SALTED,
         "topk_per_group": ORACLE_TOPK_PER_GROUP,
         "distinct_users_per_type": ORACLE_DISTINCT_USERS_PER_TYPE,
         "asof_join": ORACLE_ASOF_JOIN,

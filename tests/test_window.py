@@ -1,0 +1,98 @@
+"""Skew-safe windowed operators (stages/window.py): parity with a
+single-group pandas reference under a Zipfian-hot key distribution, and
+bucket-boundary edge cases (gap exactly == gap_s, session spanning many
+buckets)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _zipf_events(tmp_path, n=6000, n_users=40):
+    """~45% of events belong to user 0 (the hot key), spread over 10 days
+    so bucketing (1 day) genuinely splits the hot key across tasks."""
+    rng = np.random.default_rng(7)
+    ranks = rng.zipf(1.6, size=n)
+    user = np.minimum(ranks - 1, n_users - 1).astype(np.int64)
+    base = pd.Timestamp("2024-03-01")
+    ts = base + pd.to_timedelta(
+        np.sort(rng.integers(0, 10 * 86400, size=n)), unit="s")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": user,
+        "ts": ts.astype("datetime64[us]"),
+        "value": np.round(rng.uniform(0, 100, size=n), 2),
+    })
+    p = tmp_path / "events.parquet"
+    df.to_parquet(p, index=False)
+    assert (user == 0).mean() > 0.3, "distribution not actually skewed"
+    return str(p), df
+
+
+def _ref_sessions(df, gap_s=1800):
+    def one(g):
+        g = g.sort_values(["ts", "event_id"])
+        return int((g["ts"].diff().dt.total_seconds() > gap_s).sum()) + 1
+
+    return (df.groupby("user_id").apply(one, include_groups=False)
+            .rename("n_sessions").reset_index())
+
+
+def test_sessionize_zipfian(tmp_path):
+    import ray.data as rd
+
+    from odinson_ray.stages.window import sessionize
+
+    path, df = _zipf_events(tmp_path)
+    got = (sessionize(rd.read_parquet(path), bucket_s=86400).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    want = _ref_sessions(df).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_sessions": "int64"}), want.astype({"n_sessions": "int64"}))
+
+
+def test_sessionize_boundary_cases(tmp_path):
+    """Gap exactly == gap_s does NOT start a session (> semantics, same
+    as the DuckDB oracle); one event per day for 30 days with a tiny
+    bucket width is 30 sessions only when gaps exceed the threshold."""
+    import ray.data as rd
+
+    from odinson_ray.stages.window import sessionize
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: three events, gaps exactly 1800 s, crossing a bucket edge
+        (0, 1, base + pd.Timedelta(seconds=3600 - 1800)),
+        (1, 1, base + pd.Timedelta(seconds=3600)),
+        (2, 1, base + pd.Timedelta(seconds=5400)),
+        # user 2: a long chain, one event per bucket, gap > threshold
+        *[(10 + i, 2, base + pd.Timedelta(hours=2 * i)) for i in range(12)],
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    p = tmp_path / "edge.parquet"
+    df.to_parquet(p, index=False)
+    got = (sessionize(rd.read_parquet(str(p)), gap_s=1800, bucket_s=3600)
+           .to_pandas().set_index("user_id")["n_sessions"].to_dict())
+    assert got == {1: 1, 2: 12}
+
+
+def test_running_total_zipfian(tmp_path):
+    import ray.data as rd
+
+    from odinson_ray.stages.window import running_total
+
+    path, df = _zipf_events(tmp_path)
+    got = (running_total(rd.read_parquet(path), bucket_s=86400).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["running_value"] = ref.groupby("user_id")["value"].cumsum().round(4)
+    ref = (ref[["event_id", "user_id", "running_value"]]
+           .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref)
