@@ -146,6 +146,50 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     return both.groupby("_k").map_groups(merge, batch_format="pyarrow")
 
 
+def _sort_keys(cols, descending):
+    return [(c, "descending" if d else "ascending") for c, d in zip(cols, descending)]
+
+
+def global_topk(ds, cols, descending, k: int):
+    """Distributed top-k: each batch keeps its own top-k first, so the
+    final sort sees at most k x num_batches rows instead of the whole
+    dataset. Global top-k rows are a subset of the union of per-batch
+    top-k rows, so this is exact. Stable per-batch sort keeps
+    deterministic tie behavior when ``cols`` includes a tiebreaker."""
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(t, sort_keys=_sort_keys(cols, descending))
+        return t.take(idx[:k])
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.sort(cols, descending=descending).limit(k)
+
+
+def grouped_topk(ds, by: str, cols, descending, k: int, schema=None):
+    """Per-group top-k with a per-batch combiner: each batch keeps at most
+    k rows per key (exact for the same subset reason as global_topk), so
+    the groupby shuffle moves <= k x num_batches rows per key and no hot
+    key can pin a reducer with its full row set."""
+
+    def prune(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[(by, "ascending")] + _sort_keys(cols, descending))
+        t = t.take(idx)
+        keys = t[by].to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(keys[1:] != keys[:-1]) + 1])
+        rank = np.arange(len(keys)) - np.repeat(starts, np.diff(np.append(starts, len(keys))))
+        return t.filter(pa.array(rank < k))
+
+    def top(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=_sort_keys(cols, descending))
+        return g.take(idx[:k])
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.groupby(by).map_groups(top, batch_format="pyarrow")
+
+
 def add_salt(batch: pa.Table, key: str, salt: int) -> pa.Table:
     """Salt that varies WITHIN a key so a hot key spreads over ``salt``
     reducers: position of the row within its key's run in this batch,

@@ -58,3 +58,41 @@ def test_key_type_cast(ray_session):
     right = _ds(pd.DataFrame({"k": pd.Series([2, 3], dtype="int32"), "r": ["x", "y"]}))
     out = hash_join(left, right, on="k").to_pandas()
     assert list(map(tuple, out[["k", "l", "r"]].itertuples(index=False))) == [(2, "b", "x")]
+
+
+def test_global_topk_exact_with_ties(ray_session):
+    """Per-batch pruning is exact: equals a full sort, across many small
+    blocks and with duplicate sort values (tiebreaker column)."""
+    import numpy as np
+
+    from odinson_ray.stages.shuffle import global_topk
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"score": rng.integers(0, 50, 500), "id": np.arange(500)})
+    ds = _ds(df).repartition(20)
+    got = global_topk(ds, ["score", "id"], [True, False], 7).to_pandas()
+    want = df.sort_values(["score", "id"], ascending=[False, True]).head(7)
+    assert got[["score", "id"]].values.tolist() == want[["score", "id"]].values.tolist()
+
+
+def test_grouped_topk_hot_key(ray_session):
+    """A hot key spanning many batches still yields its exact global
+    top-k, and every group emits at most k rows."""
+    import numpy as np
+
+    from odinson_ray.stages.shuffle import grouped_topk
+
+    rng = np.random.default_rng(4)
+    key = np.where(rng.random(2000) < 0.6, 0, rng.integers(1, 30, 2000))
+    df = pd.DataFrame({"k": key.astype("int64"),
+                       "score": rng.integers(0, 1000, 2000),
+                       "id": np.arange(2000)})
+    ds = _ds(df).repartition(16)
+    got = (grouped_topk(ds, "k", ["score", "id"], [True, False], 3)
+           .to_pandas().sort_values(["k", "score", "id"], ascending=[True, False, True])
+           .reset_index(drop=True))
+    want = (df.sort_values(["score", "id"], ascending=[False, True])
+            .groupby("k").head(3)
+            .sort_values(["k", "score", "id"], ascending=[True, False, True])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "score", "id"]], want[["k", "score", "id"]])
