@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Tuple
 
 from ..common.normalize import normalize_unicode, normalize_unicode_aggressively
 from ..lang import ast
-from ..lang.lucene_regex import lucene_to_python
+from ..lang.lucene_regex import compile_lucene
 from ..lang.parser import INT_MAX, QueryParser
 from . import traversal as trav
 from .matches import (
@@ -83,7 +83,7 @@ class RegexTermQuery(Query):
 
     def __init__(self, field: str, pattern: str):
         self.field = field
-        self.regex = re.compile(lucene_to_python(pattern))
+        self.regex = compile_lucene(pattern)
         self._pred = lambda term, _m=self.regex.fullmatch: _m(term) is not None
 
     def matches(self, ctx):

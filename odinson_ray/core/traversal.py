@@ -13,7 +13,7 @@ import re
 from typing import List, Optional, Sequence, Tuple
 
 from ..common.normalize import normalize_unicode
-from ..lang.lucene_regex import lucene_to_python
+from ..lang.lucene_regex import compile_lucene
 
 
 class DirectedGraph:
@@ -55,7 +55,7 @@ class RegexLabelMatcher:
     __slots__ = ("regex",)
 
     def __init__(self, pattern: str):
-        self.regex = re.compile(lucene_to_python(normalize_unicode(pattern)))
+        self.regex = compile_lucene(normalize_unicode(pattern))
 
     def matches(self, label: str) -> bool:
         return self.regex.fullmatch(label) is not None

@@ -136,3 +136,73 @@ def test_translation_preserves_shared_subset(pattern, s):
     got = re.compile(lucene_to_python(pattern)).fullmatch(s) is not None
     want = re.compile(pattern).fullmatch(s) is not None
     assert got == want, (pattern, s)
+
+
+# ---------------------------------------------------- exact fallback (r3)
+# VERDICT r02 item 9: complement/intersection in NON-tail positions are
+# handled by the set-of-positions evaluator (compile_lucene falls back to
+# it when the re translation rejects a positional restriction).
+
+from odinson_ray.lang.lucene_regex import LuceneEval, compile_lucene
+
+
+def test_midpattern_complement_and_intersection():
+    cases = [
+        ("~(foo)bar", ["xbar", "bar", "foobarbar"], ["foobar"]),
+        ("a~(b)c", ["ac", "axc", "abbc"], ["abc"]),
+        ("(a&[ab])b", ["ab"], ["bb", "aab"]),
+        ("(ab&a.)c", ["abc"], ["axc", "ab"]),
+        ("(~(ab)&[a-z]*)x", ["ax", "zzx", "abax"], ["abx"]),
+        ("(a&b)c", [], ["ac", "bc", "c"]),   # empty intersection: nothing
+        ("x(~(y))z", ["xz", "xwz", "xyyz"], ["xyz"]),
+        ("(~(a))*b", ["b", "xb", "aab"], []),  # quantified complement
+    ]
+    for pat, yes, no in cases:
+        m = compile_lucene(pat)
+        assert isinstance(m, LuceneEval), pat  # re path must have rejected
+        for s in yes:
+            assert m.fullmatch(s), (pat, s)
+        for s in no:
+            assert not m.fullmatch(s), (pat, s)
+
+
+def test_fallback_still_rejects_syntax_errors():
+    for pat in ["a(", "a)", "[ab", "a{,2}", "a**b("]:
+        with pytest.raises(UnsupportedLuceneRegex):
+            compile_lucene(pat)
+
+
+def test_evaluator_agrees_with_translation_at_tail():
+    """Where the re translation IS exact (tail complement/intersection,
+    plain operators), the evaluator must produce identical verdicts."""
+    pats = ["ab~(c)", "abc&ab.", "~(foo)", "a*&@b", '"lit"x',
+            "[a-c]+&@b@", "<1-12>px", "a?b+c*", "(ab|cd){1,2}"]
+    strings = ["", "a", "ab", "abc", "abd", "foo", "fox", "litx",
+               "aab", "abb", "cab", "b", "7px", "0px", "abcd", "abab"]
+    for pat in pats:
+        fast = re.compile(lucene_to_python(pat))
+        ev = LuceneEval(pat)
+        for s in strings:
+            assert (fast.fullmatch(s) is not None) == bool(ev.fullmatch(s)), (pat, s)
+
+
+@given(pattern=_shared_pattern(), s=st.text(alphabet=_LIT + "xz", max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_evaluator_matches_python_re_on_shared_subset(pattern, s):
+    got = bool(LuceneEval(pattern).fullmatch(s))
+    want = re.compile(pattern).fullmatch(s) is not None
+    assert got == want, (pattern, s)
+
+
+def test_engine_token_regex_midpattern_complement():
+    """End to end: a token-regex matcher whose pattern needs the exact
+    fallback (complement mid-pattern) runs through the engine."""
+    from odinson_ray.core.matcher import Compiler, Ctx
+    from odinson_ray.core.selector import select_matches
+    from odinson_ray.core.sentence import SentenceIndex
+
+    toks = "xbar foobar bar foobarbar".split()
+    sent = SentenceIndex({"raw": toks})
+    q = Compiler().compile(r"/~(foo)bar/")
+    got = [toks[m.start] for m in select_matches(q.matches(Ctx(sent, 0, None)))]
+    assert got == ["xbar", "bar", "foobarbar"]
