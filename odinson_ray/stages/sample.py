@@ -61,16 +61,10 @@ def _embedding_matrix(t: pa.Table) -> np.ndarray:
     return flat.reshape(len(t), -1).astype(np.float64)
 
 
-def kmeans_assign(sf_dir: str, k: int = 8, refinements: int = 1):
-    """Distributed Lloyd k-means over the embeddings table; returns a
-    Dataset (vec_id, cluster) of the final assignment.
-
-    init: centroids = embeddings of vec_id 0..k-1. Each refinement:
-    vectorized argmin assignment per batch + per-cluster partial
-    (sum, count) rows; the driver merges only k-sized partials and
-    broadcasts the new centroids. Clusters that lose all members are
-    dropped (mirrors the SQL oracle exactly). Ties break toward the
-    lower cluster id."""
+def kmeans_centroids(sf_dir: str, k: int = 8, refinements: int = 1):
+    """Distributed Lloyd training only: returns (centroids, cluster_ids)
+    after ``refinements`` rounds (see kmeans_assign for the per-round
+    shape). Shared by kmeans_assign and the IVF ANN layout (stages/ann)."""
     import pyarrow.dataset as pads
     import ray
     import ray.data as rd
@@ -121,6 +115,29 @@ def kmeans_assign(sf_dir: str, k: int = 8, refinements: int = 1):
         order = np.argsort(new_ids)
         cluster_ids = [new_ids[i] for i in order]
         centroids = np.stack([new_centroids[i] for i in order])
+
+    return np.asarray(centroids), list(cluster_ids)
+
+
+def kmeans_assign(sf_dir: str, k: int = 8, refinements: int = 1):
+    """Distributed Lloyd k-means over the embeddings table; returns a
+    Dataset (vec_id, cluster) of the final assignment.
+
+    init: centroids = embeddings of vec_id 0..k-1. Each refinement:
+    vectorized argmin assignment per batch + per-cluster partial
+    (sum, count) rows; the driver merges only k-sized partials and
+    broadcasts the new centroids. Clusters that lose all members are
+    dropped (mirrors the SQL oracle exactly). Ties break toward the
+    lower cluster id."""
+    import ray
+    import ray.data as rd
+
+    from .link import get_broadcast
+
+    centroids, cluster_ids = kmeans_centroids(sf_dir, k, refinements)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
 
     ref = ray.put((np.asarray(centroids), list(cluster_ids)))
 

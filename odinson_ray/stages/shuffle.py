@@ -45,7 +45,8 @@ def as_arrow_schema(s) -> pa.Schema:
 def hash_join(left, right, on: str, right_on: str | None = None,
               how: str = "inner", right_suffix: str = "_r",
               left_schema: pa.Schema | None = None,
-              right_schema: pa.Schema | None = None):
+              right_schema: pa.Schema | None = None,
+              merge_post=None):
     """Distributed single-key hash join built on ``groupby().map_groups()``.
 
     Why not ``Dataset.join``: Ray 2.49's hash-shuffle join (a) crashes
@@ -63,6 +64,12 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     blocks), unioned, shuffled once by key, and cross-producted per key
     group. ``how`` is "inner" or "left_outer". Right payload columns that
     collide with left names get ``right_suffix``.
+
+    ``merge_post``: optional fn(pa.Table) -> pa.Table applied to each
+    key group's joined rows INSIDE the join reducer. Per-group
+    postprocessing (e.g. an ordered cumsum seeded by a joined offset)
+    would otherwise need its own groupby on the same key — a whole extra
+    all-to-all shuffle for rows that are already co-located here.
     """
     assert how in ("inner", "left_outer"), how
     right_on = right_on or on
@@ -138,7 +145,10 @@ def hash_join(left, right, on: str, right_on: str | None = None,
             out[c] = g["_l_" + c].take(lidx)
         for c in rpay:
             out[rout[c]] = g["_r_" + c].take(ridx)
-        return pa.Table.from_pydict(out)
+        joined = pa.Table.from_pydict(out)
+        if merge_post is not None and joined.num_rows:
+            joined = merge_post(joined)
+        return joined
 
     both = left.map_batches(proj_left, batch_format="pyarrow").union(
         right.map_batches(proj_right, batch_format="pyarrow")

@@ -13,7 +13,10 @@ operators here decompose per-key sequential semantics into a two-stage
 
 A key with 10^9 events over a month at 1-hour buckets contributes 720
 rows to stage 2. Correctness does not depend on bucket width — only the
-skew bound does.
+skew bound does. Tune ``bucket_s`` so a typical key has at least tens of
+rows per bucket: buckets finer than the per-key event density add
+(key, bucket) groups — and their per-group task overhead — without
+improving the skew bound.
 
 The reference has no streaming layer (its unit of work is one document);
 these cover the stream-shaped reference-adjacent ops SURVEY §2.9 claims.
@@ -22,9 +25,10 @@ these cover the stream-shaped reference-adjacent ops SURVEY §2.9 claims.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .shuffle import as_arrow_schema
 
 
 def _with_bucket(t: pa.Table, ts: str, bucket_s: int) -> pa.Table:
@@ -95,54 +99,93 @@ def running_total(ds, key: str = "user_id", ts: str = "ts",
 
     Rounding happens AFTER the offset add (sums are exact up to float
     association, matching the single-group cumsum).
-    """
-    from ray.data.aggregate import Sum
 
+    Shuffle budget (the r3 fix for a 9x bench regression of the first
+    version): ONE full-event-stream shuffle (the offset join) plus one
+    SMALL shuffle of per-batch-collapsed partial rows. Per-batch
+    collapse emits <= one (key, bucket, partial sum) row per batch, a
+    single groupby(key) over those partials computes each bucket's
+    exclusive-prefix-sum offset (no separate (key, bucket) aggregate
+    round), and the seeded cumsum runs INSIDE the join reducer via
+    merge_post — the first version's trailing groupby("_jk")
+    re-shuffled the entire joined event stream a second time for rows
+    that were already co-located. Integer keys use an int64 composite
+    join key (key * 2^22 + day-index) instead of a "key|bucket" string:
+    the union shuffle sorts 8-byte ints, not strings.
+    """
     from .shuffle import hash_join
+
+    key_t = as_arrow_schema(ds.schema()).field(key).type
+    int_key = pa.types.is_integer(key_t)
+    # day-index < 2^22 covers timestamps to year ~13000; the int
+    # composite is collision-free for |key| < 2^40
+    _SHIFT = 1 << 22
+
+    def _jk_of(keys: pa.ChunkedArray, buckets) -> pa.Array:
+        if int_key:
+            day = pc.divide(buckets, bucket_s)
+            return pc.add(pc.multiply(pc.cast(keys, pa.int64()), _SHIFT),
+                          pc.cast(day, pa.int64()))
+        return pc.binary_join_element_wise(
+            pc.cast(keys, pa.string()), pc.cast(buckets, pa.string()), "|")
+
+    jk_type = pa.int64() if int_key else pa.string()
 
     def add_jk(t: pa.Table) -> pa.Table:
         t = _with_bucket(t, ts, bucket_s)
-        jk = pc.binary_join_element_wise(
-            pc.cast(t[key], pa.string()), pc.cast(t["_bucket"], pa.string()), "|")
-        return t.append_column("_jk", jk)
+        return t.append_column("_jk", _jk_of(t[key], t["_bucket"]))
 
-    # offsets path: combiner-pre-aggregated bucket sums (each block
-    # collapses to <= one row per (key, bucket) before the shuffle), then
-    # an exclusive prefix-sum per key over O(#buckets) rows.
-    bsums = (
-        ds.map_batches(add_jk, batch_format="pyarrow")
-        .map_batches(lambda t: t.select([key, "_bucket", value]), batch_format="pyarrow")
-        .groupby([key, "_bucket"])
-        .aggregate(Sum(value, alias_name="_bsum"))
-    )
+    # offsets path: per-batch collapse to <= one (key, bucket, partial
+    # sum) row per batch BEFORE the shuffle; ONE groupby(key) merges the
+    # partials (O(batches-touched) rows per key, never event rows) and
+    # computes the exclusive prefix-sum offsets for all buckets at once.
+    def batch_bsums(t: pa.Table) -> pa.Table:
+        g = (
+            _with_bucket(t.select([key, ts, value]), ts, bucket_s)
+            .select([key, "_bucket", value])
+            .group_by([key, "_bucket"])
+            .aggregate([(value, "sum")])
+        )
+        return g.rename_columns([key, "_bucket", "_ps"])
 
     def offsets(g: pa.Table) -> pa.Table:
-        order_idx = pc.sort_indices(g["_bucket"])
-        s = g["_bsum"].take(order_idx).to_numpy(zero_copy_only=False)
-        off = np.concatenate([[0.0], np.cumsum(s)[:-1]])
-        jk = pc.binary_join_element_wise(
-            pc.cast(g[key].take(order_idx), pa.string()),
-            pc.cast(g["_bucket"].take(order_idx), pa.string()), "|")
+        b = g["_bucket"].to_numpy(zero_copy_only=False)
+        s = g["_ps"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        sums = np.zeros(len(ub))
+        np.add.at(sums, inv, s)
+        off = np.concatenate([[0.0], np.cumsum(sums)[:-1]])
+        keys = pa.array([g[key][0].as_py()] * len(ub), type=g.schema.field(key).type)
+        jk = _jk_of(keys, pa.array(ub, pa.int64()))
         return pa.table({"_jk": jk, "_offset": pa.array(off, pa.float64())})
 
-    offs = bsums.groupby(key).map_groups(offsets, batch_format="pyarrow")
-
-    # event path: join each event's bucket offset on the fine-grained
-    # (key|bucket) composite key, then a seeded cumsum per (key, bucket)
-    # group — no task ever holds more than one bucket of one key.
-    ev = ds.map_batches(add_jk, batch_format="pyarrow").map_batches(
-        lambda t: t.select([order, key, ts, value, "_jk"]), batch_format="pyarrow")
-    joined = hash_join(
-        ev, offs, on="_jk",
-        left_schema=pa.schema([(order, pa.int64()), (key, pa.int64()),
-                               (ts, pa.timestamp("us")), (value, pa.float64()),
-                               ("_jk", pa.string())]),
-        right_schema=pa.schema([("_jk", pa.string()), ("_offset", pa.float64())]),
+    offs = (
+        ds.map_batches(batch_bsums, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(offsets, batch_format="pyarrow")
     )
 
-    def seeded(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, order], kind="mergesort")
-        run = (g[value].cumsum() + g["_offset"]).round(ndigits)
-        return pd.DataFrame({order: g[order], key: g[key], out: run})
+    # event path: join each event's bucket offset on the fine-grained
+    # (key, bucket) composite key; the seeded within-bucket cumsum runs in
+    # the join reducer (merge_post) — no task ever holds more than one
+    # bucket of one key, and the joined rows are never re-shuffled.
+    ev = ds.map_batches(add_jk, batch_format="pyarrow").map_batches(
+        lambda t: t.select([order, key, ts, value, "_jk"]), batch_format="pyarrow")
 
-    return joined.groupby("_jk").map_groups(seeded, batch_format="pandas")
+    def seeded(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(ts, "ascending"), (order, "ascending")])
+        g = g.take(idx)
+        vals = g[value].to_numpy(zero_copy_only=False)
+        off = g["_offset"].to_numpy(zero_copy_only=False)
+        run = np.round(np.cumsum(vals) + off, ndigits)
+        return pa.table({order: g[order], key: g[key],
+                         out: pa.array(run, pa.float64())})
+
+    return hash_join(
+        ev, offs, on="_jk",
+        left_schema=pa.schema([(order, pa.int64()), (key, key_t),
+                               (ts, pa.timestamp("us")), (value, pa.float64()),
+                               ("_jk", jk_type)]),
+        right_schema=pa.schema([("_jk", jk_type), ("_offset", pa.float64())]),
+        merge_post=seeded,
+    )
