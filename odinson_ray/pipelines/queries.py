@@ -1017,6 +1017,16 @@ def q_ann_lsh_topk(sf_dir: str):
     return lsh_topk(sf_dir, _query_vec(sf_dir), k=10)
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate top-k: lists are Voronoi cells of
+    distributed-k-means centroids (stages/ann.py build_ivf_layout);
+    queries probe only the nprobe nearest lists. No SQL oracle —
+    rows-only driver check; recall vs brute force asserted in pytest."""
+    from odinson_ray.stages.ann import ivf_topk
+
+    return ivf_topk(sf_dir, _query_vec(sf_dir), k=10)
+
+
 def q_odinson_svo_filtered(sf_dir: str):
     """SVO events gated by a metadata filter (lang == 'en'): the reference's
     parent-document metadata filtering as a vectorized per-doc predicate."""
@@ -1085,6 +1095,7 @@ QUERIES.update(
         "langid": q_langid,
         "media_features": q_media_features,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "odinson_svo_filtered": q_odinson_svo_filtered,
     }
 )

@@ -56,11 +56,15 @@ def bucket_of(vecs: np.ndarray, n_planes: int = N_PLANES) -> np.ndarray:
 
 
 def _make_scorer(qref):
-    """map_batches fn: cosine against the broadcast unit query vector."""
+    """map_batches fn: cosine against the broadcast unit query vector.
+
+    get_broadcast is imported HERE (driver side) and captured by closure:
+    an import inside ``score`` would execute in the worker, where
+    ``odinson_ray`` is only available by value (not importable when the
+    driver runs from another cwd)."""
+    from .link import get_broadcast
 
     def score(t: pa.Table) -> pa.Table:
-        from .link import get_broadcast
-
         qv = get_broadcast(qref)
         mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
@@ -171,9 +175,18 @@ def build_bucket_layout(sf_dir: str, n_planes: "int | None" = None) -> str:
         }
     with open(os.path.join(tmp, "_meta.json"), "w") as fh:
         json.dump({"n_planes": n_planes, "buckets": buckets}, fh)
-    # publish: another builder may have finished while we built — never
-    # delete a COMPLETE layout (ADVICE r02); only ever rmtree one that
-    # lacks _SUCCESS (a dead builder's debris)
+    return _atomic_publish(tmp, out)
+
+
+def _atomic_publish(tmp: str, out: str) -> str:
+    """Publish a fully-built layout dir: another builder may have
+    finished while we built — never delete a COMPLETE layout (ADVICE
+    r02); only ever rmtree one that lacks _SUCCESS (a dead builder's
+    debris). The publish-race loser waits for the winner's _SUCCESS so
+    callers never observe a published-but-unmarked layout."""
+    import time
+
+    success = os.path.join(out, "_SUCCESS")
     if os.path.exists(success):
         shutil.rmtree(tmp, ignore_errors=True)
         return out
@@ -182,8 +195,6 @@ def build_bucket_layout(sf_dir: str, n_planes: "int | None" = None) -> str:
     try:
         os.replace(tmp, out)
     except OSError:
-        # another builder won the publish race; wait for its _SUCCESS so
-        # callers never observe a published-but-unmarked layout
         shutil.rmtree(tmp, ignore_errors=True)
         for _ in range(100):
             if os.path.exists(success):
@@ -233,6 +244,132 @@ def lsh_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10, probes: int = 6):
                       "score": pa.array([], pa.float64())})
         )
     qref = ray.put(qn)
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    return ds.map_batches(_make_scorer(qref), batch_format="pyarrow").sort(
+        ["score", "vec_id"], descending=[True, False]
+    ).limit(k)
+
+
+# ------------------------------------------------------------------- IVF
+# The k-means-bucketed ANN variant (the classic IVF-flat layout): lists
+# are Voronoi cells of distributed-Lloyd centroids (stages/sample.py)
+# rather than random hyperplane sign buckets. Same layout discipline as
+# LSH: built once per corpus version, atomic publish, manifest-resolved
+# probe partitions, per-query cost = sum of probed list sizes.
+
+N_LISTS_MIN = 8
+N_LISTS_MAX = 4096
+
+
+def lists_for_rows(n_rows: int) -> int:
+    """Corpus-proportional list count: ~rows/target-list-size, clamped."""
+    import math
+
+    if n_rows <= 0:
+        return N_LISTS_MIN
+    return max(N_LISTS_MIN, min(N_LISTS_MAX,
+                                math.ceil(n_rows / TARGET_BUCKET_ROWS)))
+
+
+def _ivf_layout_dir(sf_dir: str, n_lists: int, refinements: int) -> str:
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"ivf:{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+        f":{n_lists}:{refinements}:v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(_ANN_CACHE_ROOT, key)
+
+
+def build_ivf_layout(sf_dir: str, n_lists: "int | None" = None,
+                     refinements: int = 2) -> str:
+    """Write the embedding table ONCE as parquet partitioned by nearest
+    k-means centroid (hive layout ``list=NN/``) with a manifest
+    (_meta.json: centroids + per-list file list/row count). Training is
+    the distributed Lloyd loop from stages/sample.py (broadcast
+    centroids, per-batch vectorized argmin, driver merges only k-sized
+    partials); assignment + write is one corpus-parallel pass."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .link import get_broadcast
+    from .sample import _embedding_matrix, kmeans_centroids
+
+    if n_lists is None:
+        n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+        n_lists = lists_for_rows(n_rows)
+    out = _ivf_layout_dir(sf_dir, n_lists, refinements)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    _require_shared_root()
+    import tempfile
+
+    os.makedirs(_ANN_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".tmp.", dir=_ANN_CACHE_ROOT)
+
+    C, ids = kmeans_centroids(sf_dir, n_lists, refinements)
+    ref = ray.put((C, list(ids)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cb, idsb = get_broadcast(ref)
+        emb = _embedding_matrix(t)
+        d2 = ((emb[:, None, :] - Cb[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        return t.append_column(
+            "list", pa.array([idsb[i] for i in a], pa.int64()))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["list"])
+    lists = {}
+    for d in sorted(os.listdir(tmp)):  # build-time listing only
+        if not d.startswith("list="):
+            continue
+        ldir = os.path.join(tmp, d)
+        files = sorted(f for f in os.listdir(ldir) if f.endswith(".parquet"))
+        rows = sum(pq.read_metadata(os.path.join(ldir, f)).num_rows for f in files)
+        lists[d.split("=", 1)[1]] = {"files": [f"{d}/{f}" for f in files],
+                                     "rows": rows}
+    with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+        json.dump({"n_lists": n_lists, "refinements": refinements,
+                   "centroids": C.tolist(), "centroid_ids": list(ids),
+                   "lists": lists}, fh)
+    return _atomic_publish(tmp, out)
+
+
+def ivf_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10, nprobe: int = 4):
+    """Approximate cosine top-k over the IVF layout: probe the ``nprobe``
+    lists whose centroids are nearest the query (same L2 geometry as the
+    assignment), score only those partitions, distributed sort/limit.
+    Returns a Dataset (vec_id, score)."""
+    import json
+
+    import ray
+    import ray.data as rd
+
+    layout = build_ivf_layout(sf_dir)
+    with open(os.path.join(layout, "_meta.json")) as fh:
+        meta = json.load(fh)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    ids = meta["centroid_ids"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((C - q[None, :]) ** 2).sum(axis=1)
+    probe = [ids[i] for i in np.argsort(d2, kind="stable")[:nprobe]]
+    paths = [
+        os.path.join(layout, rel)
+        for b in probe
+        for rel in meta["lists"].get(str(b), {}).get("files", [])
+    ]
+    if not paths:
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+        )
+    qref = ray.put(q / np.linalg.norm(q))
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
     return ds.map_batches(_make_scorer(qref), batch_format="pyarrow").sort(
         ["score", "vec_id"], descending=[True, False]

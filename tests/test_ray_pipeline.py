@@ -331,3 +331,40 @@ def test_triples_checkpoint_resume(sf_dir, tmp_path):
         ckpted.sort_values(key).reset_index(drop=True),
         again.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_ann_ivf_recall(sf_dir):
+    """IVF-flat (k-means-bucketed) ANN: query's own vector is always in
+    the probed nearest list; recall vs brute force beyond that on random
+    embeddings comes from scanning nprobe/n_lists of the corpus."""
+    from odinson_ray.stages.ann import brute_force_topk, ivf_topk
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(emb[emb.vec_id == 0].iloc[0].embedding, dtype=np.float64)
+    exact = set(brute_force_topk(sf_dir, q, k=10).to_pandas().vec_id)
+    approx = set(ivf_topk(sf_dir, q, k=10).to_pandas().vec_id)
+    assert 0 in approx
+    assert len(approx) == 10
+    assert len(exact & approx) >= 2
+
+
+def test_ann_ivf_never_lists_layout_dir(sf_dir, monkeypatch):
+    """IVF probe discovery resolves from the build-time manifest, like
+    LSH: no listdir of the published layout at query time."""
+    import os as _os
+
+    from odinson_ray.stages import ann
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(emb[emb.vec_id == 0].iloc[0].embedding, dtype=np.float64)
+    layout = ann.build_ivf_layout(sf_dir)  # idempotent pre-build
+    real_listdir = _os.listdir
+
+    def guarded(path="."):
+        if str(path).startswith(layout):
+            raise AssertionError(f"listdir on published layout: {path}")
+        return real_listdir(path)
+
+    monkeypatch.setattr(_os, "listdir", guarded)
+    got = ann.ivf_topk(sf_dir, q, k=10).to_pandas()
+    assert len(got) == 10
