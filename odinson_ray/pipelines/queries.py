@@ -1602,3 +1602,61 @@ GROUP BY event_type, window_start
 
 QUERIES["sliding_window"] = q_sliding_window
 ORACLES["sliding_window"] = ORACLE_SLIDING_WINDOW
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Customers with no order above 300k — distributed ANTI join
+    (stages/shuffle.hash_join how='anti': left rows whose key group has
+    no right rows; NOT EXISTS semantics). The right side is filtered and
+    projected to its key column only before the shuffle."""
+    rd = _rd()
+    from odinson_ray.stages.shuffle import hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        cust, big, on="c_custkey", right_on="o_custkey", how="anti",
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+    )
+
+
+ORACLE_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+def q_customers_with_orders(sf_dir: str):
+    """Customers with >= 1 order — distributed SEMI join (each left row
+    emitted once, no cross product, left columns only)."""
+    rd = _rd()
+    from odinson_ray.stages.shuffle import hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", how="semi",
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+    )
+
+
+ORACLE_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+QUERIES["customers_no_orders"] = q_customers_no_orders
+ORACLES["customers_no_orders"] = ORACLE_CUSTOMERS_NO_ORDERS
+QUERIES["customers_with_orders"] = q_customers_with_orders
+ORACLES["customers_with_orders"] = ORACLE_CUSTOMERS_WITH_ORDERS

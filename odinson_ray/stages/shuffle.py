@@ -62,8 +62,12 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     Both sides are projected to one common schema (other side's columns
     null-filled WITH EXPLICIT ARROW TYPES, so schemas unify across
     blocks), unioned, shuffled once by key, and cross-producted per key
-    group. ``how`` is "inner" or "left_outer". Right payload columns that
-    collide with left names get ``right_suffix``.
+    group. ``how`` is "inner", "left_outer", "semi" or "anti" — semi
+    emits each left row with >= 1 right match ONCE (left columns only,
+    no cross product), anti emits left rows with NO right match
+    (NOT EXISTS semantics: null-key left rows never match, so anti
+    emits them). Right payload columns that collide with left names get
+    ``right_suffix``.
 
     ``merge_post``: optional fn(pa.Table) -> pa.Table applied to each
     key group's joined rows INSIDE the join reducer. Per-group
@@ -71,7 +75,7 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     would otherwise need its own groupby on the same key — a whole extra
     all-to-all shuffle for rows that are already co-located here.
     """
-    assert how in ("inner", "left_outer"), how
+    assert how in ("inner", "left_outer", "semi", "anti"), how
     right_on = right_on or on
     # pass schemas explicitly when known: Dataset.schema() on a lazy
     # pipeline with a wide op executes it once just to sample the schema
@@ -123,6 +127,15 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         ri = np.flatnonzero(side == 1)
         if g.num_rows and not g["_k"][0].is_valid:
             ri = ri[:0]  # NULL keys never match
+        if how in ("semi", "anti"):
+            lidx = li if bool(ri.size) == (how == "semi") else li[:0]
+            out = {on: g["_k"].take(lidx)}
+            for c in lpay:
+                out[c] = g["_l_" + c].take(lidx)
+            joined = pa.Table.from_pydict(out)
+            if merge_post is not None and joined.num_rows:
+                joined = merge_post(joined)
+            return joined
         if li.size == 0 or ri.size == 0:
             if how == "inner" or li.size == 0:
                 lidx = li[:0]

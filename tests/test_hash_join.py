@@ -96,3 +96,17 @@ def test_grouped_topk_hot_key(ray_session):
             .sort_values(["k", "score", "id"], ascending=[True, False, True])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got[["k", "score", "id"]], want[["k", "score", "id"]])
+
+
+def test_semi_and_anti_join(ray_session):
+    from odinson_ray.stages.shuffle import hash_join
+
+    left = _ds(pd.DataFrame({"k": [1, 2, 3, None], "l": ["a", "b", "c", "d"]}))
+    right = _ds(pd.DataFrame({"k": [2.0, 2.0, 4.0, None], "r": ["x", "y", "z", "w"]}))
+    semi = hash_join(left, right, on="k", how="semi").to_pandas()
+    # each matching left row ONCE (no cross product), left cols only
+    assert list(semi.columns) == ["k", "l"]
+    assert sorted(semi.l) == ["b"]
+    anti = hash_join(left, right, on="k", how="anti").to_pandas()
+    # NOT EXISTS: null-key left rows never match -> emitted
+    assert sorted(anti.l) == ["a", "c", "d"]
