@@ -455,9 +455,12 @@ def q_ann_topk(sf_dir: str):
         )
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ds.map_batches(score, batch_format="pyarrow").sort(
-        ["score", "vec_id"], descending=[True, False]
-    ).limit(10)
+    from odinson_ray.stages.shuffle import global_topk
+
+    return global_topk(
+        ds.map_batches(score, batch_format="pyarrow"),
+        ["score", "vec_id"], [True, False], 10,
+    )
 
 
 ORACLE_ANN_TOPK = """

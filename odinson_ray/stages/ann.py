@@ -84,9 +84,12 @@ def brute_force_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10):
     q = np.asarray(query_vec, dtype=np.float64)
     qref = ray.put(q / np.linalg.norm(q))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ds.map_batches(_make_scorer(qref), batch_format="pyarrow").sort(
-        ["score", "vec_id"], descending=[True, False]
-    ).limit(k)
+    from .shuffle import global_topk
+
+    return global_topk(
+        ds.map_batches(_make_scorer(qref), batch_format="pyarrow"),
+        ["score", "vec_id"], [True, False], k,
+    )
 
 
 def add_bucket_batch(batch: pa.Table, n_planes: int = N_PLANES) -> pa.Table:
@@ -245,9 +248,12 @@ def lsh_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10, probes: int = 6):
         )
     qref = ray.put(qn)
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
-    return ds.map_batches(_make_scorer(qref), batch_format="pyarrow").sort(
-        ["score", "vec_id"], descending=[True, False]
-    ).limit(k)
+    from .shuffle import global_topk
+
+    return global_topk(
+        ds.map_batches(_make_scorer(qref), batch_format="pyarrow"),
+        ["score", "vec_id"], [True, False], k,
+    )
 
 
 # ------------------------------------------------------------------- IVF
@@ -371,6 +377,9 @@ def ivf_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10, nprobe: int = 4):
         )
     qref = ray.put(q / np.linalg.norm(q))
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
-    return ds.map_batches(_make_scorer(qref), batch_format="pyarrow").sort(
-        ["score", "vec_id"], descending=[True, False]
-    ).limit(k)
+    from .shuffle import global_topk
+
+    return global_topk(
+        ds.map_batches(_make_scorer(qref), batch_format="pyarrow"),
+        ["score", "vec_id"], [True, False], k,
+    )
