@@ -106,12 +106,13 @@ def build_interleaved(batch: pa.Table) -> pa.Table:
 
 
 def read_interleaved(sf_dir: str, columns=None):
-    """read_parquet(documents) -> interleaved Dataset (column-pruned read)."""
-    import ray.data as rd
+    """documents table -> interleaved Dataset (column-pruned read).
+    Reads documents.lance when present, else documents.parquet
+    (sources/io.py format dispatch)."""
+    from .io import documents_path, read_table
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
-    )
+    ds = read_table(documents_path(sf_dir),
+                    columns=["doc_id", "text", "lang", "source"])
     return ds.map_batches(build_interleaved, batch_format="pyarrow")
 
 
