@@ -108,9 +108,10 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     # lo/hi comparison measures scaling, not pool-fraction differences,
     # and the driver/raylet/consumer keep headroom
     matcher_pool = max(2, round(num_cpus * 3 / 4))
+    # raw docs feed the pool directly: interleaving runs in-actor (no
+    # nested spans column on the read->pool object-store hop)
     mentions = (
-        docs.map_batches(build_interleaved, batch_format="pyarrow")
-        .map_batches(
+        docs.map_batches(
             GrammarMatcher,
             fn_constructor_args=(FLAGSHIP_RULES,),
             batch_format="pyarrow",

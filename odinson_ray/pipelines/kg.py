@@ -48,12 +48,16 @@ rules:
 
 def mentions_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
                      concurrency: int = 4, batch_size: int = 256):
-    # annotation runs inline inside the matcher actors (deterministic
-    # annotator): no nested-annotation Arrow column ships through the
-    # object store. Pre-annotated corpora can insert annotate_batch here.
+    # annotation AND span interleaving run inline inside the matcher
+    # actors (deterministic annotator): neither the nested-annotation nor
+    # the nested-spans Arrow column ships through the object store — the
+    # pool reads the flat raw documents table. Pre-annotated corpora can
+    # insert annotate_batch / build_interleaved stages here instead.
+    from ..sources.io import documents_path, read_table
     from ..stages.match import clamp_pool
 
-    docs = read_interleaved(sf_dir)
+    docs = read_table(documents_path(sf_dir),
+                      columns=["doc_id", "text", "lang", "source"])
     return docs.map_batches(
         GrammarMatcher,
         fn_constructor_args=(rules_yaml,),

@@ -22,6 +22,7 @@ import pyarrow as pa
 from ..core.engine import DocumentEngine
 from ..core.sentence import AnnotatedDocument, SentenceIndex
 from ..lang.rules import RuleReader
+from ..sources.interleaved import build_interleaved
 from ..sources.odinson_json import fields_to_metadata
 from .annotate import annotate_sentence, annotate_texts_vectorized, annotate_tokens_fast
 
@@ -127,6 +128,17 @@ class GrammarMatcher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if "spans" not in batch.column_names and "text" in batch.column_names:
+            # raw documents table: interleave INSIDE the actor. A separate
+            # map_batches(build_interleaved) stage ships the whole corpus's
+            # nested list<struct> spans column through the object store
+            # into the pool; fusing it here keeps only the flat raw table
+            # on that hop (measured: the r3 scaling droop at 12 actors was
+            # this serialization, not compute — the no-Ray control shows
+            # zero per-process slowdown at 12 procs). build_interleaved is
+            # imported at module level: a lazy import here would execute
+            # inside workers, where the package is by-value only.
+            batch = build_interleaved(batch)
         doc_ids = batch["doc_id"].to_pylist()
         if "sentences" in batch.column_names:
             sentences_col = batch["sentences"].to_pylist()
