@@ -38,8 +38,16 @@ def test_connected_components_matches_union_find(ray_session):
     ds = rd.from_pandas(
         pd.DataFrame({"a": [e[0] for e in edges], "b": [e[1] for e in edges]})
     )
-    got_df = connected_components(ds).to_pandas()
+    # distributed propagation path (forced) and the adaptive small-graph
+    # driver path (default: 6 edges is far under the gate) must both equal
+    # the exact union-find
+    stats = {}
+    got_df = connected_components(ds, small_graph_threshold=0, stats=stats).to_pandas()
     got = dict(zip(got_df.node, got_df.root))
+    assert stats["rounds"] >= 1  # really took the distributed path
+    fast_stats = {}
+    fast_df = connected_components(ds, stats=fast_stats).to_pandas()
+    assert fast_stats["rounds"] == 0  # really took the driver path
 
     uf = UnionFind()
     keys = set()
@@ -49,6 +57,7 @@ def test_connected_components_matches_union_find(ray_session):
         uf.union(ka, kb)
     expect = {k: uf.find(k) for k in keys}
     assert got == expect
+    assert dict(zip(fast_df.node, fast_df.root)) == expect
 
 
 def test_canonicalize_with_edges_zipfian_skew(ray_session):
@@ -89,8 +98,10 @@ def test_connected_components_long_chain_log_rounds(ray_session):
     nodes = [f"n{i:03d}" for i in range(n)]
     df = pd.DataFrame({"a": nodes[:-1], "b": nodes[1:]})
     stats = {}
-    got = connected_components(rd.from_pandas(df), stats=stats).to_pandas()
-    assert stats["rounds"] <= 9, stats
+    got = connected_components(
+        rd.from_pandas(df), stats=stats, small_graph_threshold=0
+    ).to_pandas()
+    assert 1 <= stats["rounds"] <= 9, stats
     assert set(got.root) == {"n000"}
     assert len(got) == n
 
@@ -106,7 +117,9 @@ def test_connected_components_disk_checkpoint(ray_session, tmp_path):
     ds = rd.from_pandas(
         pd.DataFrame({"a": [e[0] for e in edges], "b": [e[1] for e in edges]})
     )
-    got = connected_components(ds, checkpoint_dir=str(tmp_path)).to_pandas()
+    got = connected_components(
+        ds, checkpoint_dir=str(tmp_path), small_graph_threshold=0
+    ).to_pandas()
     assert dict(zip(got.node, got.root)) == {
         "aaa": "aaa", "bbb": "aaa", "ccc": "aaa", "xxx": "xxx", "yyy": "xxx",
     }

@@ -93,6 +93,13 @@ def test_minhash_matches_exact_jaccard(sf_dir):
                 exact.append((min(a, b), max(a, b)))
     got = {(min(r.a_id, r.b_id), max(r.a_id, r.b_id)) for r in pairs.itertuples()}
     assert got == set(exact)
+    # the distributed hash-join verify path (forced: broadcast gate 0)
+    # must return the identical pair set
+    joined = minhash_lsh_pairs(
+        sf_dir, threshold=0.9, broadcast_docs_threshold=0
+    ).to_pandas()
+    got_j = {(min(r.a_id, r.b_id), max(r.a_id, r.b_id)) for r in joined.itertuples()}
+    assert got_j == got
 
 
 def test_simhash_finds_near_dups(sf_dir):
