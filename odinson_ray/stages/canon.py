@@ -80,14 +80,19 @@ def canonicalize_dataset(ds, columns=("subj", "obj"), extra_edges=()):
     mapping_ref = ray.put(roots)
 
     def apply_canon(batch: pa.Table) -> pa.Table:
+        from .link import map_unique_strings
+
         m = get_broadcast(mapping_ref)
+
+        def one(s: str) -> str:
+            k = canon_key(s)
+            return "ent:" + m.get(k, k)
+
         for col in columns:
             if col in batch.column_names:
-                vals = []
-                for s in batch[col].to_pylist():
-                    k = canon_key(s)
-                    vals.append("ent:" + m.get(k, k))
-                batch = batch.append_column(col + "_canon", pa.array(vals, pa.string()))
+                batch = batch.append_column(
+                    col + "_canon", map_unique_strings(batch[col], one)
+                )
         return batch
 
     # stateless fn: fuses with neighbors, reserves no actor CPUs
@@ -325,8 +330,11 @@ def canonicalize_with_edges_dataset(ds, edges_ds, columns=("subj", "obj"),
     out = ds
     for col in columns:
         def add_key(t: pa.Table, col=col) -> pa.Table:
-            keys = [canon_key(s) for s in t[col].to_pylist()]
-            return t.append_column("_key_" + col, pa.array(keys, pa.string()))
+            from .link import map_unique_strings
+
+            return t.append_column(
+                "_key_" + col, map_unique_strings(t[col], canon_key)
+            )
 
         out = out.map_batches(add_key, batch_format="pyarrow")
         keyed_schema = cur_schema.append(pa.field("_key_" + col, pa.string()))

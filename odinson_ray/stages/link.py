@@ -54,6 +54,20 @@ def link_surface(surface: str, alias_table: Dict[str, List[Tuple[str, float]]],
     return max(candidates, key=lambda c: (c[1], c[0]))[0]
 
 
+def map_unique_strings(col, fn) -> pa.Array:
+    """Apply a per-string Python fn to a string column with the fn running
+    once per UNIQUE value: ``dictionary_encode`` (C++) factors the column
+    into (indices, uniques), fn maps the uniques, ``take`` gathers back.
+    Entity surfaces repeat massively in mention streams, so this turns an
+    O(rows) Python loop into O(uniques) — the measured flagship downstream
+    chain (canon + link) dropped severalfold with it. Null rows stay null."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    vals = [fn(s) for s in d.dictionary.to_pylist()]
+    return pa.array(vals, pa.string()).take(d.indices)
+
+
 # per-worker cache for broadcast objects fetched from the object store; a
 # stateless map task resolves the ref once per worker process instead of
 # reserving an actor slot (actor pools that cover every CPU starve the
@@ -80,9 +94,10 @@ def make_linker(alias_table_ref, columns=("subj", "obj"), suffix="_ent"):
     def link_batch(batch: pa.Table) -> pa.Table:
         alias_table = get_broadcast(alias_table_ref)
         for col in columns:
-            surfaces = batch[col].to_pylist()
-            linked = [link_surface(s, alias_table) for s in surfaces]
-            batch = batch.append_column(col + suffix, pa.array(linked, pa.string()))
+            linked = map_unique_strings(
+                batch[col], lambda s: link_surface(s, alias_table)
+            )
+            batch = batch.append_column(col + suffix, linked)
         return batch
 
     return link_batch
@@ -98,7 +113,8 @@ class EntityLinker:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         for col in self.columns:
-            surfaces = batch[col].to_pylist()
-            linked = [link_surface(s, self.alias_table) for s in surfaces]
-            batch = batch.append_column(col + "_ent", pa.array(linked, pa.string()))
+            linked = map_unique_strings(
+                batch[col], lambda s: link_surface(s, self.alias_table)
+            )
+            batch = batch.append_column(col + "_ent", linked)
         return batch
