@@ -1663,3 +1663,168 @@ QUERIES["customers_no_orders"] = q_customers_no_orders
 ORACLES["customers_no_orders"] = ORACLE_CUSTOMERS_NO_ORDERS
 QUERIES["customers_with_orders"] = q_customers_with_orders
 ORACLES["customers_with_orders"] = ORACLE_CUSTOMERS_WITH_ORDERS
+
+
+# ============================================================= graph analytics
+
+def q_kg_entity_degrees(sf_dir: str):
+    """Graph-materialize analytics over the flagship triple table: per
+    canonical entity, weighted out-degree (as subject) and in-degree (as
+    object). Combiner discipline: the triple table is already aggregated;
+    the degree expansion emits two rows per triple and one groupby sums."""
+    from ray.data.aggregate import Sum
+
+    from .kg import triples_dataset
+
+    ds = triples_dataset(sf_dir)
+
+    def expand(t: pa.Table) -> pa.Table:
+        zeros = pa.array(np.zeros(len(t), dtype=np.int64))
+        a = pa.table({"entity": t["subj_canon"], "out_n": t["n"], "in_n": zeros})
+        b = pa.table({"entity": t["obj_canon"], "out_n": zeros, "in_n": t["n"]})
+        return pa.concat_tables([a, b])
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("entity")
+        .aggregate(Sum("out_n", alias_name="out_n"), Sum("in_n", alias_name="in_n"))
+    )
+
+
+_KG_TRIPLES_BODY = ORACLE_KG_TRIPLES.strip().rstrip(";")
+
+ORACLE_KG_ENTITY_DEGREES = f"""
+WITH trip AS ({_KG_TRIPLES_BODY})
+SELECT entity, CAST(SUM(out_n) AS BIGINT) AS out_n,
+       CAST(SUM(in_n) AS BIGINT) AS in_n
+FROM (
+  SELECT subj_canon AS entity, n AS out_n, 0 AS in_n FROM trip
+  UNION ALL
+  SELECT obj_canon AS entity, 0 AS out_n, n AS in_n FROM trip
+)
+GROUP BY entity
+"""
+
+
+# ============================================================ quality filtering
+
+def q_quality_filter(sf_dir: str):
+    """Gopher-style rule-based document filter: keep docs with
+    20 <= n_tokens <= 90, 4 <= mean token length <= 12 and a
+    symbol-character ratio < 0.1 (bounds chosen to genuinely split the
+    synthetic corpus; ~20% of docs fail); returns the kept docs with their
+    metrics. Pure vectorized Arrow kernels (RE2 char class == DuckDB's)."""
+    rd = _rd()
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(toks).cast(pa.int64())
+        chars = pc.utf8_length(t["text"]).cast(pa.int64())
+        sym = pc.count_substring_regex(t["text"], "[^a-z0-9 ]").cast(pa.int64())
+        nf = n.cast(pa.float64())
+        mean_len = pc.divide(
+            pc.subtract(chars, pc.subtract(n, pa.scalar(1, pa.int64()))).cast(pa.float64()),
+            nf,
+        )
+        sym_ratio = pc.divide(sym.cast(pa.float64()), chars.cast(pa.float64()))
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(n, 20), pc.less_equal(n, 90)),
+                pc.and_(pc.greater_equal(mean_len, 4.0), pc.less_equal(mean_len, 12.0)),
+            ),
+            pc.and_(pc.less(sym_ratio, 0.1), pc.greater(chars, 0)),
+        )
+        out = pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": n,
+            "mean_tok_len": pc.round(mean_len, 6),
+            "symbol_ratio": pc.round(sym_ratio, 6),
+        })
+        return out.filter(keep)
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(f, batch_format="pyarrow")
+
+
+ORACLE_QUALITY_FILTER = """
+WITH m AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS chars,
+         length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS sym
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round((chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS mean_tok_len,
+       round(sym * 1.0 / chars, 6) AS symbol_ratio
+FROM m
+WHERE n_tokens BETWEEN 20 AND 90
+  AND (chars - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 4 AND 12
+  AND sym * 1.0 / chars < 0.1 AND chars > 0
+"""
+
+
+# =============================================================== n-gram counts
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus-wide bigram counts, top 50 by (count desc, bigram asc).
+    Combiner discipline: per-batch value_counts shrink the shuffle to one
+    row per distinct bigram per batch; global_topk prunes per batch before
+    the final distributed sort."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import global_topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten(), dtype=object)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        empty = pa.table({
+            "bigram": pa.array([], pa.string()),
+            "partial_n": pa.array([], pa.int64()),
+        })
+        if len(flat) == 0:
+            return empty
+        ends = np.cumsum(lens)
+        mask = np.ones(len(flat), dtype=bool)
+        mask[ends - 1] = False  # a doc's last token starts no bigram
+        li = np.flatnonzero(mask)
+        if len(li) == 0:
+            return empty
+        big = np.frompyfunc(lambda a, b: a + " " + b, 2, 1)(flat[li], flat[li + 1])
+        vc = pd.Series(big).value_counts()
+        return pa.table({
+            "bigram": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+            "partial_n": pa.array(vc.to_numpy(dtype=np.int64)),
+        })
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+    return global_topk(counts, ["n", "bigram"], [True, False], 50)
+
+
+ORACLE_TOP_BIGRAMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+)
+SELECT a.tok || ' ' || b.tok AS bigram, CAST(count(*) AS BIGINT) AS n
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50
+"""
+
+
+QUERIES["kg_entity_degrees"] = q_kg_entity_degrees
+ORACLES["kg_entity_degrees"] = ORACLE_KG_ENTITY_DEGREES
+QUERIES["quality_filter"] = q_quality_filter
+ORACLES["quality_filter"] = ORACLE_QUALITY_FILTER
+QUERIES["top_bigrams"] = q_top_bigrams
+ORACLES["top_bigrams"] = ORACLE_TOP_BIGRAMS
