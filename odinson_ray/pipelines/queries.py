@@ -1828,3 +1828,168 @@ QUERIES["quality_filter"] = q_quality_filter
 ORACLES["quality_filter"] = ORACLE_QUALITY_FILTER
 QUERIES["top_bigrams"] = q_top_bigrams
 ORACLES["top_bigrams"] = ORACLE_TOP_BIGRAMS
+
+
+# ================================================================= range join
+
+def q_range_join_clicks(sf_dir: str):
+    """Bucketed RANGE JOIN (a non-equi join Ray Data lacks natively): for
+    each 'error' event, the number of 'click' events in the preceding 5
+    minutes (exclusive lower bound, inclusive upper).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    bucket width == the window Δ. Each error lives in exactly ONE bucket;
+    each click replicates to its own and the NEXT bucket (factor 2 — the
+    standard range-join bucketing), so every qualifying (error, click)
+    pair co-locates exactly once, in the error's bucket. One shuffle, no
+    all-pairs blowup; within a group the count is two vectorized
+    searchsorted calls against the sorted click timestamps."""
+    rd = _rd()
+    DELTA_US = 5 * 60 * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        base = pa.table({
+            "ts": ts,
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+        errs = base.filter(pc.equal(base["event_type"], "error"))
+        clks = base.filter(pc.equal(base["event_type"], "click"))
+        e_bkt = pc.divide(errs["ts"], DELTA_US)
+        c_bkt = pc.divide(clks["ts"], DELTA_US)
+        null_ids = pa.nulls(len(clks), pa.int64())
+        out = [
+            pa.table({"bucket": e_bkt, "role": pa.array(["e"] * len(errs)),
+                      "event_id": errs["event_id"], "ts": errs["ts"]}),
+            pa.table({"bucket": c_bkt, "role": pa.array(["c"] * len(clks)),
+                      "event_id": null_ids, "ts": clks["ts"]}),
+            pa.table({"bucket": pc.add(c_bkt, 1),
+                      "role": pa.array(["c"] * len(clks)),
+                      "event_id": null_ids, "ts": clks["ts"]}),
+        ]
+        return pa.concat_tables(out)
+
+    def count_group(g: pa.Table) -> pa.Table:
+        errs = g.filter(pc.equal(g["role"], "e"))
+        if len(errs) == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "n_clicks_5m": pa.array([], pa.int64())})
+        clks = g.filter(pc.equal(g["role"], "c"))
+        cs = np.sort(np.asarray(clks["ts"].to_pylist(), dtype=np.int64))
+        ets = np.asarray(errs["ts"].to_pylist(), dtype=np.int64)
+        lo = np.searchsorted(cs, ets - DELTA_US, side="right")
+        hi = np.searchsorted(cs, ets, side="right")
+        return pa.table({
+            "event_id": pa.array(np.asarray(errs["event_id"].to_pylist(),
+                                            dtype=np.int64)),
+            "n_clicks_5m": pa.array((hi - lo).astype(np.int64)),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_group, batch_format="pyarrow")
+    )
+
+
+ORACLE_RANGE_JOIN_CLICKS = """
+WITH err AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+     clk AS (SELECT ts FROM events WHERE event_type = 'click')
+SELECT e.event_id, CAST(count(c.ts) AS BIGINT) AS n_clicks_5m
+FROM err e LEFT JOIN clk c
+  ON c.ts > e.ts - INTERVAL 5 MINUTE AND c.ts <= e.ts
+GROUP BY e.event_id
+"""
+
+QUERIES["range_join_clicks"] = q_range_join_clicks
+ORACLES["range_join_clicks"] = ORACLE_RANGE_JOIN_CLICKS
+
+
+# ================================================================== k-NN join
+
+def q_knn_join(sf_dir: str):
+    """Batched k-NN JOIN: for each of the 5 query embeddings (vec_id < 5),
+    the top-5 corpus neighbors by cosine. The query matrix is the small
+    side: filtered AS A DATASET, collected (5 rows), broadcast once; each
+    batch computes one matmul against all queries and keeps its per-query
+    top-5 BEFORE the shuffle (exact: rounded-score desc + vec_id asc is a
+    total order), so the final per-query groupby sorts <= 5 x num_batches
+    rows. Ranking uses the ROUNDED score on both sides (tie-safe vs the
+    SQL row_number oracle)."""
+    import ray
+
+    rd = _rd()
+    K = 5
+
+    qdf = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                     batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    Q = np.array([np.asarray(v, dtype=np.float64) for v in qdf.embedding])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qdf.vec_id.to_numpy(dtype=np.int64)
+    qref = ray.put((qids, Q))
+
+    from odinson_ray.stages.link import get_broadcast
+
+    def score(t: pa.Table) -> pa.Table:
+        qids_, Q_ = get_broadcast(qref)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        S = np.round((mat / np.where(norms == 0, 1.0, norms)) @ Q_.T, 6)
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            order = np.lexsort((vids, -S[:, j]))[:K]
+            out_q.extend([qid] * len(order))
+            out_v.extend(vids[order])
+            out_s.extend(S[order, j])
+        return pa.table({
+            "query_id": pa.array(np.asarray(out_q, dtype=np.int64)),
+            "vec_id": pa.array(np.asarray(out_v, dtype=np.int64)),
+            "score": pa.array(np.asarray(out_s, dtype=np.float64)),
+        })
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        vids = np.asarray(g["vec_id"].to_pylist(), dtype=np.int64)
+        scores = np.asarray(g["score"].to_pylist(), dtype=np.float64)
+        order = np.lexsort((vids, -scores))[:K]
+        return pa.table({
+            "query_id": pc.take(g["query_id"], pa.array(order)),
+            "vec_id": pa.array(vids[order]),
+            "score": pa.array(scores[order]),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+ORACLE_KNN_JOIN = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS score
+  FROM embeddings e, q
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+  FROM s
+)
+SELECT query_id, vec_id, score FROM r WHERE rn <= 5
+"""
+
+QUERIES["knn_join"] = q_knn_join
+ORACLES["knn_join"] = ORACLE_KNN_JOIN
