@@ -1993,3 +1993,126 @@ SELECT query_id, vec_id, score FROM r WHERE rn <= 5
 
 QUERIES["knn_join"] = q_knn_join
 ORACLES["knn_join"] = ORACLE_KNN_JOIN
+
+
+# ============================================================== full-outer join
+
+def q_user_stats_full_outer(sf_dir: str):
+    """FULL OUTER hash join of two aggregated sides with guaranteed
+    unmatched rows on BOTH sides (left: users with id % 3 != 0 and their
+    event counts; right: users with id % 2 == 0 and their summed value).
+    Nulls from the unmatched sides are coalesced to sentinel values so the
+    comparison is dtype-stable (n_events -> 0, total_value -> -1)."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    from odinson_ray.stages.shuffle import hash_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    left = (
+        ev.map_batches(
+            lambda t: t.filter(pc.not_equal(
+                pc.subtract(t["user_id"],
+                            pc.multiply(pc.divide(t["user_id"], 3), 3)), 0)),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+    )
+    right = (
+        ev.map_batches(
+            lambda t: t.filter(pc.equal(
+                pc.subtract(t["user_id"],
+                            pc.multiply(pc.divide(t["user_id"], 2), 2)), 0)),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(Sum("value", alias_name="_sv"))
+        .map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"],
+                "total_value": pc.round(t["_sv"], 6),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    joined = hash_join(
+        left, right, on="user_id", how="full_outer",
+        left_schema=pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()), ("total_value", pa.float64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_events": pc.fill_null(t["n_events"], 0),
+            "total_value": pc.fill_null(t["total_value"], -1.0),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_USER_STATS_FULL_OUTER = """
+WITH l AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE user_id % 3 != 0 GROUP BY user_id
+),
+r AS (
+  SELECT user_id, round(sum(value), 6) AS total_value
+  FROM events WHERE user_id % 2 = 0 GROUP BY user_id
+)
+SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+       COALESCE(l.n_events, 0) AS n_events,
+       COALESCE(r.total_value, -1.0) AS total_value
+FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+"""
+
+
+# ======================================================================= pivot
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT: per-user event counts spread into one column per event type.
+    Combiner discipline: each batch emits one row per user with per-type
+    partial counts (a pandas crosstab), the groupby sums the fixed column
+    set — the shuffle moves one row per (user, batch), never raw events."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["user_id", "event_type"]).to_pandas()
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for et in _EVENT_TYPES:
+            if et not in ct.columns:
+                ct[et] = 0
+        ct = ct[list(_EVENT_TYPES)].reset_index()
+        ct.columns = ["user_id"] + [f"n_{et}" for et in _EVENT_TYPES]
+        return pa.Table.from_pandas(
+            ct.astype("int64"), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    aggs = [Sum(f"n_{et}", alias_name=f"n_{et}") for et in _EVENT_TYPES]
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+QUERIES["user_stats_full_outer"] = q_user_stats_full_outer
+ORACLES["user_stats_full_outer"] = ORACLE_USER_STATS_FULL_OUTER
+QUERIES["events_pivot"] = q_events_pivot
+ORACLES["events_pivot"] = ORACLE_EVENTS_PIVOT

@@ -62,7 +62,11 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     Both sides are projected to one common schema (other side's columns
     null-filled WITH EXPLICIT ARROW TYPES, so schemas unify across
     blocks), unioned, shuffled once by key, and cross-producted per key
-    group. ``how`` is "inner", "left_outer", "semi" or "anti" — semi
+    group. ``how`` is "inner", "left_outer", "full_outer", "semi" or
+    "anti" — full_outer additionally emits unmatched RIGHT rows with
+    null left columns (the key column carries COALESCE(l.key, r.key)
+    semantics; null-key rows from BOTH sides are emitted unmatched, as
+    in SQL); semi
     emits each left row with >= 1 right match ONCE (left columns only,
     no cross product), anti emits left rows with NO right match
     (NOT EXISTS semantics: null-key left rows never match, so anti
@@ -75,7 +79,7 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     would otherwise need its own groupby on the same key — a whole extra
     all-to-all shuffle for rows that are already co-located here.
     """
-    assert how in ("inner", "left_outer", "semi", "anti"), how
+    assert how in ("inner", "left_outer", "full_outer", "semi", "anti"), how
     right_on = right_on or on
     # pass schemas explicitly when known: Dataset.schema() on a lazy
     # pipeline with a wide op executes it once just to sample the schema
@@ -125,7 +129,8 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         side = g["_side"].to_numpy(zero_copy_only=False)
         li = np.flatnonzero(side == 0)
         ri = np.flatnonzero(side == 1)
-        if g.num_rows and not g["_k"][0].is_valid:
+        null_key = bool(g.num_rows) and not g["_k"][0].is_valid
+        if null_key and how != "full_outer":
             ri = ri[:0]  # NULL keys never match
         if how in ("semi", "anti"):
             lidx = li if bool(ri.size) == (how == "semi") else li[:0]
@@ -136,7 +141,12 @@ def hash_join(left, right, on: str, right_on: str | None = None,
             if merge_post is not None and joined.num_rows:
                 joined = merge_post(joined)
             return joined
-        if li.size == 0 or ri.size == 0:
+        if how == "full_outer" and (li.size == 0 or ri.size == 0 or null_key):
+            # no matches in this group: the projected union already holds
+            # nulls for the other side's columns on every row, so emitting
+            # both sides unmatched is a plain take of all rows
+            lidx = ridx = np.concatenate([li, ri])
+        elif li.size == 0 or ri.size == 0:
             if how == "inner" or li.size == 0:
                 lidx = li[:0]
             else:  # left_outer, no right match: _r_* cols of left rows

@@ -110,3 +110,24 @@ def test_semi_and_anti_join(ray_session):
     anti = hash_join(left, right, on="k", how="anti").to_pandas()
     # NOT EXISTS: null-key left rows never match -> emitted
     assert sorted(anti.l) == ["a", "c", "d"]
+
+
+def test_full_outer_join(ray_session):
+    """FULL OUTER: matched rows cross-product; unmatched LEFT rows carry
+    null right columns, unmatched RIGHT rows null left columns; null-key
+    rows from both sides are emitted unmatched (SQL semantics)."""
+    from odinson_ray.stages.shuffle import hash_join
+
+    left = _ds(pd.DataFrame({"k": [1, 2, 2, 3, None], "l": ["a", "b", "c", "d", "e"]}))
+    right = _ds(pd.DataFrame({"k": [2.0, 4.0, None], "r": ["x", "z", "w"]}))
+    got = hash_join(left, right, on="k", how="full_outer").to_pandas()
+    # matched: (b,x), (c,x); left-unmatched: a, d, e; right-unmatched: z, w
+    assert len(got) == 7
+    matched = got[got.l.notna() & got.r.notna()]
+    assert sorted(zip(matched.l, matched.r)) == [("b", "x"), ("c", "x")]
+    left_only = got[got.r.isna() & got.l.notna()]
+    assert sorted(left_only.l) == ["a", "d", "e"]
+    right_only = got[got.l.isna()]
+    assert sorted(right_only.r) == ["w", "z"]
+    # key carries COALESCE(l.k, r.k): right-only rows keep their own key
+    assert sorted(right_only.k.fillna(-1)) == [-1.0, 4.0]
