@@ -47,7 +47,8 @@ rules:
 
 
 def mentions_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
-                     concurrency: int = 4, batch_size: int = 256):
+                     concurrency: int = 4, batch_size: int = 256,
+                     docs_per_block: int = 2500):
     # annotation AND span interleaving run inline inside the matcher
     # actors (deterministic annotator): neither the nested-annotation nor
     # the nested-spans Arrow column ships through the object store — the
@@ -56,8 +57,22 @@ def mentions_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
     from ..sources.io import documents_path, read_table
     from ..stages.match import clamp_pool
 
-    docs = read_table(documents_path(sf_dir),
-                      columns=["doc_id", "text", "lang", "source"])
+    path = documents_path(sf_dir)
+    # ~2,500-doc blocks = actor-task granularity. The streaming executor's
+    # single-threaded driver loop sustains only a few dozen actor-task
+    # round-trips per second, so fine blocks starve a large pool, while
+    # Ray's default ~128MB blocks (~300k docs) load-balance poorly across
+    # it (measured in bench.py). Capped at 64k blocks: past that, shard
+    # the job itself (state/checkpoint.py fragment runner) rather than
+    # asking one driver to track the block metadata.
+    nb = None
+    if path.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        rows = pq.read_metadata(path).num_rows
+        nb = min(65536, max(1, rows // docs_per_block))
+    docs = read_table(path, columns=["doc_id", "text", "lang", "source"],
+                      override_num_blocks=nb)
     return docs.map_batches(
         GrammarMatcher,
         fn_constructor_args=(rules_yaml,),

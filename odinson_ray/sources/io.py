@@ -27,17 +27,20 @@ _LANCE_HELP = (
 )
 
 
-def read_table(path: str, columns=None):
+def read_table(path: str, columns=None, override_num_blocks=None):
     """Dataset from a parquet or Lance path (extension-dispatched)."""
     import ray.data as rd
 
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
     if path.endswith(".lance"):
         try:
             import lance  # noqa: F401
         except ImportError as e:
             raise ImportError(f"{path} {_LANCE_HELP}") from e
-        return rd.read_lance(path, columns=columns)
-    return rd.read_parquet(path, columns=columns)
+        return rd.read_lance(path, columns=columns, **kwargs)
+    return rd.read_parquet(path, columns=columns, **kwargs)
 
 
 def write_table(ds, path: str, **kwargs):
