@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "odinson_svo",
     "odinson_tech_runs",
     "kg_triples",
+    "range_join_clicks",
+    "knn_join",
 ]
 
 
