@@ -2116,3 +2116,128 @@ QUERIES["user_stats_full_outer"] = q_user_stats_full_outer
 ORACLES["user_stats_full_outer"] = ORACLE_USER_STATS_FULL_OUTER
 QUERIES["events_pivot"] = q_events_pivot
 ORACLES["events_pivot"] = ORACLE_EVENTS_PIVOT
+
+
+# ===================================================================== curation (round 3)
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag training docs sharing a token
+    3-gram with the held-out eval slice (doc_id % 97 == 0). Eval gram set
+    broadcasts (benchmark-sized by construction); the corpus streams
+    through one zero-shuffle map_batches. See stages/curate.py."""
+    from odinson_ray.stages.curate import decontaminate
+
+    return decontaminate(sf_dir, n=3, eval_mod=97)
+
+
+ORACLE_DECONTAMINATE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i+2), ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id, count(DISTINCT g.g) AS n_shared
+FROM grams g JOIN ev e USING (g)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: k-means clusters (k=8, 1 Lloyd
+    refinement, shared with kmeans_clusters) + within-cluster cosine
+    prune at tau=0.3; returns kept (vec_id, cluster). The oracle unrolls
+    both k-means rounds in SQL then applies the same NOT EXISTS prune."""
+    from odinson_ray.stages.curate import semdedup
+
+    return semdedup(sf_dir, k=8, refinements=1, tau=0.3)
+
+
+ORACLE_SEMDEDUP = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, e AS c FROM emb WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT emb.vec_id, c0.cluster,
+           row_number() OVER (PARTITION BY emb.vec_id
+                              ORDER BY list_distance(emb.e, c0.c), c0.cluster) AS rn
+    FROM emb CROSS JOIN c0
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT cluster, i, avg(v) AS m FROM (
+    SELECT a1.cluster, unnest(emb.e) AS v,
+           unnest(generate_series(1, len(emb.e))) AS i
+    FROM a1 JOIN emb USING (vec_id)
+  ) GROUP BY cluster, i
+),
+c1 AS (SELECT cluster, list(m ORDER BY i) AS c FROM means GROUP BY cluster),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT emb.vec_id, c1.cluster,
+           row_number() OVER (PARTITION BY emb.vec_id
+                              ORDER BY list_distance(emb.e, c1.c), c1.cluster) AS rn
+    FROM emb CROSS JOIN c1
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.cluster
+FROM a2 a JOIN emb ea USING (vec_id)
+WHERE NOT EXISTS (
+  SELECT 1 FROM a2 b JOIN emb eb ON b.vec_id = eb.vec_id
+  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+    AND list_cosine_similarity(ea.e, eb.e) >= 0.3
+)
+"""
+
+
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition metrics per doc: duplicate-token fraction
+    and top-bigram fraction, fully vectorized per batch (no shuffle)."""
+    from odinson_ray.stages.curate import repetition_signals
+
+    return repetition_signals(sf_dir)
+
+
+ORACLE_REPETITION_SIGNALS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+flat AS (SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS p, len(t) AS n FROM toks),
+dist AS (SELECT doc_id, count(DISTINCT tok) AS nd, any_value(n) AS n
+         FROM flat GROUP BY doc_id),
+big AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+        FROM flat a JOIN flat b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+bgtop AS (SELECT doc_id, max(c) AS mc FROM
+            (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg)
+          GROUP BY doc_id)
+SELECT d.doc_id, d.n AS n_tokens,
+       round(1.0 - d.nd / d.n, 6) AS dup_tok_frac,
+       round(2.0 * coalesce(b.mc, 0) / d.n, 6) AS top_bigram_frac
+FROM dist d LEFT JOIN bgtop b USING (doc_id)
+"""
+
+
+def q_pack_chunks(sf_dir: str):
+    """Training-sequence preparation: fixed 32-token windows at stride 24
+    over each doc's token stream (pure per-batch index arithmetic)."""
+    from odinson_ray.stages.curate import pack_chunks
+
+    return pack_chunks(sf_dir, width=32, stride=24)
+
+
+ORACLE_PACK_CHUNKS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id, CAST((s - 1) / 24 AS BIGINT) AS chunk_id,
+       CAST(least(32, len(t) - s + 1) AS BIGINT) AS n_tokens,
+       t[s] AS head
+FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s FROM toks)
+"""
+
+QUERIES["decontaminate"] = q_decontaminate
+ORACLES["decontaminate"] = ORACLE_DECONTAMINATE
+QUERIES["semdedup"] = q_semdedup
+ORACLES["semdedup"] = ORACLE_SEMDEDUP
+QUERIES["repetition_signals"] = q_repetition_signals
+ORACLES["repetition_signals"] = ORACLE_REPETITION_SIGNALS
+QUERIES["pack_chunks"] = q_pack_chunks
+ORACLES["pack_chunks"] = ORACLE_PACK_CHUNKS
