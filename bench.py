@@ -69,12 +69,8 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     import pyarrow.compute as pc
     import ray
 
-    from odinson_ray.pipelines.kg import FLAGSHIP_RULES
-    from odinson_ray.sources.interleaved import build_interleaved
-    from odinson_ray.stages.canon import canonicalize_dataset
-    from odinson_ray.stages.link import build_alias_table, make_linker
-    from odinson_ray.stages.match import GrammarMatcher
-    from odinson_ray.stages.triples import aggregate_triples, mentions_to_triples
+    from odinson_ray.pipelines.kg import FLAGSHIP_RULES, TripleCounter
+    from odinson_ray.stages.triples import aggregate_triples
     import ray.data as rd
 
     import pyarrow.parquet as pq
@@ -90,7 +86,8 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     # 2,387 docs/s moving from ~625-doc to ~2,500-doc tasks at pool 24,
     # while the pool-6 rate was flat — the no-Ray control shows the
     # hardware is not the limit)
-    nb = min(2048, max(num_cpus, n_docs // 2500))
+    docs_per_block = int(os.environ.get("BENCH_DOCS_PER_BLOCK", "2500"))
+    nb = min(2048, max(num_cpus, n_docs // docs_per_block))
     # disjoint doc_id ranges per copy: each copy's ids are offset by a
     # stride so downstream key cardinality genuinely grows `replicate`x
     # (identical text bytes, but 8x the docs — not 8x-duplicated doc keys)
@@ -122,27 +119,46 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     # starts from object-store-resident blocks (page-cache warming equivalent)
 
     t_start = time.time()
-    # proportional pool: 3/4 of CPUs at every parallelism level so the
-    # lo/hi comparison measures scaling, not pool-fraction differences,
-    # and the driver/raylet/consumer keep headroom
-    matcher_pool = max(2, round(num_cpus * 3 / 4))
-    # raw docs feed the pool directly: interleaving runs in-actor (no
-    # nested spans column on the read->pool object-store hop)
-    mentions = (
-        docs.map_batches(
-            GrammarMatcher,
+    # proportional pool: with the downstream chain fused into the actors
+    # (TripleCounter) the only non-pool work left is the read and the
+    # small aggregate tail, so the pool takes all but 2 CPUs at every
+    # parallelism level (same fraction lo/hi keeps the scaling comparison
+    # clean; >= 1 CPU headroom is mandatory — see stages/match.clamp_pool)
+    matcher_pool = max(2, num_cpus - 2)
+    # raw docs feed the fused pool directly: interleave + annotate + match
+    # + SVO filter + triple projection + canon + link + partial counts all
+    # run in-actor (pipelines/kg.TripleCounter) — only partial-count rows
+    # cross the object store, and the driver dispatches ONE task per block
+    # instead of one per stage per block
+    if os.environ.get("BENCH_FUSED", "1") == "1":
+        partials = docs.map_batches(
+            TripleCounter,
             fn_constructor_args=(FLAGSHIP_RULES,),
             batch_format="pyarrow",
             concurrency=matcher_pool,
             batch_size=256,
             num_cpus=1,
         )
+        n_triples = aggregate_triples(partials, pre_counted=True).count()
+        return n_docs, n_triples, round(time.time() - t_start, 3)
+    # unfused control topology (BENCH_FUSED=0): mention rows cross the
+    # object store and the downstream chain runs as task-pool stages
+    from odinson_ray.stages.canon import canonicalize_dataset
+    from odinson_ray.stages.link import build_alias_table, make_linker
+    from odinson_ray.stages.match import GrammarMatcher
+    from odinson_ray.stages.triples import mentions_to_triples
+
+    mentions = docs.map_batches(
+        GrammarMatcher,
+        fn_constructor_args=(FLAGSHIP_RULES,),
+        batch_format="pyarrow",
+        concurrency=max(2, round(num_cpus * 3 / 4)),
+        batch_size=256,
+        num_cpus=1,
     )
     events = mentions.map_batches(
         lambda t: t.filter(pc.equal(t["label"], "SVO")), batch_format="pyarrow"
     )
-    # fully streaming: canonicalization needs no vocabulary pass, so the
-    # triple stream has ONE consumer — no pin, no spill, no barrier
     raw_triples = events.map_batches(mentions_to_triples, batch_format="pyarrow")
     canon_ds, mapping = canonicalize_dataset(raw_triples, columns=("subj", "obj"))
     alias_ref = ray.put(build_alias_table(mapping.keys()))

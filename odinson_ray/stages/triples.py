@@ -125,8 +125,13 @@ def _sum_partials(batch: pa.Table, keys) -> pa.Table:
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
-def aggregate_triples(triples_ds, keys=("subj_canon", "pred", "obj_canon", "subj", "obj")):
+def aggregate_triples(triples_ds, keys=("subj_canon", "pred", "obj_canon", "subj", "obj"),
+                      pre_counted: bool = False):
     """partial per-batch counts -> second-level combine -> small groupby.
+
+    ``pre_counted``: the input already carries per-batch partial counts
+    (a ``partial_n`` column, e.g. from the fused pipelines/kg.TripleCounter
+    actor) — skip the first combiner level.
 
     The second-level combine is a large-batch ``map_batches`` (64k rows):
     Ray Data bundles hundreds of splinter partial-count blocks into each
@@ -137,9 +142,12 @@ def aggregate_triples(triples_ds, keys=("subj_canon", "pred", "obj_canon", "subj
     O(total/64k x distinct_keys)."""
     from ray.data.aggregate import Sum
 
-    partials = triples_ds.map_batches(
-        lambda b: partial_count_triples(b, keys), batch_format="pyarrow"
-    )
+    if pre_counted:
+        partials = triples_ds
+    else:
+        partials = triples_ds.map_batches(
+            lambda b: partial_count_triples(b, keys), batch_format="pyarrow"
+        )
     # num_cpus=0.5 deliberately differs from the default (1): Ray Data only
     # fuses map operators with compatible remote args, so the combine stays
     # a SEPARATE operator — the upstream chain keeps its fine per-block
