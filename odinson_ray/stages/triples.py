@@ -112,17 +112,22 @@ def mentions_to_triples(batch: pa.Table) -> pa.Table:
 
 
 def partial_count_triples(batch: pa.Table, keys) -> pa.Table:
-    """Per-batch combiner: collapse to one row per distinct key tuple."""
-    df = batch.select(list(keys)).to_pandas()
-    agg = df.groupby(list(keys), sort=False).size().reset_index(name="partial_n")
-    return pa.Table.from_pandas(agg, preserve_index=False)
+    """Per-batch combiner: collapse to one row per distinct key tuple.
+
+    Pure-Arrow groupby: a pandas round-trip here attaches ``b'pandas'``
+    schema metadata (an unhashable dict) to every emitted block, which
+    knocks Ray Data's schema-dedup onto its slow unify path for the whole
+    downstream pipeline ("Failed to hash the schemas" warning)."""
+    keys = list(keys)
+    agg = pa.TableGroupBy(batch.select(keys), keys).aggregate([([], "count_all")])
+    return agg.rename_columns(keys + ["partial_n"])
 
 
 def _sum_partials(batch: pa.Table, keys) -> pa.Table:
     """Second-level combiner: sum partial counts within a (large) batch."""
-    df = batch.to_pandas()
-    agg = df.groupby(list(keys), sort=False)["partial_n"].sum().reset_index()
-    return pa.Table.from_pandas(agg, preserve_index=False)
+    keys = list(keys)
+    agg = pa.TableGroupBy(batch, keys).aggregate([("partial_n", "sum")])
+    return agg.rename_columns(keys + ["partial_n"])
 
 
 def aggregate_triples(triples_ds, keys=("subj_canon", "pred", "obj_canon", "subj", "obj"),
