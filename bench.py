@@ -119,12 +119,19 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     # starts from object-store-resident blocks (page-cache warming equivalent)
 
     t_start = time.time()
-    # proportional pool: with the downstream chain fused into the actors
+    # pool sizing: with the downstream chain fused into the actors
     # (TripleCounter) the only non-pool work left is the read and the
-    # small aggregate tail, so the pool takes all but 2 CPUs at every
-    # parallelism level (same fraction lo/hi keeps the scaling comparison
-    # clean; >= 1 CPU headroom is mandatory — see stages/match.clamp_pool)
-    matcher_pool = max(2, num_cpus - 2)
+    # small aggregate tail, so the headline pool takes all but 2 CPUs
+    # (>= 1 CPU headroom is mandatory — see stages/match.clamp_pool).
+    # SCALING runs must use the SAME pool fraction at both parallelism
+    # levels or the lo leg is handicapped (num_cpus-2 is 50% of 4 CPUs
+    # but 87.5% of 16) and the efficiency number overstates scaling —
+    # run_scaling pins BENCH_POOL_FRACTION=0.75 for both legs
+    frac = os.environ.get("BENCH_POOL_FRACTION")
+    if frac:
+        matcher_pool = max(2, min(num_cpus - 1, round(num_cpus * float(frac))))
+    else:
+        matcher_pool = max(2, num_cpus - 2)
     # raw docs feed the fused pool directly: interleave + annotate + match
     # + SVO filter + triple projection + canon + link + partial counts all
     # run in-actor (pipelines/kg.TripleCounter) — only partial-count rows
@@ -238,7 +245,9 @@ def run_scaling() -> None:
         # efficiency number measured the fixed costs, not the scaling
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "384"),
-                   BENCH_SKIP_QUERIES="1")
+                   BENCH_SKIP_QUERIES="1",
+                   # equal pool fraction on both legs (see headline_pipeline)
+                   BENCH_POOL_FRACTION=os.environ.get("BENCH_POOL_FRACTION", "0.75"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -2241,3 +2241,73 @@ QUERIES["repetition_signals"] = q_repetition_signals
 ORACLES["repetition_signals"] = ORACLE_REPETITION_SIGNALS
 QUERIES["pack_chunks"] = q_pack_chunks
 ORACLES["pack_chunks"] = ORACLE_PACK_CHUNKS
+
+
+# ===================================== corpus term statistics / domain mixing
+
+def q_doc_frequency(sf_dir: str):
+    from ..stages.text import doc_frequency
+
+    return doc_frequency(sf_dir)
+
+
+ORACLE_DOC_FREQUENCY = """
+SELECT tok, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+"""
+
+
+def q_tfidf_top_term(sf_dir: str):
+    from ..stages.text import tfidf_top_term
+
+    return tfidf_top_term(sf_dir)
+
+
+ORACLE_TFIDF_TOP_TERM = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+),
+scored AS (
+  SELECT doc_id, tok,
+         round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS score
+  FROM tf JOIN df USING (tok)
+)
+SELECT doc_id, tok AS top_term, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) = 1
+"""
+
+
+def q_domain_mix(sf_dir: str):
+    from ..stages.sample import domain_mix
+
+    return domain_mix(sf_dir)
+
+
+ORACLE_DOMAIN_MIX = """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN source = 'src0' THEN 25
+              WHEN source = 'src1' THEN 3
+              ELSE 10 END AS tw,
+         (doc_id * 2654435761) % 4294967296 % 10 AS b
+  FROM documents
+)
+SELECT doc_id, source,
+       unnest(range(0, tw // 10 + CASE WHEN b < tw % 10 THEN 1 ELSE 0 END)) AS copy
+FROM w
+"""
+
+QUERIES["doc_frequency"] = q_doc_frequency
+ORACLES["doc_frequency"] = ORACLE_DOC_FREQUENCY
+QUERIES["tfidf_top_term"] = q_tfidf_top_term
+ORACLES["tfidf_top_term"] = ORACLE_TFIDF_TOP_TERM
+QUERIES["domain_mix"] = q_domain_mix
+ORACLES["domain_mix"] = ORACLE_DOMAIN_MIX

@@ -152,3 +152,38 @@ def kmeans_assign(sf_dir: str, k: int = 8, refinements: int = 1):
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def domain_mix(sf_dir: str, weights_tenths: Optional[Dict[str, int]] = None,
+               default_tenths: int = 10):
+    """Deterministic domain mixing with up/down-sampling: each document is
+    emitted ``w // 10`` times plus once more when hash(doc_id) lands below
+    ``w % 10`` of 10, where ``w`` is the source's weight in tenths
+    (25 = 2.5x upsample, 3 = keep ~30%, 10 = pass through). Output rows
+    carry a ``copy`` index so repeats are distinguishable downstream.
+
+    Membership and multiplicity are pure functions of (doc_id, source) —
+    no RNG state, no shuffle, identical under retries and at any
+    parallelism, which is what a 100-TB mixing job needs for resumability."""
+    import ray.data as rd
+
+    weights_tenths = weights_tenths or {"src0": 25, "src1": 3}
+
+    def mix(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = _bucket(ids)
+        tw = np.array([weights_tenths.get(s, default_tenths)
+                       for s in t["source"].to_pylist()], dtype=np.int64)
+        nc = tw // 10 + (b < (tw % 10).astype(np.uint64))
+        idx = np.repeat(np.arange(len(ids)), nc)
+        copy = np.arange(len(idx)) - np.repeat(np.cumsum(nc) - nc, nc)
+        return pa.table({
+            "doc_id": pa.array(ids[idx], pa.int64()),
+            "source": pa.array(np.asarray(t["source"].to_pylist(), dtype=object)[idx].tolist(), pa.string()),
+            "copy": pa.array(copy, pa.int64()),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+        .map_batches(mix, batch_format="pyarrow")
+    )

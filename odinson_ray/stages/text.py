@@ -120,3 +120,89 @@ def scrub_pii(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(scrub_batch, batch_format="pyarrow")
+
+
+# ===================================================== corpus term statistics
+
+def df_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch document-frequency combiner: one (tok, partial_df) row per
+    distinct (document, token) pair in the batch. Documents never span
+    batches (one row = one document), so within-batch distinct == per-doc
+    distinct, and the global groupby sums partials — the all-to-all moves
+    at most |batch vocabulary| rows per batch, never raw token streams.
+    Pure Arrow throughout (pandas metadata defeats Ray's schema dedup)."""
+    toks = pc.split_pattern(batch["text"], " ")
+    pair = pa.table({
+        "tok": pc.list_flatten(toks),
+        "_row": pc.list_parent_indices(toks),
+    })
+    dd = pa.TableGroupBy(pair, ["tok", "_row"]).aggregate([])
+    agg = pa.TableGroupBy(dd.select(["tok"]), ["tok"]).aggregate([([], "count_all")])
+    return agg.rename_columns(["tok", "partial_df"])
+
+
+def doc_frequency(sf_dir: str):
+    """Corpus inverted document-frequency table: tok -> number of docs
+    containing it. The scale-canonical combiner pattern (SURVEY §2.5):
+    pre-aggregate per batch, shuffle only per-batch vocabulary rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(df_partial_batch, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("partial_df", alias_name="df"))
+    )
+
+
+def tfidf_top_term(sf_dir: str):
+    """Per-document top tf-idf term (score = tf * ln(N/df), rounded to 6dp;
+    ties broken by lexicographically smallest term).
+
+    Two-pass broadcast pattern: pass 1 aggregates the (small) df table and
+    doc count; the df map is broadcast via ``ray.put`` and read inside
+    every scoring task — the big side streams, the small side ships once
+    per node, no shuffle join. At 100 TB the vocabulary table is the only
+    materialized artifact (IDF tables are MBs where corpora are TBs)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from .link import get_broadcast
+
+    df_tbl = doc_frequency(sf_dir).take_all()  # vocabulary-sized (small)
+    n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    vocab = sorted(r["tok"] for r in df_tbl)
+    dfs = {r["tok"]: r["df"] for r in df_tbl}
+    idf = np.log(float(n_docs) / np.array([dfs[t] for t in vocab], dtype=np.float64))
+    ref = ray.put((np.array(vocab, dtype=object), idf))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_arr, idf_arr = get_broadcast(ref)
+        toks = pc.split_pattern(batch["text"], " ")
+        pair = pa.table({
+            "_row": pc.list_parent_indices(toks),
+            "tok": pc.list_flatten(toks),
+        })
+        tf = pa.TableGroupBy(pair, ["_row", "tok"]).aggregate([([], "count_all")])
+        rows = tf["_row"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(tf["tok"].to_pylist(), dtype=object)
+        counts = tf["count_all"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vocab_arr, terms)
+        scores = np.round(counts * idf_arr[pos], 6)
+        # per-row argmax with min-term tie-break: lexsort is last-key-major
+        order = np.lexsort((terms, -scores, rows))
+        first = np.concatenate([[0], np.flatnonzero(rows[order][1:] != rows[order][:-1]) + 1])
+        pick = order[first]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[rows[pick]], pa.int64()),
+            "top_term": pa.array(terms[pick].tolist(), pa.string()),
+            "score": pa.array(scores[pick], pa.float64()),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+    )

@@ -1,0 +1,64 @@
+"""Corpus term statistics (doc_frequency, tfidf_top_term) and domain_mix."""
+
+import math
+from collections import Counter
+
+import pandas as pd
+
+
+def test_doc_frequency_matches_local(ray_session, sf_dir):
+    from odinson_ray.stages.text import doc_frequency
+
+    got = doc_frequency(sf_dir).to_pandas().set_index("tok")["df"].to_dict()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    want: Counter = Counter()
+    for txt in docs["text"]:
+        for tok in set(txt.split(" ")):
+            want[tok] += 1
+    assert got == dict(want)
+
+
+def test_tfidf_top_term_matches_local(ray_session, sf_dir):
+    from odinson_ray.stages.text import tfidf_top_term
+
+    got = tfidf_top_term(sf_dir).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df: Counter = Counter()
+    for txt in docs["text"]:
+        for tok in set(txt.split(" ")):
+            df[tok] += 1
+    n = len(docs)
+    for doc_id, txt in zip(docs["doc_id"], docs["text"]):
+        tf = Counter(txt.split(" "))
+        scored = sorted(
+            ((round(c * math.log(n / df[t]), 6), t) for t, c in tf.items()),
+            key=lambda st: (-st[0], st[1]),
+        )
+        score, term = scored[0]
+        assert got.loc[doc_id, "top_term"] == term, doc_id
+        assert abs(got.loc[doc_id, "score"] - score) < 1e-9, doc_id
+
+
+def test_domain_mix_weights_and_determinism(ray_session, sf_dir):
+    from odinson_ray.stages.sample import domain_mix
+
+    w = {"src0": 25, "src1": 3}
+    a = domain_mix(sf_dir, weights_tenths=w).to_pandas()
+    b = domain_mix(sf_dir, weights_tenths=w).to_pandas()
+    key = ["doc_id", "copy"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    n0 = (docs.source == "src0").sum()
+    n1 = (docs.source == "src1").sum()
+    other = len(docs) - n0 - n1
+    # src0 ~2.5x, src1 ~0.3x, everything else exactly 1x
+    assert (a.source == "src0").sum() >= 2 * n0
+    assert (a.source == "src1").sum() <= 0.7 * n1
+    assert (~a.source.isin(["src0", "src1"])).sum() == other
+    # copy indices are dense 0..n-1 per doc
+    per_doc = a.groupby("doc_id")["copy"].agg(["min", "max", "count"])
+    assert (per_doc["min"] == 0).all()
+    assert (per_doc["max"] == per_doc["count"] - 1).all()
