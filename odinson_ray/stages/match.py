@@ -100,14 +100,22 @@ class GrammarMatcher:
     #: all -> adds a mention_fields column with every stored token layer
     VERBOSITY = ("minimal", "display", "all")
 
+    #: label carried by poison-row records (reference behavior: per-file
+    #: Try + log + continue, extra/.../IndexDocuments.scala:85-98; here the
+    #: failure is a QUERYABLE row instead of a log line, so a 100-TB run
+    #: can aggregate its error stream like any other output)
+    ERROR_LABEL = "__error__"
+
     def __init__(self, rules_yaml: str, variables: Optional[Dict[str, str]] = None,
                  use_state: bool = True, allow_trigger_overlaps: bool = False,
-                 verbosity: str = "display"):
+                 verbosity: str = "display", on_error: str = "skip"):
         assert verbosity in self.VERBOSITY, verbosity
+        assert on_error in ("skip", "raise"), on_error
         self.extractors = RuleReader().compile_rule_string(rules_yaml, variables)
         self.use_state = use_state
         self.allow_trigger_overlaps = allow_trigger_overlaps
         self.verbosity = verbosity
+        self.on_error = on_error
 
     def _sentences_from_texts(self, texts: List[str]) -> List[SentenceIndex]:
         # NOTE: annotate_tokens_fast must be imported at module level — a
@@ -160,15 +168,22 @@ class GrammarMatcher:
                     spans_texts[p].append(tx)
             # annotate the WHOLE batch in one vectorized pass (per-unique
             # token derivation + BatchVocab id backing), then slice the
-            # flat SentenceIndex list back per document
-            flat_sents = annotate_texts_vectorized(
-                [t for st in spans_texts for t in st]
-            )
-            sents_per_doc: List[List[SentenceIndex]] = []
-            cur = 0
-            for st in spans_texts:
-                sents_per_doc.append(flat_sents[cur : cur + len(st)])
-                cur += len(st)
+            # flat SentenceIndex list back per document. If the batch-wide
+            # pass fails (one poison text), fall back to per-document
+            # annotation inside the loop so containment stays per-doc.
+            sents_per_doc: Optional[List[List[SentenceIndex]]] = None
+            try:
+                flat_sents = annotate_texts_vectorized(
+                    [t for st in spans_texts for t in st]
+                )
+                sents_per_doc = []
+                cur = 0
+                for st in spans_texts:
+                    sents_per_doc.append(flat_sents[cur : cur + len(st)])
+                    cur += len(st)
+            except Exception:
+                if self.on_error == "raise":
+                    raise
         # per-document metadata: scalar columns plus an optional struct column
         md_cols = {}
         for c in self.METADATA_COLUMNS:
@@ -184,34 +199,56 @@ class GrammarMatcher:
         out_args: List[List[Dict]] = []
         out_fields: List[List[Dict]] = []
         for row_idx, (doc_id, sents) in enumerate(zip(doc_ids, sentences_col)):
-            if sents is None:
-                sent_indexes = sents_per_doc[row_idx]
-            else:
-                sent_indexes = [sentence_index_from_struct(s) for s in sents]
-            metadata = {}
-            for c, vals in md_cols.items():
-                v = vals[row_idx]
-                if c == "metadata" and isinstance(v, dict):
-                    metadata.update(v)
-                elif c == "metadata_json":
-                    # Odinson Document-JSON metadata Field array (incl.
-                    # NestedField), parsed into the metadata-query dict
-                    if v:
-                        import json as _json
-
-                        metadata.update(fields_to_metadata(_json.loads(v)))
+            try:
+                if sents is None:
+                    if sents_per_doc is not None:
+                        sent_indexes = sents_per_doc[row_idx]
+                    else:  # batch-wide annotate failed: per-doc fallback
+                        sent_indexes = self._sentences_from_texts(
+                            spans_texts[row_idx]
+                        )
                 else:
-                    metadata[c] = v
-            doc = AnnotatedDocument(doc_id, sent_indexes, metadata)
-            engine = DocumentEngine(doc)
-            if self.use_state:
-                mentions = engine.extract_mentions(
-                    self.extractors, allow_trigger_overlaps=self.allow_trigger_overlaps
-                )
-            else:
-                mentions = engine.extract_no_state(
-                    self.extractors, allow_trigger_overlaps=self.allow_trigger_overlaps
-                )
+                    sent_indexes = [sentence_index_from_struct(s) for s in sents]
+                metadata = {}
+                for c, vals in md_cols.items():
+                    v = vals[row_idx]
+                    if c == "metadata" and isinstance(v, dict):
+                        metadata.update(v)
+                    elif c == "metadata_json":
+                        # Odinson Document-JSON metadata Field array (incl.
+                        # NestedField), parsed into the metadata-query dict
+                        if v:
+                            import json as _json
+
+                            metadata.update(fields_to_metadata(_json.loads(v)))
+                    else:
+                        metadata[c] = v
+                doc = AnnotatedDocument(doc_id, sent_indexes, metadata)
+                engine = DocumentEngine(doc)
+                if self.use_state:
+                    mentions = engine.extract_mentions(
+                        self.extractors,
+                        allow_trigger_overlaps=self.allow_trigger_overlaps,
+                    )
+                else:
+                    mentions = engine.extract_no_state(
+                        self.extractors,
+                        allow_trigger_overlaps=self.allow_trigger_overlaps,
+                    )
+            except Exception as e:  # poison row: skip the DOCUMENT, not the task
+                if self.on_error == "raise":
+                    raise
+                col_doc.append(doc_id)
+                col_sent.append(-1)
+                col_label.append(self.ERROR_LABEL)
+                col_found.append(f"{type(e).__name__}: {e}"[:200])
+                col_start.append(-1)
+                col_end.append(-1)
+                col_text.append(None)
+                out_args.append(EMPTY_ARGS)
+                if self.verbosity == "all":
+                    out_fields.append([])
+                continue
             minimal = self.verbosity == "minimal"
             want_fields = self.verbosity == "all"
             for m in mentions:
