@@ -2311,3 +2311,26 @@ QUERIES["tfidf_top_term"] = q_tfidf_top_term
 ORACLES["tfidf_top_term"] = ORACLE_TFIDF_TOP_TERM
 QUERIES["domain_mix"] = q_domain_mix
 ORACLES["domain_mix"] = ORACLE_DOMAIN_MIX
+
+
+# ===================================== exact shared-passage detection
+
+def q_shared_passages(sf_dir: str):
+    from ..stages.dedup import shared_passage_pairs
+
+    return shared_passage_pairs(sf_dir, window=8)
+
+
+ORACLE_SHARED_PASSAGES = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+win AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS w
+  FROM toks, UNNEST(range(1, len(ts) - 7 + 2)) AS t(i)
+  WHERE len(ts) >= 8
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM win a JOIN win b ON a.w = b.w AND a.doc_id < b.doc_id
+"""
+
+QUERIES["shared_passages"] = q_shared_passages
+ORACLES["shared_passages"] = ORACLE_SHARED_PASSAGES

@@ -460,3 +460,71 @@ def neardup_groups(sf_dir: str, threshold: float = 0.9):
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ============================================ exact shared-passage detection
+
+def passage_window_rows(batch: pa.Table, window: int = 8) -> pa.Table:
+    """(w, doc_id) rows: md5 hex of every ``window``-token span of the
+    document, emitted DISTINCT per doc (a doc repeating a passage makes
+    one row). Unique-window md5 caching per batch keeps the hash count
+    at |unique windows|, not |token positions|."""
+    out_w: List[str] = []
+    out_d: List[int] = []
+    cache: dict = {}
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = text.split(" ") if text else []
+        n = len(toks) - window + 1
+        if n <= 0:
+            continue
+        seen = set()
+        for i in range(n):
+            key = " ".join(toks[i : i + window])
+            if key in seen:
+                continue
+            seen.add(key)
+            h = cache.get(key)
+            if h is None:
+                h = hashlib.md5(key.encode("utf-8")).hexdigest()
+                cache[key] = h
+            out_w.append(h)
+            out_d.append(int(doc_id))
+    return pa.table({
+        "w": pa.array(out_w, pa.string()),
+        "doc_id": pa.array(out_d, pa.int64()),
+    })
+
+
+def _window_pairs(g: pa.Table) -> pa.Table:
+    ids = np.unique(g["doc_id"].to_numpy(zero_copy_only=False))
+    if len(ids) < 2:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pa.table({"doc_a": pa.array(ids[ia], pa.int64()),
+                     "doc_b": pa.array(ids[ib], pa.int64())})
+
+
+def shared_passage_pairs(sf_dir: str, window: int = 8):
+    """Document pairs sharing at least one exact ``window``-token passage —
+    the window-granular form of exact-substring training-data dedup
+    (suffix-array dedup's detection step, map-reduce shaped): window
+    fingerprints -> groupby(w) -> within-bucket pairs -> pair dedup.
+
+    Scale shape: the shuffle key is the 16-byte window hash (never text);
+    per-doc row count is bounded by unique windows; a pathological hot
+    window (boilerplate shared by k docs) emits k^2/2 pairs in one group —
+    the same documented trade as LSH banding buckets."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    rows = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(lambda t: passage_window_rows(t, window), batch_format="pyarrow")
+    )
+    pairs = rows.groupby("w").map_groups(_window_pairs, batch_format="pyarrow")
+    # a pair sharing many windows collides in many buckets: dedup
+    return (
+        pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )

@@ -62,3 +62,23 @@ def test_domain_mix_weights_and_determinism(ray_session, sf_dir):
     per_doc = a.groupby("doc_id")["copy"].agg(["min", "max", "count"])
     assert (per_doc["min"] == 0).all()
     assert (per_doc["max"] == per_doc["count"] - 1).all()
+
+
+def test_shared_passage_pairs_matches_local(ray_session, sf_dir):
+    from odinson_ray.stages.dedup import shared_passage_pairs
+
+    got = shared_passage_pairs(sf_dir, window=8).to_pandas()
+    got_pairs = set(zip(got.doc_a, got.doc_b))
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    wins = {}
+    for doc_id, txt in zip(docs.doc_id, docs.text):
+        toks = txt.split(" ")
+        for i in range(len(toks) - 7):
+            wins.setdefault(" ".join(toks[i:i + 8]), set()).add(doc_id)
+    want = set()
+    for ids in wins.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                want.add((a, b))
+    assert got_pairs == want
