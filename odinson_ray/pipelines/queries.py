@@ -2334,3 +2334,51 @@ FROM win a JOIN win b ON a.w = b.w AND a.doc_id < b.doc_id
 
 QUERIES["shared_passages"] = q_shared_passages
 ORACLES["shared_passages"] = ORACLE_SHARED_PASSAGES
+
+
+# ===================================== poison-row containment (error stream)
+
+def q_error_stream(sf_dir: str):
+    """Poison-row containment through the REAL distributed path: every doc
+    with doc_id %% 97 == 0 gets malformed metadata JSON injected in-stream;
+    the matcher (on_error='skip', the default) must convert exactly those
+    documents into __error__ rows and keep the task alive (reference
+    behavior: per-file Try + continue, IndexDocuments.scala:85-98)."""
+    rd = _rd()
+    from ..stages.match import GrammarMatcher
+
+    def poison(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        bad = pa.array(ids % 97 == 0)
+        md = pc.if_else(bad, "{not valid json", None)
+        return t.append_column("metadata_json", md.cast(pa.string()))
+
+    rules = "rules:\n  - {name: any, label: Tok, type: basic, pattern: 'the'}\n"
+    mentions = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "lang", "source"])
+        .map_batches(poison, batch_format="pyarrow")
+        .map_batches(
+            GrammarMatcher,
+            fn_constructor_args=(rules,),
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=256,
+            num_cpus=1,
+        )
+    )
+    return mentions.map_batches(
+        lambda t: t.filter(pc.equal(t["label"], GrammarMatcher.ERROR_LABEL))
+                   .select(["doc_id", "label"]),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_ERROR_STREAM = """
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id,
+       '__error__' AS label
+FROM documents WHERE doc_id % 97 = 0
+"""
+
+QUERIES["error_stream"] = q_error_stream
+ORACLES["error_stream"] = ORACLE_ERROR_STREAM

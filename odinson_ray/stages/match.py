@@ -146,7 +146,16 @@ class GrammarMatcher:
             # zero per-process slowdown at 12 procs). build_interleaved is
             # imported at module level: a lazy import here would execute
             # inside workers, where the package is by-value only.
+            # build_interleaved re-derives lang/source/pub_date/citations
+            # but knows nothing of caller-supplied metadata columns — carry
+            # them across or a raw-table pipeline silently loses them.
+            extra = {
+                c: batch[c] for c in ("metadata", "metadata_json")
+                if c in batch.column_names
+            }
             batch = build_interleaved(batch)
+            for c, col in extra.items():
+                batch = batch.append_column(c, col)
         doc_ids = batch["doc_id"].to_pylist()
         if "sentences" in batch.column_names:
             sentences_col = batch["sentences"].to_pylist()
