@@ -231,9 +231,14 @@ def triples_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
     return aggregate_triples(linked)
 
 
-def run_flagship(sf_dir: str, out_dir: Optional[str] = None, concurrency: int = 4):
+def run_flagship(sf_dir: str, out_dir: Optional[str] = None, concurrency: int = 4,
+                 partition_cols=("pred",)):
+    """Flagship triples; when ``out_dir`` is given, write parquet
+    hive-partitioned by predicate (SURVEY §2.1: pruning by pred at read
+    time, and a failed run resumes per partition directory rather than
+    re-writing one giant file)."""
     ds = triples_dataset(sf_dir, concurrency=concurrency)
     if out_dir:
-        ds.write_parquet(out_dir)
+        ds.write_parquet(out_dir, partition_cols=list(partition_cols))
         return ds
     return ds
