@@ -90,31 +90,43 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     nb = min(2048, max(num_cpus, n_docs // docs_per_block))
     # disjoint doc_id ranges per copy: each copy's ids are offset by a
     # stride so downstream key cardinality genuinely grows `replicate`x
-    # (identical text bytes, but 8x the docs — not 8x-duplicated doc keys)
-    stride = base_rows
+    # (identical text bytes, but 8x the docs — not 8x-duplicated doc keys).
+    # The replicated input is STAGED TO DISK once and cached: the earlier
+    # N-way Dataset.union prep had a plan-traversal cost that grew
+    # super-linearly with N (a 768-way union no longer finished in 10
+    # minutes), and a cached parquet directory also makes every scaling
+    # leg read the identical bytes. replace_schema_metadata(None): the
+    # testdata parquet carries b'pandas' schema metadata, which makes
+    # pa.Schema UNHASHABLE and knocks Ray Data's schema-dedup onto its
+    # expensive unify path on every block.
+    import pyarrow as pa
 
-    def offset_ids(t, copy_idx):
-        # replace_schema_metadata: the testdata parquet carries b'pandas'
-        # schema metadata, which makes pa.Schema UNHASHABLE and knocks Ray
-        # Data's schema-dedup onto its expensive unify path on every block
-        # (the "Failed to hash the schemas" warning) — strip it at the read
-        return t.set_column(
-            t.column_names.index("doc_id"), "doc_id",
-            pc.add(t["doc_id"], copy_idx * stride),
-        ).replace_schema_metadata(None)
+    cache = f"/tmp/graft_bench_inputs/{os.path.basename(sf_dir)}_x{replicate}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        import shutil
 
-    parts = []
-    nb_per = max(1, round(nb / replicate))
-    for i in range(replicate):
-        d = rd.read_parquet(
-            path,
-            columns=["doc_id", "text", "lang", "source"],
-            override_num_blocks=nb_per,
-        ).map_batches(
-            lambda t, i=i: offset_ids(t, i), batch_format="pyarrow"
-        )
-        parts.append(d)
-    docs = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        tmp = cache + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        base = pq.read_table(path, columns=["doc_id", "text", "lang", "source"])
+        base = base.replace_schema_metadata(None)
+        for i in range(replicate):
+            t = base.set_column(
+                base.column_names.index("doc_id"), "doc_id",
+                pc.add(base["doc_id"], i * base_rows),
+            )
+            pq.write_table(t, os.path.join(tmp, f"copy-{i:05d}.parquet"))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        shutil.rmtree(cache, ignore_errors=True)
+        os.replace(tmp, cache)
+    files = sorted(
+        os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
+    )
+    docs = rd.read_parquet(
+        files,
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=nb,
+    )
     docs = docs.materialize()  # untimed input prep: the timed pipeline below
     # starts from object-store-resident blocks (page-cache warming equivalent)
 
