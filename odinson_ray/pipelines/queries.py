@@ -2382,3 +2382,63 @@ FROM documents WHERE doc_id % 97 = 0
 
 QUERIES["error_stream"] = q_error_stream
 ORACLES["error_stream"] = ORACLE_ERROR_STREAM
+
+
+# ============================================== rollup (grouping sets)
+
+def q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus) on sum(l_quantity):
+    every grouping level is pre-aggregated INSIDE each batch (the
+    combiner emits <= |flag x status| + |flag| + 1 rows per batch), so
+    one global groupby serves all three levels — no per-level pass over
+    the data, no extra shuffle. Rolled-up keys use the '__ALL__'
+    sentinel (Ray groupby keys stay non-null)."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    ALL = "__ALL__"
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "q": t["l_quantity"],
+        })
+        lvl2 = pa.TableGroupBy(base, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("q", "sum")])
+        lvl1 = pa.TableGroupBy(base.drop_columns(["l_linestatus"]),
+                               ["l_returnflag"]).aggregate([("q", "sum")])
+        n1 = lvl1.num_rows
+        lvl1 = lvl1.add_column(1, "l_linestatus",
+                               pa.array([ALL] * n1, pa.string()))
+        lvl0 = pa.table({
+            "l_returnflag": pa.array([ALL], pa.string()),
+            "l_linestatus": pa.array([ALL], pa.string()),
+            "q_sum": pa.array([pc.sum(base["q"]).as_py() or 0.0], pa.float64()),
+        })
+        out = pa.concat_tables([lvl2, lvl1, lvl0], promote_options="default")
+        return out.rename_columns(["l_returnflag", "l_linestatus", "partial_q"])
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("partial_q", alias_name="sum_qty"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(t.column_names.index("sum_qty"), "sum_qty",
+                               pc.round(t["sum_qty"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_ROLLUP_LINEITEM = """
+SELECT COALESCE(l_returnflag, '__ALL__') AS l_returnflag,
+       COALESCE(l_linestatus, '__ALL__') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+QUERIES["rollup_lineitem"] = q_rollup_lineitem
+ORACLES["rollup_lineitem"] = ORACLE_ROLLUP_LINEITEM
