@@ -2442,3 +2442,47 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 QUERIES["rollup_lineitem"] = q_rollup_lineitem
 ORACLES["rollup_lineitem"] = ORACLE_ROLLUP_LINEITEM
+
+
+# ===================================== exact per-group quantiles (discrete)
+
+def q_value_quantiles(sf_dir: str):
+    """Exact discrete quantiles (p50/p90 of value per event_type):
+    quantile_disc semantics — sorted[ceil(q*n)-1] — pick an actual
+    element, so no float interpolation can diverge between engines.
+
+    Scale note: one group = one task (the sessionize bound — event_type
+    cardinality is small and documented). For high-cardinality keys the
+    same shape works because groups shrink as keys multiply; a single
+    pathological hot key would need the iterative count-below selection
+    instead."""
+    rd = _rd()
+    import math
+
+    import numpy as np
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        v = np.sort(g["value"].to_numpy(zero_copy_only=False))
+        n = len(v)
+        pick = lambda q: float(v[max(0, math.ceil(q * n) - 1)])
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()], pa.string()),
+            "p50": pa.array([pick(0.5)], pa.float64()),
+            "p90": pa.array([pick(0.9)], pa.float64()),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(quantiles, batch_format="pyarrow")
+    )
+
+
+ORACLE_VALUE_QUANTILES = """
+SELECT event_type, quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90
+FROM events GROUP BY event_type
+"""
+
+QUERIES["value_quantiles"] = q_value_quantiles
+ORACLES["value_quantiles"] = ORACLE_VALUE_QUANTILES
