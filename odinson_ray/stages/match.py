@@ -116,6 +116,21 @@ class GrammarMatcher:
         self.allow_trigger_overlaps = allow_trigger_overlaps
         self.verbosity = verbosity
         self.on_error = on_error
+        # metadata-filter PUSHDOWN (compile once per actor): when EVERY
+        # extractor carries a metadata filter, a document rejected by all
+        # of them can produce no mention — skip its annotation entirely.
+        # Annotation dominates per-doc cost (reference docs say the same
+        # of their pipeline), so for selective filters (date ranges) this
+        # is the "prune at the read" rule applied to compute.
+        from ..lang.metadata import compile_filter
+
+        self._filters = [
+            compile_filter(e.metadata_filter) if e.metadata_filter else None
+            for e in self.extractors
+        ]
+        self._pushdown = bool(self._filters) and all(
+            f is not None for f in self._filters
+        )
 
     def _sentences_from_texts(self, texts: List[str]) -> List[SentenceIndex]:
         # NOTE: annotate_tokens_fast must be imported at module level — a
@@ -132,6 +147,39 @@ class GrammarMatcher:
 
     METADATA_COLUMNS = ("lang", "source", "pub_date", "citations", "metadata",
                         "metadata_json")
+
+    @staticmethod
+    def _doc_metadata(md_cols: Dict[str, list], row_idx: int) -> Dict:
+        metadata: Dict = {}
+        for c, vals in md_cols.items():
+            v = vals[row_idx]
+            if c == "metadata" and isinstance(v, dict):
+                metadata.update(v)
+            elif c == "metadata_json":
+                # Odinson Document-JSON metadata Field array (incl.
+                # NestedField), parsed into the metadata-query dict
+                if v:
+                    import json as _json
+
+                    metadata.update(fields_to_metadata(_json.loads(v)))
+            else:
+                metadata[c] = v
+        return metadata
+
+    def _keep_mask(self, md_cols: Dict[str, list], n: int):
+        """Pushdown mask: False where EVERY extractor's metadata filter
+        rejects the doc (no mention possible). Filter/parse errors keep
+        the doc — the engine path re-raises them into __error__ rows."""
+        if not self._pushdown:
+            return None
+        keep = []
+        for i in range(n):
+            try:
+                md = self._doc_metadata(md_cols, i)
+                keep.append(any(f(md) for f in self._filters))
+            except Exception:
+                keep.append(True)
+        return keep
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -157,6 +205,13 @@ class GrammarMatcher:
             for c, col in extra.items():
                 batch = batch.append_column(c, col)
         doc_ids = batch["doc_id"].to_pylist()
+        # per-document metadata columns come first: the pushdown mask must
+        # exist BEFORE annotation so rejected docs skip it entirely
+        md_cols = {}
+        for c in self.METADATA_COLUMNS:
+            if c in batch.column_names:
+                md_cols[c] = batch[c].to_pylist()
+        keep = self._keep_mask(md_cols, len(doc_ids))
         if "sentences" in batch.column_names:
             sentences_col = batch["sentences"].to_pylist()
             spans_texts = None
@@ -182,22 +237,24 @@ class GrammarMatcher:
             # annotation inside the loop so containment stays per-doc.
             sents_per_doc: Optional[List[List[SentenceIndex]]] = None
             try:
+                # pushdown: rejected docs contribute no texts to the
+                # vectorized pass — annotation is the dominant per-doc
+                # cost, so selective filters skip it wholesale
                 flat_sents = annotate_texts_vectorized(
-                    [t for st in spans_texts for t in st]
+                    [t for r, st in enumerate(spans_texts)
+                     if keep is None or keep[r] for t in st]
                 )
                 sents_per_doc = []
                 cur = 0
-                for st in spans_texts:
+                for r, st in enumerate(spans_texts):
+                    if keep is not None and not keep[r]:
+                        sents_per_doc.append([])
+                        continue
                     sents_per_doc.append(flat_sents[cur : cur + len(st)])
                     cur += len(st)
             except Exception:
                 if self.on_error == "raise":
                     raise
-        # per-document metadata: scalar columns plus an optional struct column
-        md_cols = {}
-        for c in self.METADATA_COLUMNS:
-            if c in batch.column_names:
-                md_cols[c] = batch[c].to_pylist()
         col_doc: List[str] = []
         col_sent: List[int] = []
         col_label: List[Optional[str]] = []
@@ -208,6 +265,8 @@ class GrammarMatcher:
         out_args: List[List[Dict]] = []
         out_fields: List[List[Dict]] = []
         for row_idx, (doc_id, sents) in enumerate(zip(doc_ids, sentences_col)):
+            if keep is not None and not keep[row_idx]:
+                continue  # every extractor's metadata filter rejected it
             try:
                 if sents is None:
                     if sents_per_doc is not None:
@@ -218,20 +277,7 @@ class GrammarMatcher:
                         )
                 else:
                     sent_indexes = [sentence_index_from_struct(s) for s in sents]
-                metadata = {}
-                for c, vals in md_cols.items():
-                    v = vals[row_idx]
-                    if c == "metadata" and isinstance(v, dict):
-                        metadata.update(v)
-                    elif c == "metadata_json":
-                        # Odinson Document-JSON metadata Field array (incl.
-                        # NestedField), parsed into the metadata-query dict
-                        if v:
-                            import json as _json
-
-                            metadata.update(fields_to_metadata(_json.loads(v)))
-                    else:
-                        metadata[c] = v
+                metadata = self._doc_metadata(md_cols, row_idx)
                 doc = AnnotatedDocument(doc_id, sent_indexes, metadata)
                 engine = DocumentEngine(doc)
                 if self.use_state:
