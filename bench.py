@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "kg_triples",
     "range_join_clicks",
     "knn_join",
+    "shared_passages",
+    "tfidf_top_term",
+    "rollup_lineitem",
+    "domain_mix",
 ]
 
 

@@ -120,9 +120,12 @@ def kg_run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang", "source"])
         docs = docs.map_batches(
+            # replace_schema_metadata: the source parquet's b'pandas'
+            # metadata makes pa.Schema unhashable and defeats Ray Data's
+            # schema dedup downstream ("Failed to hash the schemas")
             lambda t: t.filter(
                 pc.and_(pc.greater_equal(t["doc_id"], lo), pc.less(t["doc_id"], hi))
-            ),
+            ).replace_schema_metadata(None),
             batch_format="pyarrow",
         )
         mentions = docs.map_batches(build_interleaved, batch_format="pyarrow").map_batches(
@@ -202,9 +205,12 @@ def kg_run_fragments(sf_dir: str, out_dir: str, fragments, rules_yaml: Optional[
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang", "source"])
         docs = docs.map_batches(
+            # replace_schema_metadata: the source parquet's b'pandas'
+            # metadata makes pa.Schema unhashable and defeats Ray Data's
+            # schema dedup downstream ("Failed to hash the schemas")
             lambda t: t.filter(
                 pc.and_(pc.greater_equal(t["doc_id"], lo), pc.less(t["doc_id"], hi))
-            ),
+            ).replace_schema_metadata(None),
             batch_format="pyarrow",
         )
         mentions = docs.map_batches(build_interleaved, batch_format="pyarrow").map_batches(
