@@ -37,36 +37,51 @@ VERBS = ("scan", "join", "sort", "merge", "filter", "group")
 # ===================================================================== relational
 
 def q_lineitem_agg(sf_dir: str):
-    """TPC-H Q1-style aggregate with a per-batch computed column."""
+    """TPC-H Q1-style aggregate with a per-batch computed column.
+
+    Map-side combine: Ray's groupby().aggregate() sort-shuffles EVERY
+    row; the per-batch Arrow groupby collapses each batch to <= |keys|
+    partial rows first (Mean decomposes into Sum+Count), so the global
+    exchange moves ~6 rows per batch instead of the whole table."""
     rd = _rd()
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
+    keys = ["l_returnflag", "l_linestatus"]
 
-    def with_disc(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc)
+        base = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "q": t["l_quantity"],
+            "p": t["l_extendedprice"],
+            "d": disc,
+        })
+        agg = pa.TableGroupBy(base, keys).aggregate(
+            [("q", "sum"), ("p", "sum"), ("d", "sum"), ([], "count_all")])
+        return agg.rename_columns(keys + ["_q", "_p", "_d", "_n"])
 
     out = (
-        ds.map_batches(with_disc, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="n"),
+            Sum("_q", alias_name="sum_qty"),
+            Sum("_p", alias_name="sum_base_price"),
+            Sum("_d", alias_name="sum_disc_price"),
+            Sum("_n", alias_name="n"),
         )
         .to_pandas()
     )
+    out["avg_qty"] = (out["sum_qty"] / out["n"]).round(6)
     for col in ("sum_base_price", "sum_disc_price"):
         out[col] = out[col].round(2)
-    out["avg_qty"] = out["avg_qty"].round(6)
     out["sum_qty"] = out["sum_qty"].round(2)
-    return out
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "avg_qty", "n"]]
 
 
 ORACLE_LINEITEM_AGG = """
@@ -145,15 +160,18 @@ def q_revenue_by_nation(sf_dir: str):
     from odinson_ray.stages.link import get_broadcast
 
     def enrich(t: pa.Table) -> pa.Table:
+        # broadcast dim lookup + MAP-SIDE COMBINE: collapse each batch to
+        # one row per nation before the global groupby (Ray's aggregate
+        # sort-shuffles every input row otherwise)
         names = get_broadcast(lookup)
         keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.Table.from_pydict(
-            {
-                "n_name": pa.array([names[k] for k in keys], pa.string()),
-                "revenue": rev,
-            }
-        )
+        base = pa.table({
+            "n_name": pa.array([names[k] for k in keys], pa.string()),
+            "revenue": rev,
+        })
+        agg = pa.TableGroupBy(base, ["n_name"]).aggregate([("revenue", "sum")])
+        return agg.rename_columns(["n_name", "revenue"])
 
     out = (
         rd.read_parquet(
