@@ -2504,3 +2504,119 @@ FROM events GROUP BY event_type
 
 QUERIES["value_quantiles"] = q_value_quantiles
 ORACLES["value_quantiles"] = ORACLE_VALUE_QUANTILES
+
+
+# ===================================== PageRank over the KG (iterative)
+
+def q_pagerank_entities(sf_dir: str, iters: int = 3, damping: float = 0.85):
+    """PageRank power iteration over the canonical triple graph (no
+    dangling-mass redistribution; rank(v) = (1-d)/N + d * sum over
+    in-edges of rank(u)/outdeg(u), synchronized updates).
+
+    Scale shape: ranks and edges stay Datasets end to end — each
+    iteration is one hash_join (edge src x rank) + a map-side-combined
+    groupby(dst) + one left-outer join back onto the node set. Nothing
+    node- or edge-sized ever lands on the driver; N is a count()."""
+    from ray.data.aggregate import Count, Sum
+
+    from odinson_ray.stages.shuffle import hash_join
+
+    from .kg import triples_dataset
+
+    ds = triples_dataset(sf_dir)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        e = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"]})
+        return pa.TableGroupBy(e, ["src", "dst"]).aggregate([])
+
+    edges = (
+        ds.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    edges = edges.materialize()  # consumed K+2 times below
+    deg = edges.groupby("src").aggregate(Count(alias_name="d"))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()])
+        return pa.TableGroupBy(pa.table({"v": v}), ["v"]).aggregate([])
+
+    nodes = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("v").aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    ).materialize()
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+
+    str_t, f64 = pa.string(), pa.float64()
+    edge_schema = pa.schema([("src", str_t), ("dst", str_t)])
+    deg_schema = pa.schema([("src", str_t), ("d", pa.int64())])
+    rank_schema = pa.schema([("v", str_t), ("r", f64)])
+    edges_d = hash_join(edges, deg, on="src",
+                        left_schema=edge_schema, right_schema=deg_schema)
+    edges_d = edges_d.materialize()  # (src, dst, d): reused every iteration
+    ed_schema = pa.schema([("src", str_t), ("dst", str_t), ("d", pa.int64())])
+
+    r0 = 1.0 / n_nodes
+    ranks = nodes.map_batches(
+        lambda t, r0=r0: t.append_column("r", pa.array([r0] * len(t), f64)),
+        batch_format="pyarrow",
+    )
+    for _ in range(iters):
+        contrib = hash_join(edges_d, ranks, on="src", right_on="v",
+                            left_schema=ed_schema, right_schema=rank_schema)
+
+        def partial_c(t: pa.Table) -> pa.Table:
+            c = pc.divide(t["r"], pc.cast(t["d"], f64))
+            g = pa.TableGroupBy(pa.table({"dst": t["dst"], "c": c}),
+                                ["dst"]).aggregate([("c", "sum")])
+            return g.rename_columns(["dst", "c"])
+
+        sums = (
+            contrib.map_batches(partial_c, batch_format="pyarrow")
+            .groupby("dst").aggregate(Sum("c", alias_name="c"))
+        )
+        joined = hash_join(nodes, sums, on="v", right_on="dst", how="left_outer",
+                           left_schema=pa.schema([("v", str_t)]),
+                           right_schema=pa.schema([("dst", str_t), ("c", f64)]))
+
+        def new_rank(t: pa.Table) -> pa.Table:
+            c = pc.fill_null(t["c"], 0.0)
+            r = pc.add(pa.scalar(base), pc.multiply(pa.scalar(damping), c))
+            return pa.table({"v": t["v"], "r": r})
+
+        ranks = joined.map_batches(new_rank, batch_format="pyarrow")
+    return ranks.map_batches(
+        lambda t: pa.table({"entity": t["v"], "rank": pc.round(t["r"], 6)}),
+        batch_format="pyarrow",
+    )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    head = f"""
+WITH trip AS ({_KG_TRIPLES_BODY}),
+edges AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst FROM trip),
+nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    body = ""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        body += f""",
+s{i} AS (SELECT e.dst AS v, sum({prev}.r / deg.d) AS c
+         FROM edges e JOIN {prev} ON {prev}.v = e.src
+                      JOIN deg ON deg.src = e.src
+         GROUP BY e.dst),
+r{i} AS (SELECT nodes.v,
+                0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s{i}.c, 0) AS r
+         FROM nodes LEFT JOIN s{i} ON s{i}.v = nodes.v)"""
+        prev = f"r{i}"
+    return head + body + f"""
+SELECT v AS entity, round(r, 6) AS rank FROM {prev}"""
+
+
+ORACLE_PAGERANK_ENTITIES = _pagerank_oracle(3)
+
+QUERIES["pagerank_entities"] = q_pagerank_entities
+ORACLES["pagerank_entities"] = ORACLE_PAGERANK_ENTITIES
