@@ -2703,3 +2703,99 @@ FROM dedges ab JOIN dedges bc ON bc.lo = ab.hi
 
 QUERIES["kg_triangles"] = q_kg_triangles
 ORACLES["kg_triangles"] = ORACLE_KG_TRIANGLES
+
+
+# ===================================== fuzzy string join (edit distance <= 1)
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact edit-distance<=1 test (cheap two-pointer; verify step only)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = diff = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+            continue
+        diff += 1
+        if diff > 1:
+            return False
+        if la == lb:
+            i += 1
+        j += 1
+    return True
+
+
+def q_fuzzy_word_pairs(sf_dir: str):
+    """Fuzzy self-join of the part-name vocabulary at edit distance <= 1,
+    SymSpell-shaped: each word blocks on itself plus every
+    single-character deletion (exact recall for d<=1 — a substitution
+    shares a deletion key, an insertion's longer word deletes down to
+    the shorter), groupby(key) emits candidate pairs, and an exact
+    verify filters. The shuffle key is the deletion fingerprint — the
+    full vocabulary never cross-products."""
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    def vocab(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["p_name"], " ")
+        return pa.TableGroupBy(pa.table({"w": pc.list_flatten(toks)}),
+                               ["w"]).aggregate([])
+
+    words = (
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+        .map_batches(vocab, batch_format="pyarrow")
+        .groupby("w").aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        keys: list = []
+        ws: list = []
+        for w in t["w"].to_pylist():
+            keys.append(w)
+            ws.append(w)
+            for i in range(len(w)):
+                keys.append(w[:i] + w[i + 1:])
+                ws.append(w)
+        return pa.table({"k": pa.array(keys, pa.string()),
+                         "w": pa.array(ws, pa.string())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ws = sorted(set(g["w"].to_pylist()))
+        a: list = []
+        b: list = []
+        for i, x in enumerate(ws):
+            for y in ws[i + 1:]:
+                if _lev_le1(x, y):
+                    a.append(x)
+                    b.append(y)
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string())})
+
+    cand = (
+        words.map_batches(expand, batch_format="pyarrow")
+        .groupby("k").map_groups(pairs, batch_format="pyarrow")
+    )
+    # a pair can collide under several deletion keys: dedup
+    return (
+        cand.groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+
+ORACLE_FUZZY_WORD_PAIRS = """
+WITH v AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+)
+SELECT a.w AS a, b.w AS b
+FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+"""
+
+QUERIES["fuzzy_word_pairs"] = q_fuzzy_word_pairs
+ORACLES["fuzzy_word_pairs"] = ORACLE_FUZZY_WORD_PAIRS
