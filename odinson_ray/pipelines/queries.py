@@ -2799,3 +2799,39 @@ FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
 
 QUERIES["fuzzy_word_pairs"] = q_fuzzy_word_pairs
 ORACLES["fuzzy_word_pairs"] = ORACLE_FUZZY_WORD_PAIRS
+
+
+# ===================================== ordered collect / string_agg
+
+def q_user_event_history(sf_dir: str):
+    """Per-user ordered event history (collect_list/string_agg class):
+    event ids concatenated in (ts, event_id) order. One group = one task
+    (the sessionize skew bound: user-keyed groups are small); the sort
+    is per group, never global."""
+    rd = _rd()
+
+    def history(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                            ("event_id", "ascending")])
+        ev = pc.cast(g["event_id"].take(idx), pa.string())
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "history": pa.array([",".join(ev.to_pylist())], pa.string()),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(history, batch_format="pyarrow")
+    )
+
+
+ORACLE_USER_EVENT_HISTORY = """
+SELECT user_id,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS history
+FROM events GROUP BY user_id
+"""
+
+QUERIES["user_event_history"] = q_user_event_history
+ORACLES["user_event_history"] = ORACLE_USER_EVENT_HISTORY
