@@ -2835,3 +2835,45 @@ FROM events GROUP BY user_id
 
 QUERIES["user_event_history"] = q_user_event_history
 ORACLES["user_event_history"] = ORACLE_USER_EVENT_HISTORY
+
+
+# ===================================== lead/lag window (per-event gap)
+
+def q_event_gaps(sf_dir: str):
+    """LAG window class: per event, microseconds since the user's
+    previous event ((ts, event_id) order; first event = -1). Per-group
+    vectorized diff under the sessionize skew bound."""
+    rd = _rd()
+    import numpy as np
+
+    def gaps(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                            ("event_id", "ascending")])
+        g = g.take(idx)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "gap_us": pa.array(gap, pa.int64()),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
+ORACLE_EVENT_GAPS = """
+SELECT event_id, user_id,
+       COALESCE(CAST(epoch_us(ts - lag(ts) OVER w) AS BIGINT), -1) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+QUERIES["event_gaps"] = q_event_gaps
+ORACLES["event_gaps"] = ORACLE_EVENT_GAPS
