@@ -259,8 +259,13 @@ def run_scaling() -> None:
         # identical at both parallelism levels) are noise; at the round-2
         # workload (960k docs) they were ~25% of the hi leg and the
         # efficiency number measured the fixed costs, not the scaling
+        # replicate 768 (3.84M docs): per-JOB fixed costs (actor-pool
+        # startup + ramp + the aggregate tail, ~10-12 s, identical at both
+        # parallelism levels) must be a small fraction of the HI leg's
+        # wall or the ratio measures the fixed costs, not the scaling —
+        # at 1.92M docs they were ~25% of a ~48 s hi leg
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "384"),
+                   BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "768"),
                    BENCH_SKIP_QUERIES="1",
                    # equal pool fraction on both legs (see headline_pipeline)
                    BENCH_POOL_FRACTION=os.environ.get("BENCH_POOL_FRACTION", "0.75"))
