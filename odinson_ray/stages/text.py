@@ -141,68 +141,153 @@ def df_partial_batch(batch: pa.Table) -> pa.Table:
     return agg.rename_columns(["tok", "partial_df"])
 
 
-def doc_frequency(sf_dir: str):
+def doc_frequency(sf_dir: str, min_df: int = 1):
     """Corpus inverted document-frequency table: tok -> number of docs
     containing it. The scale-canonical combiner pattern (SURVEY §2.5):
-    pre-aggregate per batch, shuffle only per-batch vocabulary rows."""
+    pre-aggregate per batch, shuffle only per-batch vocabulary rows.
+
+    ``min_df`` prunes the long tail INSIDE the distributed aggregate's
+    output (a vectorized filter on the aggregated Dataset, never on the
+    driver): open-web vocabularies are dominated by df==1 junk tokens
+    (URLs, hashes, typos), and pruning them bounds every downstream
+    consumer of the vocabulary."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    return (
+    ds = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
         .map_batches(df_partial_batch, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(Sum("partial_df", alias_name="df"))
     )
+    if min_df > 1:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["df"], min_df)),
+            batch_format="pyarrow",
+        )
+    return ds
 
 
-def tfidf_top_term(sf_dir: str):
+def _tf_rows_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, tok, tf) rows for every distinct (document, token) pair in
+    the batch. One row = one document, so the batch-local groupby is the
+    exact per-document term frequency."""
+    toks = pc.split_pattern(batch["text"], " ")
+    pair = pa.table({
+        "_row": pc.list_parent_indices(toks),
+        "tok": pc.list_flatten(toks),
+    })
+    tf = pa.TableGroupBy(pair, ["_row", "tok"]).aggregate([([], "count_all")])
+    ids = batch["doc_id"].combine_chunks().cast(pa.int64())
+    return pa.table({
+        "doc_id": ids.take(tf["_row"]),
+        "tok": tf["tok"].combine_chunks().cast(pa.string()),
+        "tf": tf["count_all"].combine_chunks().cast(pa.int64()),
+    })
+
+
+def _pick_top(t: pa.Table, key: str = "doc_id") -> pa.Table:
+    """Per-key argmax over (score desc, top_term asc) — the tf-idf
+    comparator. Exact under partial/final composition: max of per-batch
+    maxima under a total order is the global maximum."""
+    import numpy as np
+
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "top_term": pa.array([], pa.string()),
+                         "score": pa.array([], pa.float64())})
+    keys = t[key].to_numpy(zero_copy_only=False)
+    terms = np.asarray(t["top_term"].to_pylist(), dtype=object)
+    scores = t["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((terms, -scores, keys))
+    first = np.concatenate([[0], np.flatnonzero(keys[order][1:] != keys[order][:-1]) + 1])
+    pick = order[first]
+    return pa.table({
+        "doc_id": pa.array(keys[pick], pa.int64()),
+        "top_term": pa.array(terms[pick].tolist(), pa.string()),
+        "score": pa.array(scores[pick], pa.float64()),
+    })
+
+
+def tfidf_top_term(sf_dir: str, min_df: int = 1,
+                   broadcast_vocab_limit: int = 1_000_000):
     """Per-document top tf-idf term (score = tf * ln(N/df), rounded to 6dp;
-    ties broken by lexicographically smallest term).
+    ties broken by lexicographically smallest term; documents whose every
+    term was min-df-pruned are dropped).
 
-    Two-pass broadcast pattern: pass 1 aggregates the (small) df table and
-    doc count; the df map is broadcast via ``ray.put`` and read inside
-    every scoring task — the big side streams, the small side ships once
-    per node, no shuffle join. At 100 TB the vocabulary table is the only
-    materialized artifact (IDF tables are MBs where corpora are TBs)."""
+    ADAPTIVE two-pass (VERDICT r03 #1): the df table is aggregated
+    distributed (optionally min-df-pruned there — the pruning never runs
+    on the driver), then its size is counted. At or under
+    ``broadcast_vocab_limit`` rows the vocabulary is broadcast once via
+    ``ray.put`` and scoring is a single zero-shuffle ``map_batches`` —
+    the driver holds only the gated vocabulary, by construction. Above
+    the gate (open-web corpora where even the pruned vocabulary is too
+    big to broadcast), nothing vocabulary-sized ever touches the driver:
+    per-doc (tok, tf) rows hash-join the df Dataset on ``tok``, each
+    join group's rows reduce to per-batch per-doc argmax partials, and a
+    final doc_id groupby picks the winner — same comparator both stages,
+    so the result is identical to the broadcast path."""
     import numpy as np
     import ray
     import ray.data as rd
 
     from .link import get_broadcast
 
-    df_tbl = doc_frequency(sf_dir).take_all()  # vocabulary-sized (small)
+    df_ds = doc_frequency(sf_dir, min_df=min_df).materialize()
+    vocab_n = df_ds.count()
     n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
-    vocab = sorted(r["tok"] for r in df_tbl)
-    dfs = {r["tok"]: r["df"] for r in df_tbl}
-    idf = np.log(float(n_docs) / np.array([dfs[t] for t in vocab], dtype=np.float64))
-    ref = ray.put((np.array(vocab, dtype=object), idf))
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def score(batch: pa.Table) -> pa.Table:
-        vocab_arr, idf_arr = get_broadcast(ref)
-        toks = pc.split_pattern(batch["text"], " ")
-        pair = pa.table({
-            "_row": pc.list_parent_indices(toks),
-            "tok": pc.list_flatten(toks),
-        })
-        tf = pa.TableGroupBy(pair, ["_row", "tok"]).aggregate([([], "count_all")])
-        rows = tf["_row"].to_numpy(zero_copy_only=False)
-        terms = np.asarray(tf["tok"].to_pylist(), dtype=object)
-        counts = tf["count_all"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(vocab_arr, terms)
-        scores = np.round(counts * idf_arr[pos], 6)
-        # per-row argmax with min-term tie-break: lexsort is last-key-major
-        order = np.lexsort((terms, -scores, rows))
-        first = np.concatenate([[0], np.flatnonzero(rows[order][1:] != rows[order][:-1]) + 1])
-        pick = order[first]
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": pa.array(ids[rows[pick]], pa.int64()),
-            "top_term": pa.array(terms[pick].tolist(), pa.string()),
-            "score": pa.array(scores[pick], pa.float64()),
-        })
+    if vocab_n <= broadcast_vocab_limit:
+        vocab, dfs = [], []
+        for b in df_ds.iter_batches(batch_format="pyarrow"):
+            vocab.extend(b["tok"].to_pylist())
+            dfs.extend(b["df"].to_pylist())
+        order = np.argsort(np.asarray(vocab, dtype=object))
+        vocab_arr = np.asarray(vocab, dtype=object)[order]
+        idf = np.log(float(n_docs) / np.asarray(dfs, dtype=np.float64)[order])
+        ref = ray.put((vocab_arr, idf))
 
-    return (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(score, batch_format="pyarrow")
-    )
+        def score(batch: pa.Table) -> pa.Table:
+            vocab_a, idf_a = get_broadcast(ref)
+            tf = _tf_rows_batch(batch)
+            terms = np.asarray(tf["tok"].to_pylist(), dtype=object)
+            pos = np.searchsorted(vocab_a, terms)
+            pos = np.minimum(pos, max(len(vocab_a) - 1, 0))
+            known = vocab_a[pos] == terms if len(vocab_a) else np.zeros(len(terms), bool)
+            counts = tf["tf"].to_numpy(zero_copy_only=False)
+            scored = pa.table({
+                "doc_id": tf["doc_id"],
+                "top_term": tf["tok"],
+                "score": pa.array(np.round(counts * idf_a[pos], 6), pa.float64()),
+            }).filter(pa.array(known))
+            return _pick_top(scored) if scored.num_rows else scored
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # join path: vocabulary never leaves the cluster
+    from .shuffle import hash_join
+
+    tf_ds = docs.map_batches(_tf_rows_batch, batch_format="pyarrow")
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("tok", pa.string()),
+                           ("tf", pa.int64())])
+    df_schema = pa.schema([("tok", pa.string()), ("df", pa.int64())])
+    n_f = float(n_docs)
+
+    def score_group(g: pa.Table) -> pa.Table:
+        counts = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = g["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # same op order as the broadcast path / oracle: ln(N / df)
+        scored = pa.table({
+            "doc_id": g["doc_id"],
+            "top_term": g["tok"],
+            "score": pa.array(np.round(counts * np.log(n_f / dfv), 6),
+                              pa.float64()),
+        })
+        return _pick_top(scored)  # per-join-group partial argmax
+
+    joined = hash_join(tf_ds, df_ds, on="tok", how="inner",
+                       left_schema=tf_schema, right_schema=df_schema,
+                       merge_post=score_group)
+    partial = joined.map_batches(_pick_top, batch_format="pyarrow")
+    return partial.groupby("doc_id").map_groups(_pick_top, batch_format="pyarrow")

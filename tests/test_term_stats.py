@@ -82,3 +82,60 @@ def test_shared_passage_pairs_matches_local(ray_session, sf_dir):
             for b in ids[i + 1:]:
                 want.add((a, b))
     assert got_pairs == want
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session, sf_dir):
+    """broadcast_vocab_limit=0 forces the distributed hash-join path; its
+    output must be identical to the broadcast path (VERDICT r03 #1)."""
+    from odinson_ray.stages.text import tfidf_top_term
+
+    bc = tfidf_top_term(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    jn = (
+        tfidf_top_term(sf_dir, broadcast_vocab_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc[["doc_id", "top_term", "score"]],
+                                  jn[["doc_id", "top_term", "score"]])
+
+
+def test_tfidf_min_df_prunes_tail(ray_session, sf_dir):
+    """min_df prunes rare terms from the vocabulary in BOTH paths; a doc
+    whose best unpruned term differs must agree with a local recompute."""
+    import math
+    from collections import Counter
+
+    from odinson_ray.stages.text import doc_frequency, tfidf_top_term
+
+    min_df = 3
+    dfs = doc_frequency(sf_dir, min_df=min_df).to_pandas()
+    assert (dfs["df"] >= min_df).all()
+
+    got = tfidf_top_term(sf_dir, min_df=min_df).to_pandas().set_index("doc_id")
+    got_join = (
+        tfidf_top_term(sf_dir, min_df=min_df, broadcast_vocab_limit=0)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    pd.testing.assert_frame_equal(got.sort_index(), got_join)
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df: Counter = Counter()
+    for txt in docs["text"]:
+        for tok in set(txt.split(" ")):
+            df[tok] += 1
+    n = len(docs)
+    checked = 0
+    for doc_id, txt in zip(docs["doc_id"], docs["text"]):
+        tf = Counter(txt.split(" "))
+        scored = sorted(
+            ((round(c * math.log(n / df[t]), 6), t)
+             for t, c in tf.items() if df[t] >= min_df),
+            key=lambda st: (-st[0], st[1]),
+        )
+        if not scored:
+            assert doc_id not in got.index
+            continue
+        score, term = scored[0]
+        assert got.loc[doc_id, "top_term"] == term, doc_id
+        assert abs(got.loc[doc_id, "score"] - score) < 1e-9, doc_id
+        checked += 1
+    assert checked > 0
