@@ -139,3 +139,32 @@ def test_tfidf_min_df_prunes_tail(ray_session, sf_dir):
         assert abs(got.loc[doc_id, "score"] - score) < 1e-9, doc_id
         checked += 1
     assert checked > 0
+
+
+def test_shared_passage_hot_window_cap(ray_session, tmp_path):
+    """A boilerplate window shared by k docs is dropped when k exceeds
+    max_window_docs: pair output stays bounded, and docs sharing OTHER
+    windows still pair (VERDICT r03 #3)."""
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = []
+    # 20 docs sharing only the boilerplate window
+    for i in range(20):
+        rows.append({"doc_id": i, "text": f"{boiler} unique{i} " + " ".join(
+            f"u{i}x{j}" for j in range(8))})
+    # 2 docs sharing a legitimate rare window
+    rare = " ".join(f"r{j}" for j in range(8))
+    rows.append({"doc_id": 100, "text": rare + " tail100"})
+    rows.append({"doc_id": 101, "text": rare + " tail101"})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+
+    from odinson_ray.stages.dedup import shared_passage_pairs
+
+    capped = shared_passage_pairs(str(tmp_path), window=8, max_window_docs=10).to_pandas()
+    got = set(zip(capped.doc_a, capped.doc_b))
+    assert (100, 101) in got
+    # none of the boilerplate-only k^2/2 = 190 pairs survive
+    assert all(a >= 100 for a, _ in got), got
+    assert len(got) == 1
+
+    uncapped = shared_passage_pairs(str(tmp_path), window=8, max_window_docs=None).to_pandas()
+    assert len(uncapped) == 190 + 1
