@@ -2626,13 +2626,14 @@ ORACLES["pagerank_entities"] = ORACLE_PAGERANK_ENTITIES
 
 def q_kg_triangles(sf_dir: str):
     """Triangle count over the undirected canonical triple graph: edges
-    canonicalized to (lo, hi) with lo < hi, then the classic two-step
-    self-join — (a,b)x(b,c) wedges, closed by an (a,c) edge probe. The
-    closing probe joins on a composite key column (hash_join is
-    single-key), keeping both joins one-shuffle-per-side."""
-    from ray.data.aggregate import Count, Sum
+    canonicalized to (lo, hi) with lo < hi, then degree-oriented wedge
+    enumeration (stages/graph.py) — each edge directed low-rank ->
+    high-rank by (degree, id), wedges enumerated over OUT-neighbors only,
+    so a degree-d hub costs O(sqrt(m)) amortized out-degree instead of
+    d^2 wedge rows in one join group."""
+    from ray.data.aggregate import Count
 
-    from odinson_ray.stages.shuffle import hash_join
+    from odinson_ray.stages.graph import triangle_count
 
     from .kg import triples_dataset
 
@@ -2649,44 +2650,10 @@ def q_kg_triangles(sf_dir: str):
         ds.map_batches(to_undirected, batch_format="pyarrow")
         .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c"))
         .drop_columns(["_c"])
-    ).materialize()  # consumed three times (two join sides + probe set)
-
-    str_t = pa.string()
-    e_schema = pa.schema([("lo", str_t), ("hi", str_t)])
-    # wedges a<b<c: (a,b) x (b,c) joined on the middle vertex b
-    ab = edges.map_batches(
-        lambda t: pa.table({"b": t["hi"], "a": t["lo"]}), batch_format="pyarrow")
-    bc = edges.map_batches(
-        lambda t: pa.table({"b": t["lo"], "c": t["hi"]}), batch_format="pyarrow")
-    wedges = hash_join(
-        ab, bc, on="b",
-        left_schema=pa.schema([("b", str_t), ("a", str_t)]),
-        right_schema=pa.schema([("b", str_t), ("c", str_t)]))
-
-    def wedge_key(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "k": pc.binary_join_element_wise(t["a"], t["c"], "\x1f"),
-        })
-
-    def edge_key(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "k": pc.binary_join_element_wise(t["lo"], t["hi"], "\x1f"),
-        })
-
-    closed = hash_join(
-        wedges.map_batches(wedge_key, batch_format="pyarrow"),
-        edges.map_batches(edge_key, batch_format="pyarrow"),
-        on="k", how="semi",
-        left_schema=pa.schema([("k", str_t)]),
-        right_schema=pa.schema([("k", str_t)]))
-    counted = closed.map_batches(
-        lambda t: pa.table({"partial": pa.array([len(t)], pa.int64())}),
-        batch_format="pyarrow",
     )
     import pandas as _pd
 
-    total = counted.to_pandas()["partial"].sum()
-    return _pd.DataFrame({"n_triangles": [int(total)]})
+    return _pd.DataFrame({"n_triangles": [triangle_count(edges)]})
 
 
 ORACLE_KG_TRIANGLES = f"""

