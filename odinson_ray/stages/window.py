@@ -189,3 +189,180 @@ def running_total(ds, key: str = "user_id", ts: str = "ts",
         right_schema=pa.schema([("_jk", jk_type), ("_offset", pa.float64())]),
         merge_post=seeded,
     )
+
+
+def asof_join_latest(events, orders, key: str = "user_id", ts: str = "ts",
+                     ev_id: str = "event_id", ord_id: str = "id",
+                     out: str = "last_orderkey", bucket_s: int = 86400):
+    """Skew-safe as-of join: each event row matched to the latest same-key
+    order row with order.ts <= event.ts (ties on ts broken by the larger
+    order id). Events with no prior order are dropped (inner semantics).
+
+    Two-stage (key, time-bucket) decomposition (VERDICT r03 #4 — the
+    single-stage ``groupby(key).map_groups`` put a hot key's ENTIRE
+    event+order history in one task):
+
+      stage 1  per-batch collapse of the order stream to <= one
+               (key, bucket, best order) partial row per batch, plus the
+               distinct (key, bucket) set seen on the event side;
+      stage 2  one groupby(key) over PARTIAL rows only: exclusive
+               prefix-best across a key's buckets -> one carry-in row
+               (best order strictly before the bucket) per bucket,
+               O(#buckets) rows per key, never event rows;
+      join     events + same-bucket orders (unioned, side-tagged) hash-
+               join the carry rows on the (key, bucket) composite key;
+               the per-bucket as-of resolve runs INSIDE the join reducer
+               (merge_post) with ONE vectorized np.searchsorted over the
+               bucket's sorted order array — no task holds more than one
+               bucket of one key, no per-event Python loop.
+
+    Correctness of the carry: an in-bucket order has ts >= bucket start
+    while every earlier bucket's order has ts < bucket start, so the
+    in-bucket searchsorted hit (when any) strictly dominates the carry,
+    and otherwise the carry IS the latest prior order.
+    """
+    from .shuffle import hash_join
+
+    key_t = as_arrow_schema(events.schema()).field(key).type
+    int_key = pa.types.is_integer(key_t)
+    _SHIFT = 1 << 22
+
+    def _jk_of(keys, buckets) -> pa.Array:
+        if int_key:
+            day = pc.divide(buckets, bucket_s)
+            return pc.add(pc.multiply(pc.cast(keys, pa.int64()), _SHIFT),
+                          pc.cast(day, pa.int64()))
+        return pc.binary_join_element_wise(
+            pc.cast(keys, pa.string()), pc.cast(buckets, pa.string()), "|")
+
+    jk_type = pa.int64() if int_key else pa.string()
+
+    def _project(t: pa.Table, side: int, id_col: str) -> pa.Table:
+        t = _with_bucket(t, ts, bucket_s)
+        return pa.table({
+            "_jk": _jk_of(t[key], t["_bucket"]),
+            "_side": pa.array(np.full(len(t), side, dtype=np.int8)),
+            "_k": t[key].combine_chunks().cast(key_t),
+            "_ts": pc.cast(pc.cast(t[ts], pa.timestamp("us")), pa.int64()),
+            "_id": pc.cast(t[id_col], pa.int64()),
+        })
+
+    left = events.map_batches(
+        lambda t: _project(t, 0, ev_id), batch_format="pyarrow"
+    ).union(orders.map_batches(
+        lambda t: _project(t, 1, ord_id), batch_format="pyarrow"))
+
+    # ---- stage 1: per-batch partials (order best per bucket, event buckets)
+    def order_partials(t: pa.Table) -> pa.Table:
+        t = _with_bucket(t, ts, bucket_s)
+        k = t[key].to_numpy(zero_copy_only=False)
+        b = t["_bucket"].to_numpy(zero_copy_only=False)
+        tsv = pc.cast(pc.cast(t[ts], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = pc.cast(t[ord_id], pa.int64()).to_numpy(zero_copy_only=False)
+        # last row of each (key, bucket) run under (key, bucket, ts, id)
+        # lexsort = per-batch best order of that bucket
+        o = np.lexsort((ids, tsv, b, k))
+        ko, bo = k[o], b[o]
+        is_last = np.ones(len(o), dtype=bool)
+        if len(o) > 1:
+            is_last[:-1] = (ko[1:] != ko[:-1]) | (bo[1:] != bo[:-1])
+        pick = o[np.flatnonzero(is_last)]
+        return pa.table({
+            "_k": pa.array(k[pick], key_t) if int_key else pa.array(
+                k[pick].tolist(), key_t),
+            "_bucket": pa.array(b[pick], pa.int64()),
+            "_bts": pa.array(tsv[pick], pa.int64()),
+            "_bid": pa.array(ids[pick], pa.int64()),
+        })
+
+    def event_buckets(t: pa.Table) -> pa.Table:
+        t = _with_bucket(t, ts, bucket_s)
+        g = pa.TableGroupBy(
+            pa.table({"_k": t[key].combine_chunks().cast(key_t),
+                      "_bucket": t["_bucket"]}),
+            ["_k", "_bucket"]).aggregate([])
+        return pa.table({
+            "_k": g["_k"], "_bucket": g["_bucket"],
+            "_bts": pa.nulls(g.num_rows, pa.int64()),
+            "_bid": pa.nulls(g.num_rows, pa.int64()),
+        })
+
+    partials = orders.map_batches(order_partials, batch_format="pyarrow").union(
+        events.map_batches(event_buckets, batch_format="pyarrow"))
+
+    # ---- stage 2: per-key exclusive prefix-best over bucket partials
+    def carries(g: pa.Table) -> pa.Table:
+        b = g["_bucket"].to_numpy(zero_copy_only=False)
+        bts = g["_bts"].to_numpy(zero_copy_only=False)  # float w/ nan for nulls
+        bid = g["_bid"].to_numpy(zero_copy_only=False)
+        ub = np.unique(b)
+        kv = g["_k"][0]
+        best_ts, best_id = None, None  # running best strictly before bucket
+        out_jk, out_ts, out_id = [], [], []
+        for bucket in ub:  # O(#buckets per key), never event rows
+            out_jk.append(bucket)
+            out_ts.append(best_ts)
+            out_id.append(best_id)
+            m = b == bucket
+            cand_ts, cand_id = bts[m], bid[m]
+            ok = ~pd_isnan(cand_ts)
+            if ok.any():
+                j = np.lexsort((cand_id[ok], cand_ts[ok]))[-1]
+                cts, cid = int(cand_ts[ok][j]), int(cand_id[ok][j])
+                if best_ts is None or (cts, cid) > (best_ts, best_id):
+                    best_ts, best_id = cts, cid
+        keys = pa.array([kv.as_py()] * len(ub), key_t)
+        jk = _jk_of(keys, pa.array(out_jk, pa.int64()))
+        return pa.table({"_jk": jk,
+                         "_cts": pa.array(out_ts, pa.int64()),
+                         "_cid": pa.array(out_id, pa.int64())})
+
+    carry_rows = partials.groupby("_k").map_groups(carries, batch_format="pyarrow")
+
+    # ---- join + per-bucket resolve (merge_post: rows already co-located)
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        tsv = g["_ts"].to_numpy(zero_copy_only=False)
+        ids = g["_id"].to_numpy(zero_copy_only=False)
+        ei = np.flatnonzero(side == 0)
+        oi = np.flatnonzero(side == 1)
+        if ei.size == 0:
+            return pa.table({ev_id: pa.array([], pa.int64()),
+                             key: pa.array([], key_t),
+                             out: pa.array([], pa.int64())})
+        o = oi[np.lexsort((ids[oi], tsv[oi]))]
+        idx = np.searchsorted(tsv[o], tsv[ei], side="right") - 1
+        hit = idx >= 0
+        res = np.empty(ei.size, dtype=np.int64)
+        res[hit] = ids[o][idx[hit]]
+        cid = g["_cid"][0] if g.num_rows else None
+        carry_ok = cid is not None and cid.is_valid
+        valid = hit.copy()
+        if carry_ok:
+            res[~hit] = cid.as_py()
+            valid[:] = True
+        keep = ei[valid]
+        return pa.table({ev_id: pa.array(ids[keep], pa.int64()),
+                         key: g["_k"].take(pa.array(keep, pa.int64())),
+                         out: pa.array(res[valid], pa.int64())})
+
+    return hash_join(
+        left, carry_rows, on="_jk", how="left_outer",
+        left_schema=pa.schema([("_jk", jk_type), ("_side", pa.int8()),
+                               ("_k", key_t), ("_ts", pa.int64()),
+                               ("_id", pa.int64())]),
+        right_schema=pa.schema([("_jk", jk_type), ("_cts", pa.int64()),
+                                ("_cid", pa.int64())]),
+        merge_post=resolve,
+    )
+
+
+def pd_isnan(a: np.ndarray) -> np.ndarray:
+    """nan-mask that also works for object/int arrays (Arrow nulls
+    surface as None in object arrays, nan in float arrays)."""
+    if a.dtype == object:
+        return np.array([x is None for x in a], dtype=bool)
+    if np.issubdtype(a.dtype, np.floating):
+        return np.isnan(a)
+    return np.zeros(len(a), dtype=bool)
