@@ -131,3 +131,40 @@ def test_full_outer_join(ray_session):
     assert sorted(right_only.r) == ["w", "z"]
     # key carries COALESCE(l.k, r.k): right-only rows keep their own key
     assert sorted(right_only.k.fillna(-1)) == [-1.0, 4.0]
+
+
+def test_hash_join_hot_key_chunked_emission(ray_session):
+    """Past hot_chunk_rows the hot key's cross product is emitted in
+    chunked sub-tables; output rows/values are identical to the one-shot
+    path (VERDICT r03 #9)."""
+    import warnings
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odinson_ray.stages.shuffle import hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["hot"] * 300 + ["cold"], pa.string()),
+        "lv": pa.array(list(range(300)) + [999], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["hot"] * 400 + ["cold"], pa.string()),
+        "rv": pa.array(list(range(400)) + [888], pa.int64()),
+    }))
+    ls = pa.schema([("k", pa.string()), ("lv", pa.int64())])
+    rs = pa.schema([("k", pa.string()), ("rv", pa.int64())])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        chunked = hash_join(left, right, on="k", left_schema=ls,
+                            right_schema=rs, hot_chunk_rows=10_000).to_pandas()
+    oneshot = hash_join(left, right, on="k", left_schema=ls,
+                        right_schema=rs).to_pandas()
+    key = ["k", "lv", "rv"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        chunked.sort_values(key).reset_index(drop=True),
+        oneshot.sort_values(key).reset_index(drop=True),
+    )
+    assert len(chunked) == 300 * 400 + 1
