@@ -75,7 +75,7 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
 
     from odinson_ray.pipelines.kg import FLAGSHIP_RULES, TripleCounter
     from odinson_ray.stages.triples import aggregate_triples
-    import ray.data as rd
+    from odinson_ray.sources.io import clean_rd as rd
 
     import pyarrow.parquet as pq
 
@@ -213,7 +213,7 @@ def run_bench() -> dict:
     import __ray_entry__  # registers package by-value for workers
 
     # warm the OS page cache so we measure compute+shuffle, not first read
-    import ray.data as rd
+    from odinson_ray.sources.io import clean_rd as rd
 
     for t in ("documents", "lineitem", "orders", "events", "embeddings"):
         p = f"{SF_DIR}/{t}.parquet"

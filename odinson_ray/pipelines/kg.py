@@ -177,7 +177,7 @@ def checkpoint_triples(raw_triples, checkpoint_dir: Optional[str] = None):
     completed checkpoint instead of re-running the matcher (the
     per-shard/manifest variant of the same pattern is
     state/checkpoint.py)."""
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(

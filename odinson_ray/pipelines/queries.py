@@ -25,9 +25,12 @@ import pyarrow.compute as pc
 
 
 def _rd():
-    import ray.data as rd
+    # ray.data stand-in whose read_parquet strips pandas schema metadata
+    # at the read (sources/io.py) — keeps every schema hashable so Ray
+    # Data's schema dedup never falls to the slow unify path
+    from ..sources.io import clean_rd
 
-    return rd
+    return clean_rd
 
 
 STOPWORDS = ("the", "a")
@@ -981,7 +984,7 @@ def q_langid(sf_dir: str):
     """Heuristic language ID by function-word profiles. Over this corpus
     the decision reduces to: any en function word -> 'en', else the first
     profile in sorted order ('de') — which is what the oracle encodes."""
-    import ray.data as rd
+    rd = _rd()
 
     from odinson_ray.stages.text import langid_batch
 

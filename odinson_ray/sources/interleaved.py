@@ -153,6 +153,6 @@ def prepare_corpus(sf_dir: str, out_dir: str, num_blocks: int = 16) -> None:
 def read_prepared(out_dir: str):
     """Read a prepared (pre-annotated) corpus; the matcher will use the
     stored sentences column instead of annotating inline."""
-    import ray.data as rd
+    from .io import clean_rd as rd
 
     return rd.read_parquet(out_dir)

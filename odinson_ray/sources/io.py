@@ -27,6 +27,76 @@ _LANCE_HELP = (
 )
 
 
+def _strip_meta(t):
+    """Drop schema metadata (pandas-written parquet carries a b'pandas'
+    key that makes pa.Schema UNHASHABLE — "Failed to hash the schemas" —
+    so every Ray Data schema dedup falls to the slow unify path). O(1)
+    metadata-only op; Ray fuses it into the read tasks."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def _clean_schema_of(path, columns):
+    """Metadata-free (and column-projected) schema of a parquet path —
+    a file, a list of files, or a directory of part files. None when it
+    can't be determined cheaply."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path[0] if isinstance(path, (list, tuple)) and path else path
+    if not isinstance(p, str):
+        return None
+    try:
+        if os.path.isdir(p):
+            parts = sorted(
+                f for f in os.listdir(p) if f.endswith(".parquet"))
+            if not parts:
+                return None
+            p = os.path.join(p, parts[0])
+        full = pq.read_schema(p).remove_metadata()
+        if columns is None:
+            return full
+        return pa.schema([full.field(c) for c in columns])
+    except Exception:
+        return None
+
+
+def read_parquet_clean(path, columns=None, **kwargs):
+    """ray.data.read_parquet with schema metadata stripped AT THE READ.
+    pandas-written parquet carries a b'pandas' metadata key that makes
+    pa.Schema unhashable, so every downstream schema dedup falls to the
+    slow unify path and logs "Failed to hash the schemas". Passing an
+    explicit stripped schema makes the read tasks themselves emit clean
+    blocks (a post-read map_batches strip is too late — the warning
+    fires when the read outputs are batched). Falls back to the
+    map_batches strip when the schema can't be pre-read (exotic paths,
+    filesystems)."""
+    import ray.data as rd
+
+    if "schema" not in kwargs:
+        schema = _clean_schema_of(path, columns)
+        if schema is not None:
+            return rd.read_parquet(path, columns=columns, schema=schema,
+                                   **kwargs)
+    return rd.read_parquet(path, columns=columns, **kwargs).map_batches(
+        _strip_meta, batch_format="pyarrow")
+
+
+class _CleanRD:
+    """Drop-in stand-in for the ``ray.data`` module that routes
+    ``read_parquet`` through :func:`read_parquet_clean` and proxies
+    everything else — lets call sites keep the ``rd.`` idiom."""
+
+    read_parquet = staticmethod(read_parquet_clean)
+
+    def __getattr__(self, name):
+        import ray.data as rd
+
+        return getattr(rd, name)
+
+
+clean_rd = _CleanRD()
+
+
 def read_table(path: str, columns=None, override_num_blocks=None):
     """Dataset from a parquet or Lance path (extension-dispatched)."""
     import ray.data as rd
@@ -39,8 +109,9 @@ def read_table(path: str, columns=None, override_num_blocks=None):
             import lance  # noqa: F401
         except ImportError as e:
             raise ImportError(f"{path} {_LANCE_HELP}") from e
-        return rd.read_lance(path, columns=columns, **kwargs)
-    return rd.read_parquet(path, columns=columns, **kwargs)
+        return rd.read_lance(path, columns=columns, **kwargs).map_batches(
+            _strip_meta, batch_format="pyarrow")
+    return read_parquet_clean(path, columns=columns, **kwargs)
 
 
 def write_table(ds, path: str, **kwargs):

@@ -79,7 +79,7 @@ def _make_scorer(qref):
 def brute_force_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10):
     """Exact cosine top-k via per-batch matmul + global sort/limit."""
     import ray
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     q = np.asarray(query_vec, dtype=np.float64)
     qref = ray.put(q / np.linalg.norm(q))
@@ -144,7 +144,7 @@ def build_bucket_layout(sf_dir: str, n_planes: "int | None" = None) -> str:
     import time
 
     import pyarrow.parquet as pq
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     if n_planes is None:
         n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
@@ -222,7 +222,7 @@ def lsh_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10, probes: int = 6):
     (set ODINSON_RAY_ANN_CACHE on a multi-node cluster; the default
     node-local /tmp root is structurally rejected there)."""
     import ray
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     import json
 
@@ -299,7 +299,7 @@ def build_ivf_layout(sf_dir: str, n_lists: "int | None" = None,
 
     import pyarrow.parquet as pq
     import ray
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     from .link import get_broadcast
     from .sample import _embedding_matrix, kmeans_centroids
@@ -355,7 +355,7 @@ def ivf_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10, nprobe: int = 4):
     import json
 
     import ray
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     layout = build_ivf_layout(sf_dir)
     with open(os.path.join(layout, "_meta.json")) as fh:

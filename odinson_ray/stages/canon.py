@@ -156,7 +156,7 @@ def connected_components(edges_ds, max_rounds: int = 25,
     path exists for) take the propagation rounds unchanged; pass
     ``small_graph_threshold=0`` to force them (tests do).
     ``stats["rounds"]`` is 0 on the driver path."""
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
     from ray.data.aggregate import Min
 
     from .shuffle import hash_join

@@ -81,7 +81,7 @@ def decontaminate(sf_dir: str, n: int = 5, eval_mod: int = 97):
     reference's shingling — but everything around it is columnar.
     """
     import ray
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     from .link import get_broadcast
 
@@ -128,7 +128,7 @@ def semdedup(sf_dir: str, k: int = 8, refinements: int = 1, tau: float = 0.4):
     the corpus so clusters stay task-sized.
     """
     import ray
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     from .link import get_broadcast
     from .sample import _embedding_matrix, kmeans_centroids
@@ -211,7 +211,7 @@ def repetition_batch(t: pa.Table) -> pa.Table:
 
 
 def repetition_signals(sf_dir: str):
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -248,7 +248,7 @@ def pack_chunks_batch(t: pa.Table, width: int = 32, stride: int = 24) -> pa.Tabl
 
 
 def pack_chunks(sf_dir: str, width: int = 32, stride: int = 24):
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]

@@ -171,7 +171,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9,
     broadcast, ~100 MB at the default gate assuming few-KB docs. Above
     the gate (dirty corpora at 100-TB scale) the two distributed hash
     joins attach texts with one shuffle per side, unchanged."""
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
     from ray.data.aggregate import Count
 
     docs_path = f"{sf_dir}/documents.parquet"
@@ -365,7 +365,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6):
 
     Only (blk, sub, doc_id, h) rows and candidate pairs shuffle — never
     documents. Returns a Dataset of (a_id, b_id, hamming)."""
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
     from ray.data.aggregate import Min
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -382,7 +382,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6):
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, block_col: str = "source"):
     """Exact pairwise n-gram jaccard within blocking-key groups."""
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         docs = sorted(zip(g["doc_id"], g["text"]))
@@ -421,7 +421,7 @@ def neardup_groups(sf_dir: str, threshold: float = 0.9):
     components (stages/canon.connected_components, zero-padded ids so
     lexicographic min == numeric min), and group ids come back onto the
     full doc table via a left-outer hash join."""
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     from .canon import connected_components
     from .shuffle import hash_join
@@ -535,7 +535,7 @@ def shared_passage_pairs(sf_dir: str, window: int = 8,
     extra shuffle. ``max_window_docs=None`` disables the cap. Default 256
     is far above the synthetic fixtures' max (4 at sf0.1), so the DuckDB
     oracle stays exact."""
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
     from ray.data.aggregate import Count
 
     rows = (

@@ -139,7 +139,7 @@ def video_frames(sf_dir: str, fps: float = 1.0, max_frames: int = 8,
     """Deterministic video manifest (doc_id % 7 == 0 -> media://vid/<id>)
     -> frame-sample rows via the actor pool. Small batches: real video
     rows carry large payloads."""
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     def manifest(t: pa.Table) -> pa.Table:
         ids = [int(v) for v in t["doc_id"].to_pylist()]

@@ -34,7 +34,7 @@ def stratified_sample(sf_dir: str, rates: Optional[Dict[str, int]] = None,
     """Per-language deterministic sample of documents: keep a row when
     hash(doc_id) lands in the stratum's first ``tenths`` buckets of 10.
     ``rates`` maps lang -> tenths kept (e.g. {"en": 5} keeps ~50% of en)."""
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     rates = rates or {"en": 5}
 
@@ -67,7 +67,7 @@ def kmeans_centroids(sf_dir: str, k: int = 8, refinements: int = 1):
     shape). Shared by kmeans_assign and the IVF ANN layout (stages/ann)."""
     import pyarrow.dataset as pads
     import ray
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     from .link import get_broadcast
 
@@ -130,7 +130,7 @@ def kmeans_assign(sf_dir: str, k: int = 8, refinements: int = 1):
     dropped (mirrors the SQL oracle exactly). Ties break toward the
     lower cluster id."""
     import ray
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     from .link import get_broadcast
 
@@ -165,7 +165,7 @@ def domain_mix(sf_dir: str, weights_tenths: Optional[Dict[str, int]] = None,
     Membership and multiplicity are pure functions of (doc_id, source) —
     no RNG state, no shuffle, identical under retries and at any
     parallelism, which is what a 100-TB mixing job needs for resumability."""
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     weights_tenths = weights_tenths or {"src0": 25, "src1": 3}
 

@@ -115,7 +115,7 @@ def scrub_batch(batch: pa.Table) -> pa.Table:
 
 def scrub_pii(sf_dir: str):
     """Redact emails / IPv4s / long digit runs from the text column."""
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -151,7 +151,7 @@ def doc_frequency(sf_dir: str, min_df: int = 1):
     driver): open-web vocabularies are dominated by df==1 junk tokens
     (URLs, hashes, typos), and pruning them bounds every downstream
     consumer of the vocabulary."""
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
     from ray.data.aggregate import Sum
 
     ds = (
@@ -229,7 +229,7 @@ def tfidf_top_term(sf_dir: str, min_df: int = 1,
     so the result is identical to the broadcast path."""
     import numpy as np
     import ray
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     from .link import get_broadcast
 

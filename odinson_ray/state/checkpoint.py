@@ -103,7 +103,7 @@ def kg_run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,
     each shard runs the full KG pipeline and writes its triples partition."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     from ..pipelines.kg import FLAGSHIP_RULES
     from ..sources.interleaved import build_interleaved
@@ -188,7 +188,7 @@ def kg_run_fragments(sf_dir: str, out_dir: str, fragments, rules_yaml: Optional[
       have their outputs removed and are marked retracted."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
-    import ray.data as rd
+    from ..sources.io import clean_rd as rd
 
     from ..pipelines.kg import FLAGSHIP_RULES
     from ..sources.interleaved import build_interleaved
