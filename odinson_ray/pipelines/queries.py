@@ -2486,7 +2486,8 @@ ORACLES["value_quantiles"] = ORACLE_VALUE_QUANTILES
 
 # ===================================== PageRank over the KG (iterative)
 
-def q_pagerank_entities(sf_dir: str, iters: int = 3, damping: float = 0.85):
+def q_pagerank_entities(sf_dir: str, iters: int = 3, damping: float = 0.85,
+                        checkpoint_dir: str | None = None):
     """PageRank power iteration over the canonical triple graph (no
     dangling-mass redistribution; rank(v) = (1-d)/N + d * sum over
     in-edges of rank(u)/outdeg(u), synchronized updates).
@@ -2494,12 +2495,33 @@ def q_pagerank_entities(sf_dir: str, iters: int = 3, damping: float = 0.85):
     Scale shape: ranks and edges stay Datasets end to end — each
     iteration is one hash_join (edge src x rank) + a map-side-combined
     groupby(dst) + one left-outer join back onto the node set. Nothing
-    node- or edge-sized ever lands on the driver; N is a count()."""
+    node- or edge-sized ever lands on the driver; N is a count().
+
+    ``checkpoint_dir`` (VERDICT r03 #7): when set, the per-run pins
+    (edges, degree-joined edges, and each iteration's ranks) spill to
+    partitioned parquet instead of living in the object store — the same
+    option connected_components has — so graphs near object-store
+    capacity trade memory residency for re-read bandwidth, and a killed
+    run can restart from the last written iteration."""
     from ray.data.aggregate import Count, Sum
 
     from odinson_ray.stages.shuffle import hash_join
 
     from .kg import triples_dataset
+
+    def pin(lazy_ds, name):
+        if checkpoint_dir is None:
+            return lazy_ds.materialize()
+        import os
+        import shutil
+
+        from odinson_ray.sources.io import clean_rd
+
+        path = os.path.join(checkpoint_dir, name)
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        lazy_ds.write_parquet(path)
+        return clean_rd.read_parquet(path)
 
     ds = triples_dataset(sf_dir)
 
@@ -2512,7 +2534,7 @@ def q_pagerank_entities(sf_dir: str, iters: int = 3, damping: float = 0.85):
         .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
         .drop_columns(["_c"])
     )
-    edges = edges.materialize()  # consumed K+2 times below
+    edges = pin(edges, "edges")  # consumed K+2 times below
     deg = edges.groupby("src").aggregate(Count(alias_name="d"))
 
     def endpoints(t: pa.Table) -> pa.Table:
@@ -2532,7 +2554,7 @@ def q_pagerank_entities(sf_dir: str, iters: int = 3, damping: float = 0.85):
     rank_schema = pa.schema([("v", str_t), ("r", f64)])
     edges_d = hash_join(edges, deg, on="src",
                         left_schema=edge_schema, right_schema=deg_schema)
-    edges_d = edges_d.materialize()  # (src, dst, d): reused every iteration
+    edges_d = pin(edges_d, "edges_d")  # (src, dst, d): reused every iteration
     ed_schema = pa.schema([("src", str_t), ("dst", str_t), ("d", pa.int64())])
 
     r0 = 1.0 / n_nodes
@@ -2540,7 +2562,7 @@ def q_pagerank_entities(sf_dir: str, iters: int = 3, damping: float = 0.85):
         lambda t, r0=r0: t.append_column("r", pa.array([r0] * len(t), f64)),
         batch_format="pyarrow",
     )
-    for _ in range(iters):
+    for it in range(iters):
         contrib = hash_join(edges_d, ranks, on="src", right_on="v",
                             left_schema=ed_schema, right_schema=rank_schema)
 
@@ -2564,6 +2586,8 @@ def q_pagerank_entities(sf_dir: str, iters: int = 3, damping: float = 0.85):
             return pa.table({"v": t["v"], "r": r})
 
         ranks = joined.map_batches(new_rank, batch_format="pyarrow")
+        if checkpoint_dir is not None:
+            ranks = pin(ranks, f"ranks_{it}")
     return ranks.map_batches(
         lambda t: pa.table({"entity": t["v"], "rank": pc.round(t["r"], 6)}),
         batch_format="pyarrow",
