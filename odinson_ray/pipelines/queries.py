@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from odinson_ray.stages.shuffle import rename_agg
+
 
 def _rd():
     # ray.data stand-in whose read_parquet strips pandas schema metadata
@@ -66,7 +68,7 @@ def q_lineitem_agg(sf_dir: str):
         })
         agg = pa.TableGroupBy(base, keys).aggregate(
             [("q", "sum"), ("p", "sum"), ("d", "sum"), ([], "count_all")])
-        return agg.rename_columns(keys + ["_q", "_p", "_d", "_n"])
+        return rename_agg(agg, keys, keys + ["_q", "_p", "_d", "_n"])
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -174,7 +176,7 @@ def q_revenue_by_nation(sf_dir: str):
             "revenue": rev,
         })
         agg = pa.TableGroupBy(base, ["n_name"]).aggregate([("revenue", "sum")])
-        return agg.rename_columns(["n_name", "revenue"])
+        return rename_agg(agg, ["n_name"], ["n_name", "revenue"])
 
     out = (
         rd.read_parquet(
@@ -2570,7 +2572,7 @@ def q_pagerank_entities(sf_dir: str, iters: int = 3, damping: float = 0.85,
             c = pc.divide(t["r"], pc.cast(t["d"], f64))
             g = pa.TableGroupBy(pa.table({"dst": t["dst"], "c": c}),
                                 ["dst"]).aggregate([("c", "sum")])
-            return g.rename_columns(["dst", "c"])
+            return rename_agg(g, ["dst"], ["dst", "c"])
 
         sums = (
             contrib.map_batches(partial_c, batch_format="pyarrow")

@@ -116,6 +116,11 @@ class GrammarMatcher:
         self.allow_trigger_overlaps = allow_trigger_overlaps
         self.verbosity = verbosity
         self.on_error = on_error
+        #: actor-lifetime count of documents converted to __error__ rows —
+        #: a visible counter so on_error='skip' never silently eats a
+        #: systematic failure (ADVICE r03: the reference logs each per-file
+        #: Try failure before continuing, IndexDocuments.scala:85-98)
+        self.error_doc_count = 0
         # metadata-filter PUSHDOWN (compile once per actor): when EVERY
         # extractor carries a metadata filter, a document rejected by all
         # of them can produce no mention — skip its annotation entirely.
@@ -293,6 +298,18 @@ class GrammarMatcher:
             except Exception as e:  # poison row: skip the DOCUMENT, not the task
                 if self.on_error == "raise":
                     raise
+                self.error_doc_count += 1
+                import logging
+
+                # one line per failed document: skip-mode must stay LOUD
+                # (a systematic matcher regression would otherwise surface
+                # as an empty-but-successful run once consumers filter by
+                # label). Consumers can also aggregate the __error__ rows.
+                logging.getLogger(__name__).warning(
+                    "GrammarMatcher: doc %s -> __error__ row (%s: %s) "
+                    "[%d error docs on this actor]",
+                    doc_id, type(e).__name__, str(e)[:120], self.error_doc_count,
+                )
                 col_doc.append(doc_id)
                 col_sent.append(-1)
                 col_label.append(self.ERROR_LABEL)

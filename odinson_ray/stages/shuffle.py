@@ -284,3 +284,14 @@ def salted_aggregate(ds, key: str, value: str, salt: int = 8, agg: str = "sum"):
         stage1 = salted.groupby([key, "_salt"]).aggregate(Sum(value, alias_name="_partial"))
     # stage 2 shuffles at most `salt` rows per key
     return stage1.groupby(key).aggregate(Sum("_partial", alias_name="total"))
+
+
+def rename_agg(agg: pa.Table, keys, names) -> pa.Table:
+    """Positionally rename a ``TableGroupBy.aggregate`` output, guarded:
+    pyarrow (16.x) emits group keys first, then aggregate columns — an
+    undocumented order this repo's combiners rely on. The assertion makes
+    a future Arrow reorder fail loudly instead of silently mislabeling
+    key/aggregate columns (ADVICE r03)."""
+    keys = list(keys)
+    assert agg.column_names[: len(keys)] == keys, (agg.column_names, keys)
+    return agg.rename_columns(list(names))

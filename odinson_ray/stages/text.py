@@ -138,7 +138,8 @@ def df_partial_batch(batch: pa.Table) -> pa.Table:
     })
     dd = pa.TableGroupBy(pair, ["tok", "_row"]).aggregate([])
     agg = pa.TableGroupBy(dd.select(["tok"]), ["tok"]).aggregate([([], "count_all")])
-    return agg.rename_columns(["tok", "partial_df"])
+    from .shuffle import rename_agg
+    return rename_agg(agg, ["tok"], ["tok", "partial_df"])
 
 
 def doc_frequency(sf_dir: str, min_df: int = 1):

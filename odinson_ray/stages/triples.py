@@ -120,14 +120,16 @@ def partial_count_triples(batch: pa.Table, keys) -> pa.Table:
     downstream pipeline ("Failed to hash the schemas" warning)."""
     keys = list(keys)
     agg = pa.TableGroupBy(batch.select(keys), keys).aggregate([([], "count_all")])
-    return agg.rename_columns(keys + ["partial_n"])
+    from .shuffle import rename_agg
+    return rename_agg(agg, keys, keys + ["partial_n"])
 
 
 def _sum_partials(batch: pa.Table, keys) -> pa.Table:
     """Second-level combiner: sum partial counts within a (large) batch."""
     keys = list(keys)
     agg = pa.TableGroupBy(batch, keys).aggregate([("partial_n", "sum")])
-    return agg.rename_columns(keys + ["partial_n"])
+    from .shuffle import rename_agg
+    return rename_agg(agg, keys, keys + ["partial_n"])
 
 
 def aggregate_triples(triples_ds, keys=("subj_canon", "pred", "obj_canon", "subj", "obj"),

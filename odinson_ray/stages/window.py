@@ -146,7 +146,8 @@ def running_total(ds, key: str = "user_id", ts: str = "ts",
             .group_by([key, "_bucket"])
             .aggregate([(value, "sum")])
         )
-        return g.rename_columns([key, "_bucket", "_ps"])
+        from .shuffle import rename_agg
+        return rename_agg(g, [key, "_bucket"], [key, "_bucket", "_ps"])
 
     def offsets(g: pa.Table) -> pa.Table:
         b = g["_bucket"].to_numpy(zero_copy_only=False)
