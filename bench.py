@@ -106,7 +106,17 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     import pyarrow as pa
 
     cache = f"/tmp/graft_bench_inputs/{os.path.basename(sf_dir)}_x{replicate}"
-    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+    # staleness stamp (ADVICE r03): regenerated testdata at the same path
+    # must invalidate the cache, or every bench leg silently reruns on old
+    # bytes — key the stamp on the source parquet's size + mtime
+    st = os.stat(path)
+    stamp = f"{st.st_size}:{int(st.st_mtime)}"
+    stamp_file = os.path.join(cache, "_SUCCESS")
+    cached_stamp = None
+    if os.path.exists(stamp_file):
+        with open(stamp_file) as fh:
+            cached_stamp = fh.read().strip() or None
+    if cached_stamp != stamp:
         import shutil
 
         tmp = cache + ".tmp"
@@ -120,7 +130,8 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
                 pc.add(base["doc_id"], i * base_rows),
             )
             pq.write_table(t, os.path.join(tmp, f"copy-{i:05d}.parquet"))
-        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write(stamp)
         shutil.rmtree(cache, ignore_errors=True)
         os.replace(tmp, cache)
     files = sorted(

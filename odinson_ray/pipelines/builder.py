@@ -111,11 +111,22 @@ class Pipeline:
                         if ray.is_initialized() else 0)
             except Exception:
                 cpus = 0
+            if cpus and cpus < 3:
+                # two pools + >=1 free CPU need at least 3 CPUs; flooring
+                # both pools at 1 would still occupy every CPU and the
+                # deadlock this guard exists for could occur (ADVICE r03)
+                raise ValueError(
+                    f"two-stage annotator topology needs >= 3 CPUs "
+                    f"(have {cpus}): 1 per pool plus >= 1 free for task "
+                    "stages; drop .annotator(...) to run annotation "
+                    "inline in the matcher pool"
+                )
             if cpus and pool_a + pool_m >= cpus:
                 import warnings
 
                 pool_a = max(1, min(pool_a, cpus - 2))
                 pool_m = max(1, cpus - 1 - pool_a)
+                assert pool_a + pool_m <= cpus - 1
                 warnings.warn(
                     f"annotator+matcher pools resized to {pool_a}+{pool_m} "
                     f"to keep >=1 of {cpus} CPUs free for task stages "
@@ -153,6 +164,7 @@ class Pipeline:
             # default shape: reuse the fused fast path (identical output)
             return triples_dataset(self._sf_dir, self._rules,
                                    concurrency=self._concurrency,
+                                   batch_size=self._batch_size,
                                    aggregate=self._aggregate,
                                    canonicalize=self._canonicalize)
         mentions = self.mentions()

@@ -136,7 +136,8 @@ class TripleCounter(GrammarMatcher):
 
 
 def fused_triple_counts(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
-                        concurrency: int = 4, docs_per_block: int = 2500):
+                        concurrency: int = 4, batch_size: int = 256,
+                        docs_per_block: int = 2500):
     """Fused flagship: documents -> TripleCounter pool -> combine ->
     one small groupby. Byte-identical aggregated output to the unfused
     chain (pinned by tests + the kg_triples oracle)."""
@@ -158,7 +159,7 @@ def fused_triple_counts(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
         fn_constructor_args=(rules_yaml,),
         batch_format="pyarrow",
         concurrency=clamp_pool(concurrency),
-        batch_size=256,
+        batch_size=batch_size,
         num_cpus=1,
     )
     return aggregate_triples(partials, pre_counted=True)
@@ -195,7 +196,8 @@ def checkpoint_triples(raw_triples, checkpoint_dir: Optional[str] = None):
 
 
 def triples_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
-                    concurrency: int = 4, aggregate: bool = True,
+                    concurrency: int = 4, batch_size: int = 256,
+                    aggregate: bool = True,
                     canonicalize: bool = True,
                     checkpoint_dir: Optional[str] = None):
     """Full KG pipeline; returns the aggregated triple Dataset."""
@@ -206,8 +208,10 @@ def triples_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
     if aggregate and canonicalize and checkpoint_dir is None:
         # fused fast path (identical output, fewer dispatched tasks and
         # no nested-mentions object-store hop — see TripleCounter)
-        return fused_triple_counts(sf_dir, rules_yaml, concurrency=concurrency)
-    mentions = mentions_dataset(sf_dir, rules_yaml, concurrency=concurrency)
+        return fused_triple_counts(sf_dir, rules_yaml, concurrency=concurrency,
+                                   batch_size=batch_size)
+    mentions = mentions_dataset(sf_dir, rules_yaml, concurrency=concurrency,
+                                batch_size=batch_size)
     events = mentions.map_batches(
         lambda t: t.filter(pc.equal(t["label"], "SVO")), batch_format="pyarrow"
     )
