@@ -289,8 +289,16 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
+    # min-of-N per leg, legs INTERLEAVED (lo,hi,lo,hi,...) so slow host
+    # drift (this box swings ~2x across hours) hits both legs alike; min
+    # is the right statistic because every disturbance only ADDS time
+    runs = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
+    lo_runs, hi_runs = [], []
+    for _ in range(runs):
+        lo_runs.append(run(lo_cpus))
+        hi_runs.append(run(hi_cpus))
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
     print(
         json.dumps(
@@ -302,6 +310,9 @@ def run_scaling() -> None:
                 "lo_cpus": lo_cpus,
                 "hi_cpus": hi_cpus,
                 "scaling_efficiency": round(eff, 3),
+                "runs_per_leg": runs,
+                f"all_sec_{lo_cpus}": [r["value"] for r in lo_runs],
+                f"all_sec_{hi_cpus}": [r["value"] for r in hi_runs],
                 "sf": SF_DIR,
             }
         )
