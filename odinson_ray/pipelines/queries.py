@@ -2848,3 +2848,436 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 QUERIES["event_gaps"] = q_event_gaps
 ORACLES["event_gaps"] = ORACLE_EVENT_GAPS
+
+
+# ===================================== BM25 retrieval top-k
+
+BM25_QUERY = ("scan", "window", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(sf_dir: str, k: int = 10):
+    """BM25 top-k documents for a fixed term query (Okapi BM25,
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1), k1=1.2, b=0.75; score
+    rounded to 6dp, doc_id ascending tie-break).
+
+    Distributed shape: the df aggregation is FILTERED TO THE QUERY TERMS
+    inside the per-batch combiner (per-batch rows <= |query|), so the
+    driver broadcast is |query|-sized regardless of corpus vocabulary;
+    avg doc length comes from one Sum/Count aggregate; scoring is one
+    vectorized map over the document stream feeding global_topk (per-
+    batch prune, the final sort sees <= k x batches rows)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from odinson_ray.sources.io import clean_rd as rd
+    from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.shuffle import global_topk, rename_agg
+    from odinson_ray.stages.text import df_partial_batch
+
+    terms = sorted(BM25_QUERY)
+    term_set = pa.array(terms, pa.string())
+
+    def df_query_terms(t: pa.Table) -> pa.Table:
+        part = df_partial_batch(t)
+        return part.filter(pc.is_in(part["tok"], value_set=term_set))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    dfs = {r["tok"]: r["df"] for r in (
+        docs.map_batches(df_query_terms, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("partial_df", alias_name="df"))
+        .take_all()  # <= |query| rows by construction
+    )}
+
+    def len_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        n = pc.sum(pc.list_value_length(toks)).as_py() or 0
+        return pa.table({"_n_tok": pa.array([n], pa.int64()),
+                         "_n_doc": pa.array([len(t)], pa.int64())})
+
+    totals = (
+        docs.map_batches(len_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table({
+                "_n_tok": pa.array([pc.sum(t["_n_tok"]).as_py() or 0], pa.int64()),
+                "_n_doc": pa.array([pc.sum(t["_n_doc"]).as_py() or 0], pa.int64()),
+            }),
+            batch_size=1 << 20, batch_format="pyarrow")
+        .take_all()
+    )
+    n_docs = sum(r["_n_doc"] for r in totals)
+    avg_len = sum(r["_n_tok"] for r in totals) / n_docs
+    idf = {t: float(np.log((n_docs - dfs.get(t, 0) + 0.5)
+                           / (dfs.get(t, 0) + 0.5) + 1.0)) for t in terms}
+    ref = ray.put((terms, idf, avg_len))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q_terms, q_idf, avg = get_broadcast(ref)
+        toks = pc.split_pattern(batch["text"], " ")
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avg)
+        total = np.zeros(len(batch), dtype=np.float64)
+        flat = pa.table({"_row": pc.list_parent_indices(toks),
+                         "tok": pc.list_flatten(toks)})
+        for t in q_terms:
+            hit = flat.filter(pc.equal(flat["tok"], t))
+            tf = np.zeros(len(batch), dtype=np.float64)
+            rows = hit["_row"].to_numpy(zero_copy_only=False)
+            np.add.at(tf, rows, 1.0)
+            total += q_idf[t] * (tf * (_BM25_K1 + 1.0)) / (tf + norm)
+        out = pa.table({
+            "doc_id": batch["doc_id"],
+            "score": pa.array(np.round(total, 6), pa.float64()),
+        })
+        return out.filter(pc.greater(out["score"], 0.0))
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    return global_topk(scored, ["score", "doc_id"], [True, False], k)
+
+
+ORACLE_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(len) AS avg_len FROM dl),
+q(tok) AS (VALUES ('scan'), ('window'), ('merge')),
+df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+  WHERE tok IN (SELECT tok FROM q) GROUP BY tok
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+  WHERE tok IN (SELECT tok FROM q) GROUP BY doc_id, tok
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / stats.avg_len))) AS s
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM scored
+WHERE round(s, 6) > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+QUERIES["bm25_topk"] = q_bm25_topk
+ORACLES["bm25_topk"] = ORACLE_BM25_TOPK
+
+
+# ===================================== deterministic train/val/test split
+
+def q_doc_split_counts(sf_dir: str):
+    """Deterministic hash split (train/val/test 80/10/10): bucket =
+    first-8-hex-chars of md5(doc_id as string) mod 100 — a pure function
+    of the key, so assignment is reproducible at any parallelism, any
+    retry, any shard order (the property a 100-TB split must have; no
+    RNG state, no coordination). Returns per-split doc counts."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import rename_agg
+
+    rd = _rd()
+
+    def assign(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids), dtype=np.int64, count=len(ids))
+        split = np.where(buckets < 80, "train",
+                         np.where(buckets < 90, "val", "test"))
+        g = pa.TableGroupBy(
+            pa.table({"split": pa.array(split.tolist(), pa.string())}),
+            ["split"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["split"], ["split", "partial_n"])
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("split").aggregate(Sum("partial_n", alias_name="n_docs"))
+    )
+
+
+ORACLE_DOC_SPLIT_COUNTS = """
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1
+"""
+
+QUERIES["doc_split_counts"] = q_doc_split_counts
+ORACLES["doc_split_counts"] = ORACLE_DOC_SPLIT_COUNTS
+
+
+# ===================================== corpus top-k tokens (heavy hitters)
+
+def q_top_tokens(sf_dir: str, k: int = 20):
+    """Exact corpus-wide top-k tokens by total occurrence count: per-batch
+    token-count combiner (one row per distinct token per batch) ->
+    groupby sum -> global top-k (count desc, token asc)."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import global_topk, rename_agg
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        g = pa.TableGroupBy(pa.table({"tok": pc.list_flatten(toks)}),
+                            ["tok"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["tok"], ["tok", "partial_n"])
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("partial_n", alias_name="n"))
+    )
+    return global_topk(counts, ["n", "tok"], [True, False], k)
+
+
+ORACLE_TOP_TOKENS = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t
+GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+"""
+
+QUERIES["top_tokens"] = q_top_tokens
+ORACLES["top_tokens"] = ORACLE_TOP_TOKENS
+
+
+# ===================================== bigram successor model
+
+def q_bigram_next(sf_dir: str):
+    """For every token, its most frequent successor (count desc, successor
+    asc tie-break) with the bigram count — the unsmoothed argmax of a
+    bigram LM's conditional. Per-batch bigram-count combiner -> groupby
+    sum over (tok, next) -> per-key argmax via the grouped-topk pattern
+    (per-batch prune keeps <= 1 row per tok, so no hot head-word floods
+    one reducer)."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import grouped_topk, rename_agg
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        rows = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "next": pa.array([], pa.string()),
+                             "partial_n": pa.array([], pa.int64())})
+        same_doc = rows[1:] == rows[:-1]
+        g = pa.TableGroupBy(pa.table({
+            "tok": pa.array(flat[:-1][same_doc].tolist(), pa.string()),
+            "next": pa.array(flat[1:][same_doc].tolist(), pa.string()),
+        }), ["tok", "next"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["tok", "next"], ["tok", "next", "partial_n"])
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["tok", "next"]).aggregate(Sum("partial_n", alias_name="n"))
+    )
+    return grouped_topk(counts, "tok", ["n", "next"], [True, False], 1)
+
+
+ORACLE_BIGRAM_NEXT = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bi AS (
+  SELECT unnest(ts[1:len(ts)-1]) AS tok, unnest(ts[2:len(ts)]) AS next FROM toks
+),
+c AS (SELECT tok, next, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY tok, next)
+SELECT tok, next, n FROM c
+QUALIFY row_number() OVER (PARTITION BY tok ORDER BY n DESC, next ASC) = 1
+"""
+
+QUERIES["bigram_next"] = q_bigram_next
+ORACLES["bigram_next"] = ORACLE_BIGRAM_NEXT
+
+
+# ===================================== event-type affinity (PMI)
+
+def q_event_type_pmi(sf_dir: str, min_pair: int = 5):
+    """PMI between users and event types: ln(N * c_ut / (c_u * c_t)) for
+    (user, type) pairs with count >= min_pair, rounded to 6dp. Three
+    combiner-first aggregates (pair, user, type marginals) + two
+    distributed hash joins attach the marginals — association mining
+    shaped exactly like the co-occurrence scoring a KG linker uses."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import hash_join, rename_agg
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["user_id", "event_type"]),
+                            ["user_id", "event_type"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["user_id", "event_type"],
+                          ["user_id", "event_type", "partial_n"])
+
+    pairs = (
+        ev.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"]).aggregate(Sum("partial_n", alias_name="c_ut"))
+    )
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c_ut"], min_pair)),
+        batch_format="pyarrow")
+
+    def u_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["user_id"]), ["user_id"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(g, ["user_id"], ["user_id", "partial_n"])
+
+    def t_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["event_type"]), ["event_type"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(g, ["event_type"], ["event_type", "partial_n"])
+
+    users = (ev.map_batches(u_partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Sum("partial_n", alias_name="c_u")))
+    types = (ev.map_batches(t_partial, batch_format="pyarrow")
+             .groupby("event_type").aggregate(Sum("partial_n", alias_name="c_t")))
+    n_events = ev.count()
+
+    i64, s = pa.int64(), pa.string()
+    j1 = hash_join(
+        pairs, users, on="user_id",
+        left_schema=pa.schema([("user_id", i64), ("event_type", s), ("c_ut", i64)]),
+        right_schema=pa.schema([("user_id", i64), ("c_u", i64)]))
+    j2 = hash_join(
+        j1, types, on="event_type",
+        left_schema=pa.schema([("user_id", i64), ("event_type", s),
+                               ("c_ut", i64), ("c_u", i64)]),
+        right_schema=pa.schema([("event_type", s), ("c_t", i64)]))
+
+    def pmi(t: pa.Table) -> pa.Table:
+        c_ut = t["c_ut"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_u = t["c_u"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_t = t["c_t"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.round(np.log(float(n_events) * c_ut / (c_u * c_t)), 6)
+        return pa.table({"user_id": t["user_id"], "event_type": t["event_type"],
+                         "pmi": pa.array(v, pa.float64())})
+
+    return j2.map_batches(pmi, batch_format="pyarrow")
+
+
+ORACLE_EVENT_TYPE_PMI = """
+WITH p AS (
+  SELECT user_id, event_type, count(*) AS c_ut FROM events
+  GROUP BY user_id, event_type HAVING count(*) >= 5
+),
+u AS (SELECT user_id, count(*) AS c_u FROM events GROUP BY user_id),
+t AS (SELECT event_type, count(*) AS c_t FROM events GROUP BY event_type),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events)
+SELECT p.user_id, p.event_type,
+       round(ln(n.n * p.c_ut / (u.c_u * t.c_t)), 6) AS pmi
+FROM p JOIN u USING (user_id) JOIN t USING (event_type) CROSS JOIN n
+"""
+
+QUERIES["event_type_pmi"] = q_event_type_pmi
+ORACLES["event_type_pmi"] = ORACLE_EVENT_TYPE_PMI
+
+
+# ===================================== per-group z-score normalization
+
+def q_value_zscore(sf_dir: str):
+    """Per-event z-score of value within its event_type (population
+    stddev), rounded to 4dp. Combiner computes per-batch (sum, sumsq,
+    count) per group — three numbers per (group, batch) — the small
+    groupby merges them into mean/std, and the per-event normalize is a
+    broadcast-join of the tiny group-stats table inside map_batches
+    (groups are event TYPES: bounded cardinality, so broadcast is the
+    right side)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.shuffle import rename_agg
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = t["value"]
+        base = pa.table({
+            "event_type": t["event_type"],
+            "_s": v,
+            "_s2": pc.multiply(v, v),
+        })
+        g = pa.TableGroupBy(base, ["event_type"]).aggregate(
+            [("_s", "sum"), ("_s2", "sum"), ([], "count_all")])
+        return rename_agg(g, ["event_type"], ["event_type", "_s", "_s2", "_n"])
+
+    stats = {}
+    for r in (
+        ev.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("_s", alias_name="s"), Sum("_s2", alias_name="s2"),
+                   Sum("_n", alias_name="n"))
+        .take_all()  # one row per event TYPE (bounded small)
+    ):
+        mean = r["s"] / r["n"]
+        var = max(r["s2"] / r["n"] - mean * mean, 0.0)
+        stats[r["event_type"]] = (mean, float(np.sqrt(var)))
+    ref = ray.put(stats)
+
+    def zscore(t: pa.Table) -> pa.Table:
+        st = get_broadcast(ref)
+        types = t["event_type"].to_pylist()
+        v = t["value"].to_numpy(zero_copy_only=False)
+        mean = np.array([st[x][0] for x in types])
+        std = np.array([st[x][1] for x in types])
+        z = np.round((v - mean) / std, 4)
+        return pa.table({"event_id": t["event_id"],
+                         "z": pa.array(z, pa.float64())})
+
+    return ev.map_batches(zscore, batch_format="pyarrow")
+
+
+ORACLE_VALUE_ZSCORE = """
+SELECT event_id,
+       round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_pop(value) OVER (PARTITION BY event_type), 4) AS z
+FROM events
+"""
+
+QUERIES["value_zscore"] = q_value_zscore
+ORACLES["value_zscore"] = ORACLE_VALUE_ZSCORE
+
+
+# ===================================== HLL approximate distinct (sketch)
+
+def q_approx_users_per_type(sf_dir: str):
+    """Approximate distinct users per event type via a mergeable
+    HyperLogLog sketch (stages/sketch.py, p=12 -> ~1.6% rse). No SQL
+    oracle (approximate by design — the exact twin is
+    distinct_users_per_type); accuracy pinned by pytest against the
+    exact counts."""
+    from odinson_ray.stages.sketch import hll_distinct
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return hll_distinct(ev, group="event_type", value="user_id",
+                        out="approx_users")
+
+
+QUERIES["approx_users_per_type"] = q_approx_users_per_type
+# no ORACLES entry: approximate result, rows-only driver check by design
