@@ -3281,3 +3281,254 @@ def q_approx_users_per_type(sf_dir: str):
 
 QUERIES["approx_users_per_type"] = q_approx_users_per_type
 # no ORACLES entry: approximate result, rows-only driver check by design
+
+
+# ===================================== media near-dup groups (pHash stub)
+
+def q_media_phash_groups(sf_dir: str):
+    """Media near-duplicate groups: perceptual-hash each media span
+    (actor pool; the hash itself is an honestly-STUBBED deterministic
+    fake — no codecs in this environment — with the real pHash slotting
+    into the same actor), then group by (kind, phash) keeping groups
+    with >= 2 assets: (kind, phash, n_assets, canonical_ref = min ref).
+    The shuffle key is the 16-char hash, never payload bytes."""
+    from ray.data.aggregate import Count, Min
+
+    from odinson_ray.sources.interleaved import read_interleaved
+    from odinson_ray.stages.media import MediaPerceptualHasher
+
+    def explode_media(t: pa.Table) -> pa.Table:
+        spans = t["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        ids = t["doc_id"].combine_chunks().take(parents)
+        out = pa.table({
+            "doc_id": ids,
+            "kind": flat.field("kind"),
+            "media_ref": flat.field("media_ref"),
+        })
+        return out.filter(pc.not_equal(out["kind"], "text"))
+
+    manifest = read_interleaved(sf_dir).map_batches(
+        explode_media, batch_format="pyarrow")
+    hashed = manifest.map_batches(
+        MediaPerceptualHasher, concurrency=2, batch_format="pyarrow")
+    groups = (
+        hashed.groupby(["kind", "phash"])
+        .aggregate(Count(alias_name="n_assets"),
+                   Min("media_ref", alias_name="canonical_ref"))
+    )
+    return groups.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_assets"], 2)),
+        batch_format="pyarrow")
+
+
+ORACLE_MEDIA_PHASH_GROUPS = """
+WITH media AS (
+  SELECT 'image' AS kind, 'media://img/' || doc_id AS media_ref, doc_id
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'audio' AS kind, 'media://aud/' || doc_id AS media_ref, doc_id
+  FROM documents WHERE doc_id % 11 = 0
+),
+hashed AS (
+  SELECT kind, media_ref,
+         substr(md5(kind || ':' || CAST(doc_id % 97 AS VARCHAR)), 1, 16) AS phash
+  FROM media
+)
+SELECT kind, phash, CAST(count(*) AS BIGINT) AS n_assets,
+       min(media_ref) AS canonical_ref
+FROM hashed GROUP BY kind, phash HAVING count(*) >= 2
+"""
+
+QUERIES["media_phash_groups"] = q_media_phash_groups
+ORACLES["media_phash_groups"] = ORACLE_MEDIA_PHASH_GROUPS
+
+
+# ===================================== embedding norms (vector kernel)
+
+def q_embedding_norm_topk(sf_dir: str, k: int = 10):
+    """Top-k embedding vectors by L2 norm (round 6, vec_id asc tie-break):
+    per-batch zero-copy reshape of the fixed-width list column into an
+    (n, d) numpy matrix, one vectorized norm, then the pruned global
+    top-k."""
+    from odinson_ray.stages.shuffle import global_topk
+
+    rd = _rd()
+
+    def norms(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(t), -1)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "norm": pa.array(np.round(np.sqrt((mat * mat).sum(axis=1)), 6),
+                             pa.float64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return global_topk(ds.map_batches(norms, batch_format="pyarrow"),
+                       ["norm", "vec_id"], [True, False], k)
+
+
+ORACLE_EMBEDDING_NORM_TOPK = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+FROM embeddings
+ORDER BY norm DESC, vec_id ASC LIMIT 10
+"""
+
+QUERIES["embedding_norm_topk"] = q_embedding_norm_topk
+ORACLES["embedding_norm_topk"] = ORACLE_EMBEDDING_NORM_TOPK
+
+
+# ===================================== bigram-LM document perplexity
+
+def q_doc_perplexity(sf_dir: str):
+    """Per-document cross-entropy under the corpus's own unsmoothed bigram
+    model: mean over a doc's bigram positions of -ln(c(tok,next)/c(tok,*)),
+    rounded to 6dp (docs with < 2 tokens drop out).
+
+    Fully distributed, NO model on the driver (the tfidf join-path shape):
+    per-doc distinct-bigram rows (doc_id, bigram, n_positions) hash-join
+    the corpus bigram-count Dataset on the composite bigram key; per-group
+    partial (doc_id, sum_nll, n) rows come out of the join reducer, and
+    one groupby(doc_id) finishes the mean. At web scale the bigram model
+    (|V|^2-bounded) is exactly the table one must NOT broadcast."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import hash_join, rename_agg
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    SEP = "\x1f"
+
+    def _bigram_cols(t: pa.Table):
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        rows = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return None
+        same = rows[1:] == rows[:-1]
+        return rows[:-1][same], flat[:-1][same], flat[1:][same]
+
+    def model_partial(t: pa.Table) -> pa.Table:
+        cols = _bigram_cols(t)
+        if cols is None:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "partial_n": pa.array([], pa.int64())})
+        _, head, nxt = cols
+        bg = np.char.add(np.char.add(head.astype(str), SEP), nxt.astype(str))
+        g = pa.TableGroupBy(pa.table({"bg": pa.array(bg.tolist(), pa.string())}),
+                            ["bg"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["bg"], ["bg", "partial_n"])
+
+    model = (
+        docs.map_batches(model_partial, batch_format="pyarrow")
+        .groupby("bg").aggregate(Sum("partial_n", alias_name="c_bg"))
+    )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        cols = _bigram_cols(t)
+        if cols is None:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bg": pa.array([], pa.string()),
+                             "n_pos": pa.array([], pa.int64())})
+        rows, head, nxt = cols
+        bg = np.char.add(np.char.add(head.astype(str), SEP), nxt.astype(str))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[rows]
+        g = pa.TableGroupBy(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "bg": pa.array(bg.tolist(), pa.string()),
+        }), ["doc_id", "bg"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["doc_id", "bg"], ["doc_id", "bg", "n_pos"])
+
+    doc_bg = docs.map_batches(doc_rows, batch_format="pyarrow")
+
+    # head counts: sum of bigram counts per head token
+    def head_of(t: pa.Table) -> pa.Table:
+        heads = [b.split(SEP, 1)[0] for b in t["bg"].to_pylist()]
+        g = pa.TableGroupBy(pa.table({
+            "head": pa.array(heads, pa.string()),
+            "c": t["c_bg"],
+        }), ["head"]).aggregate([("c", "sum")])
+        return rename_agg(g, ["head"], ["head", "partial_n"])
+
+    heads = (
+        model.map_batches(head_of, batch_format="pyarrow")
+        .groupby("head").aggregate(Sum("partial_n", alias_name="c_head"))
+    )
+
+    i64, s = pa.int64(), pa.string()
+    model_full = hash_join(
+        model.map_batches(
+            lambda t: t.append_column(
+                "head", pa.array([b.split(SEP, 1)[0] for b in t["bg"].to_pylist()],
+                                 pa.string())),
+            batch_format="pyarrow"),
+        heads, on="head",
+        left_schema=pa.schema([("bg", s), ("c_bg", i64), ("head", s)]),
+        right_schema=pa.schema([("head", s), ("c_head", i64)]))
+
+    def score_group(g: pa.Table) -> pa.Table:
+        """One bigram's group: every doc row gets the same -ln(c_bg/c_head);
+        emit per-doc partial (sum_nll, n) rows."""
+        nll = -np.log(g["c_bg"].to_numpy(zero_copy_only=False).astype(np.float64)
+                      / g["c_head"].to_numpy(zero_copy_only=False).astype(np.float64))
+        n_pos = g["n_pos"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "_nll": pa.array(nll * n_pos, pa.float64()),
+            "_n": pa.array(n_pos, pa.float64()),
+        })
+
+    joined = hash_join(
+        doc_bg, model_full, on="bg",
+        left_schema=pa.schema([("doc_id", i64), ("bg", s), ("n_pos", i64)]),
+        right_schema=pa.schema([("bg", s), ("c_bg", i64), ("head", s),
+                                ("c_head", i64)]),
+        merge_post=score_group)
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["doc_id", "_nll", "_n"]),
+                            ["doc_id"]).aggregate([("_nll", "sum"), ("_n", "sum")])
+        return rename_agg(g, ["doc_id"], ["doc_id", "_nll", "_n"])
+
+    sums = (
+        joined.map_batches(partial_sums, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("_nll", alias_name="nll"), Sum("_n", alias_name="n"))
+    )
+    return sums.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "avg_nll": pa.array(
+                np.round(t["nll"].to_numpy(zero_copy_only=False)
+                         / t["n"].to_numpy(zero_copy_only=False), 6),
+                pa.float64()),
+        }),
+        batch_format="pyarrow")
+
+
+ORACLE_DOC_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bi AS (
+  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS tok, unnest(ts[2:len(ts)]) AS next
+  FROM toks
+),
+m AS (SELECT tok, next, CAST(count(*) AS DOUBLE) AS c_bg FROM bi GROUP BY tok, next),
+h AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c_head FROM bi GROUP BY tok)
+SELECT bi.doc_id, round(avg(-ln(m.c_bg / h.c_head)), 6) AS avg_nll
+FROM bi JOIN m USING (tok, next) JOIN h USING (tok)
+GROUP BY bi.doc_id
+"""
+
+QUERIES["doc_perplexity"] = q_doc_perplexity
+ORACLES["doc_perplexity"] = ORACLE_DOC_PERPLEXITY

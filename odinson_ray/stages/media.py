@@ -160,3 +160,33 @@ def video_frames(sf_dir: str, fps: float = 1.0, max_frames: int = 8,
         batch_size=batch_size,
         num_cpus=1,
     )
+
+
+def _phash_stub(kind: str, media_ref: str) -> str:
+    """STUB perceptual hash: deterministic fake that buckets media into
+    collision groups (kind + a mod-97 residue of the trailing id digits),
+    emulating what a real pHash does to near-identical assets. Replace
+    with a real perceptual hasher (pHash/aHash over decoded pixels /
+    chromaprint over audio) inside the same actor — plumbing unchanged."""
+    import hashlib
+
+    digits = "".join(c for c in media_ref if c.isdigit()) or "0"
+    return hashlib.md5(f"{kind}:{int(digits) % 97}".encode()).hexdigest()[:16]
+
+
+class MediaPerceptualHasher:
+    """Actor-pool stage: media manifest rows -> (media_ref, kind, phash).
+    A real decoder+hasher loads once here in __init__."""
+
+    def __init__(self):
+        self.phash = _phash_stub  # real perceptual hasher goes here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "phash": pa.array([self.phash(k, r) for k, r in zip(kinds, refs)],
+                              pa.string()),
+        })
