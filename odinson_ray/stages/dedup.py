@@ -136,14 +136,13 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
 def _bucket_pairs(g: pa.Table) -> pa.Table:
     """Arrow-format group fn: cheap per-group overhead matters — LSH
     banding produces one (usually singleton) group per band hash."""
-    ids = sorted({v for v in g["doc_id"].to_pylist()})
-    a: List[int] = []
-    b: List[int] = []
-    for i, x in enumerate(ids):
-        for y in ids[i + 1 :]:
-            a.append(x)
-            b.append(y)
-    return pa.table({"a_id": pa.array(a, pa.int64()), "b_id": pa.array(b, pa.int64())})
+    ids = np.unique(g["doc_id"].to_numpy(zero_copy_only=False))
+    if len(ids) < 2:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pa.table({"a_id": pa.array(ids[ia], pa.int64()),
+                     "b_id": pa.array(ids[ib], pa.int64())})
 
 
 def jaccard(a: str, b: str, n: int = 3) -> float:
