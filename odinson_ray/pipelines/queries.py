@@ -3532,3 +3532,156 @@ GROUP BY bi.doc_id
 
 QUERIES["doc_perplexity"] = q_doc_perplexity
 ORACLES["doc_perplexity"] = ORACLE_DOC_PERPLEXITY
+
+
+# ===================================== event transition matrix (Markov counts)
+
+def q_event_transitions(sf_dir: str):
+    """(from_type, to_type, n) transition counts over each user's
+    (ts, event_id)-ordered stream — skew-safe two-stage decomposition
+    (stages/window.event_transitions): within-bucket pairs + one boundary
+    row per (user, bucket); no task ever holds more than one bucket of
+    one user."""
+    from odinson_ray.stages.window import event_transitions
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    return event_transitions(ev)
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+QUERIES["event_transitions"] = q_event_transitions
+ORACLES["event_transitions"] = ORACLE_EVENT_TRANSITIONS
+
+
+# ===================================== funnel (A strictly before B)
+
+def q_funnel_users(sf_dir: str, a: str = "view", b: str = "purchase"):
+    """Number of users with at least one '{a}' event strictly before a
+    '{b}' event (min ts(a) < max ts(b)): per-batch min/max combiner per
+    user, one groupby, one filtered count — three numbers per (user,
+    batch) cross the shuffle, never events."""
+    from ray.data.aggregate import Max, Min
+
+    from odinson_ray.stages.shuffle import rename_agg
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = pc.cast(t["ts"], pa.int64())
+        base = pa.table({
+            "user_id": t["user_id"],
+            "_a": pc.if_else(pc.equal(t["event_type"], a), tsv,
+                             pa.nulls(len(t), pa.int64())),
+            "_b": pc.if_else(pc.equal(t["event_type"], b), tsv,
+                             pa.nulls(len(t), pa.int64())),
+        })
+        g = pa.TableGroupBy(base, ["user_id"]).aggregate(
+            [("_a", "min"), ("_b", "max")])
+        return rename_agg(g, ["user_id"], ["user_id", "_a", "_b"])
+
+    stats = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("_a", alias_name="first_a"),
+                   Max("_b", alias_name="last_b"))
+    )
+    hits = stats.map_batches(
+        lambda t: t.filter(pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t["first_a"]), pc.is_valid(t["last_b"])),
+            pc.less(t["first_a"], t["last_b"]))),
+        batch_format="pyarrow")
+    return pd.DataFrame({"n_users": [int(hits.count())]})
+
+
+ORACLE_FUNNEL_USERS = """
+WITH s AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_a,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_b
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users
+FROM s WHERE first_a IS NOT NULL AND last_b IS NOT NULL AND first_a < last_b
+"""
+
+QUERIES["funnel_users"] = q_funnel_users
+ORACLES["funnel_users"] = ORACLE_FUNNEL_USERS
+
+
+# ===================================== per-label embedding centroids
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label per-dimension centroid of the embedding column in long
+    format (label, dim, centroid round 6): per-batch (n, d) matrix
+    reshape + one np.add.at per label -> (label, dim, psum, pn) partial
+    rows (|labels| x d per batch), one groupby finishes the mean. The
+    vector column itself never shuffles."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(t), -1)
+        d = mat.shape[1]
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int32()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), len(uniq)), pa.int32()),
+            "_s": pa.array(sums.ravel(), pa.float64()),
+            "_n": pa.array(np.repeat(counts, d).astype(np.int64)),
+        })
+
+    sums = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("_s", alias_name="s"), Sum("_n", alias_name="n"))
+    )
+    return sums.map_batches(
+        lambda t: pa.table({
+            "label": t["label"],
+            "dim": t["dim"],
+            "centroid": pa.array(
+                np.round(t["s"].to_numpy(zero_copy_only=False)
+                         / t["n"].to_numpy(zero_copy_only=False), 6),
+                pa.float64()),
+        }),
+        batch_format="pyarrow")
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+WITH flat AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT CAST(label AS INTEGER) AS label, CAST(dim AS INTEGER) AS dim,
+       round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+FROM flat GROUP BY label, dim
+"""
+
+QUERIES["embedding_centroids"] = q_embedding_centroids
+ORACLES["embedding_centroids"] = ORACLE_EMBEDDING_CENTROIDS

@@ -367,3 +367,105 @@ def pd_isnan(a: np.ndarray) -> np.ndarray:
     if np.issubdtype(a.dtype, np.floating):
         return np.isnan(a)
     return np.zeros(len(a), dtype=bool)
+
+
+def event_transitions(ds, key: str = "user_id", ts: str = "ts",
+                      order: str = "event_id", type_col: str = "event_type",
+                      bucket_s: int = 86400):
+    """Markov transition counts (from_type, to_type, n) over each key's
+    (ts, order)-sorted event stream, skew-safe.
+
+    Stage 1 (groupby (key, bucket)): within-bucket consecutive-pair
+    counts, plus ONE boundary row per group carrying the bucket's first
+    and last event types. Stage 2 (groupby key over boundary rows only,
+    O(#buckets) per key): transitions across consecutive NONEMPTY buckets
+    in bucket order. Every adjacent pair of a key's ordered stream is
+    counted exactly once — inside its bucket or at one boundary. The
+    final (from, to) groupby input is bounded by |types|^2 per stage-1
+    group plus one row per bucket pair, never by event count.
+
+    Both row kinds share one schema (kind 0 = transition partial,
+    kind 1 = boundary) so stage 1 is ONE shuffle; the stage-1 output is
+    materialized because it feeds two consumers (partial stream +
+    boundary merge) — it is partial-count-sized, not event-sized."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import rename_agg
+
+    def partials(g: pa.Table) -> pa.Table:
+        tsv = pc.cast(pc.cast(g[ts], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = pc.cast(g[order], pa.int64()).to_numpy(zero_copy_only=False)
+        types = np.asarray(g[type_col].to_pylist(), dtype=object)
+        o = np.lexsort((ids, tsv))
+        t_sorted = types[o]
+        kv, bv = g[key].slice(0, 1), g["_bucket"].slice(0, 1)
+        rows = {"_kind": [], key: [], "_bucket": [], "_a": [], "_b": [], "_n": []}
+        if len(t_sorted) > 1:
+            pair = pa.table({
+                "_a": pa.array(t_sorted[:-1].tolist(), pa.string()),
+                "_b": pa.array(t_sorted[1:].tolist(), pa.string()),
+            })
+            agg = pa.TableGroupBy(pair, ["_a", "_b"]).aggregate([([], "count_all")])
+            agg = rename_agg(agg, ["_a", "_b"], ["_a", "_b", "_n"])
+            n = agg.num_rows
+            rows["_kind"].extend([0] * n)
+            rows[key].extend([kv[0].as_py()] * n)
+            rows["_bucket"].extend([bv[0].as_py()] * n)
+            rows["_a"].extend(agg["_a"].to_pylist())
+            rows["_b"].extend(agg["_b"].to_pylist())
+            rows["_n"].extend(agg["_n"].to_pylist())
+        rows["_kind"].append(1)
+        rows[key].append(kv[0].as_py())
+        rows["_bucket"].append(bv[0].as_py())
+        rows["_a"].append(t_sorted[0])   # bucket's first event type
+        rows["_b"].append(t_sorted[-1])  # bucket's last event type
+        rows["_n"].append(0)
+        return pa.table({
+            "_kind": pa.array(rows["_kind"], pa.int8()),
+            key: pa.array(rows[key]),
+            "_bucket": pa.array(rows["_bucket"], pa.int64()),
+            "_a": pa.array(rows["_a"], pa.string()),
+            "_b": pa.array(rows["_b"], pa.string()),
+            "_n": pa.array(rows["_n"], pa.int64()),
+        })
+
+    bucketed = ds.map_batches(lambda t: _with_bucket(t, ts, bucket_s),
+                              batch_format="pyarrow")
+    stage1 = bucketed.groupby([key, "_bucket"]).map_groups(
+        partials, batch_format="pyarrow").materialize()
+
+    within = stage1.map_batches(
+        lambda t: t.filter(pc.equal(t["_kind"], 0)).select(["_a", "_b", "_n"]),
+        batch_format="pyarrow")
+
+    def boundary_merge(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.equal(g["_kind"], 1))
+        o = pc.sort_indices(g["_bucket"])
+        first = np.asarray(g["_a"].take(o).to_pylist(), dtype=object)
+        last = np.asarray(g["_b"].take(o).to_pylist(), dtype=object)
+        if len(first) < 2:
+            return pa.table({"_a": pa.array([], pa.string()),
+                             "_b": pa.array([], pa.string()),
+                             "_n": pa.array([], pa.int64())})
+        return pa.table({
+            "_a": pa.array(last[:-1].tolist(), pa.string()),
+            "_b": pa.array(first[1:].tolist(), pa.string()),
+            "_n": pa.array(np.ones(len(first) - 1, dtype=np.int64)),
+        })
+
+    across = stage1.groupby(key).map_groups(boundary_merge, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t, ["_a", "_b"]).aggregate([("_n", "sum")])
+        return rename_agg(agg, ["_a", "_b"], ["_a", "_b", "_n"])
+
+    return (
+        within.union(across)
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby(["_a", "_b"]).aggregate(Sum("_n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table({"from_type": t["_a"], "to_type": t["_b"],
+                                "n": t["n"]}),
+            batch_format="pyarrow")
+    )

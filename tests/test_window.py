@@ -149,3 +149,33 @@ def test_asof_join_zipfian(tmp_path):
     want = _ref_asof(ev_df, ord_df).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got[["event_id", "user_id", "last_orderkey"]], want)
+
+
+def test_event_transitions_zipfian(tmp_path):
+    """Transition counts match a single-group pandas reference under a
+    Zipfian-hot user, including transitions across bucket boundaries and
+    across EMPTY calendar buckets."""
+    import ray.data as rd
+
+    from odinson_ray.stages.window import event_transitions
+
+    path, df = _zipf_events(tmp_path)
+    rng = np.random.default_rng(3)
+    df = df.copy()
+    df["event_type"] = rng.choice(["a", "b", "c"], size=len(df))
+    p = tmp_path / "typed.parquet"
+    df.to_parquet(p, index=False)
+
+    got = (
+        event_transitions(rd.read_parquet(str(p)), bucket_s=86400)
+        .to_pandas().sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    )
+    ref = (
+        df.sort_values(["user_id", "ts", "event_id"])
+        .assign(next_type=lambda d: d.groupby("user_id")["event_type"].shift(-1))
+        .dropna(subset=["next_type"])
+        .groupby(["event_type", "next_type"]).size().rename("n").reset_index()
+        .rename(columns={"event_type": "from_type", "next_type": "to_type"})
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref.astype({"n": "int64"}))
