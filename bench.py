@@ -6,9 +6,11 @@
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32),
-     BENCH_REPLICATE (default 96: input replication factor for the headline
-     — 480k docs at sf0.1, enough that per-job fixed costs are a minor
-     fraction; copies carry disjoint doc_id ranges; --scaling uses 384).
+     BENCH_REPLICATE (default 768: input replication factor for the headline
+     — 3.84M docs at sf0.1; at the old 480k-doc default the ~4 s of
+     per-job fixed cost diluted measured throughput ~40% below steady
+     state (55k vs 90-110k docs/s, A/B'd round 4); copies carry disjoint
+     doc_id ranges).
 """
 
 from __future__ import annotations
@@ -26,10 +28,11 @@ sys.setrecursionlimit(100_000)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# 96 copies of sf0.1 = 480k docs: enough that the ~5-6 s of per-job fixed
-# cost (pool startup, aggregate barrier) is a minor fraction of the
-# headline, matching the steady-state regime the engine targets
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "96"))
+# 768 copies of sf0.1 = 3.84M docs (~36 s at 32 CPUs): large enough that
+# per-job fixed costs (pool startup, aggregate barrier, executor ramp —
+# ~4 s) are <15% of the wall; measured round 4: 480k docs -> 55.5k
+# docs/s, 1.92M -> 90.2k, 3.84M -> 105.7k, 7.68M -> 110.8k (same session)
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "768"))
 SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES", "") == "1"
 
 # the representative per-query set timed in the main bench run
