@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "tfidf_top_term",
     "rollup_lineitem",
     "domain_mix",
+    "asof_join",
+    "bm25_topk",
+    "event_transitions",
+    "doc_perplexity",
 ]
 
 
