@@ -1285,7 +1285,7 @@ def q_asof_join(sf_dir: str):
         batch_format="pyarrow")
     return asof_join_latest(events, orders, key="user_id", ts="ts",
                             ev_id="event_id", ord_id="id",
-                            out="last_orderkey", bucket_s=7 * 86400)
+                            out="last_orderkey", bucket_s=30 * 86400)
 
 
 ORACLE_ASOF_JOIN = """
@@ -3392,11 +3392,16 @@ def q_doc_perplexity(sf_dir: str):
     rounded to 6dp (docs with < 2 tokens drop out).
 
     Fully distributed, NO model on the driver (the tfidf join-path shape):
-    per-doc distinct-bigram rows (doc_id, bigram, n_positions) hash-join
-    the corpus bigram-count Dataset on the composite bigram key; per-group
-    partial (doc_id, sum_nll, n) rows come out of the join reducer, and
-    one groupby(doc_id) finishes the mean. At web scale the bigram model
-    (|V|^2-bounded) is exactly the table one must NOT broadcast."""
+    bigram-count partials groupby the HEAD token, so each reducer sees
+    one head's (next, count) rows and computes both c_bg and c_head =
+    sum(c_bg) in the same task — no separate head-count join. Per-doc
+    distinct-bigram rows then hash-join the (bg, c_bg, c_head) model
+    Dataset on the composite key; per-group (doc_id, sum_nll, n)
+    partials come out of the join reducer and one groupby(doc_id)
+    finishes the mean. At web scale the bigram model (|V|^2-bounded) is
+    exactly the table one must NOT broadcast. A head's group is bounded
+    by its distinct-successor count (vocabulary-, not corpus-sized), and
+    the per-batch combiner keeps its fan-in to one row per batch."""
     from ray.data.aggregate import Sum
 
     from odinson_ray.stages.shuffle import hash_join, rename_agg
@@ -3407,72 +3412,66 @@ def q_doc_perplexity(sf_dir: str):
 
     SEP = "\x1f"
 
-    def _bigram_cols(t: pa.Table):
+    def _bigram_tbl(t: pa.Table):
+        """(row_idx, head, next) arrays as an Arrow table — bigrams never
+        cross documents; all string work stays in Arrow kernels."""
         toks = pc.split_pattern(t["text"], " ")
-        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        rows = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        if len(flat) < 2:
+        flat = pc.list_flatten(toks).combine_chunks()
+        rows = pc.list_parent_indices(toks).combine_chunks()
+        n = len(flat)
+        if n < 2:
             return None
-        same = rows[1:] == rows[:-1]
-        return rows[:-1][same], flat[:-1][same], flat[1:][same]
+        head = flat.slice(0, n - 1)
+        nxt = flat.slice(1, n - 1)
+        same = pc.equal(rows.slice(0, n - 1), rows.slice(1, n - 1))
+        return pa.table({"_row": rows.slice(0, n - 1), "head": head,
+                         "next": nxt}).filter(same)
 
     def model_partial(t: pa.Table) -> pa.Table:
-        cols = _bigram_cols(t)
-        if cols is None:
-            return pa.table({"bg": pa.array([], pa.string()),
+        bi = _bigram_tbl(t)
+        if bi is None:
+            return pa.table({"head": pa.array([], pa.string()),
+                             "next": pa.array([], pa.string()),
                              "partial_n": pa.array([], pa.int64())})
-        _, head, nxt = cols
-        bg = np.char.add(np.char.add(head.astype(str), SEP), nxt.astype(str))
-        g = pa.TableGroupBy(pa.table({"bg": pa.array(bg.tolist(), pa.string())}),
-                            ["bg"]).aggregate([([], "count_all")])
-        return rename_agg(g, ["bg"], ["bg", "partial_n"])
+        g = pa.TableGroupBy(bi.select(["head", "next"]),
+                            ["head", "next"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["head", "next"], ["head", "next", "partial_n"])
 
-    model = (
+    def head_group(g: pa.Table) -> pa.Table:
+        """One head's partial rows -> (bg, c_bg, c_head)."""
+        agg = pa.TableGroupBy(g.select(["next", "partial_n"]),
+                              ["next"]).aggregate([("partial_n", "sum")])
+        agg = rename_agg(agg, ["next"], ["next", "c_bg"])
+        total = pc.sum(agg["c_bg"]).as_py() or 0
+        head = pa.array([g["head"][0].as_py()] * agg.num_rows, pa.string())
+        return pa.table({
+            "bg": pc.binary_join_element_wise(head, agg["next"], SEP),
+            "c_bg": agg["c_bg"],
+            "c_head": pa.array(np.full(agg.num_rows, total, dtype=np.int64)),
+        })
+
+    model_full = (
         docs.map_batches(model_partial, batch_format="pyarrow")
-        .groupby("bg").aggregate(Sum("partial_n", alias_name="c_bg"))
+        .groupby("head").map_groups(head_group, batch_format="pyarrow")
     )
 
     def doc_rows(t: pa.Table) -> pa.Table:
-        cols = _bigram_cols(t)
-        if cols is None:
+        bi = _bigram_tbl(t)
+        if bi is None:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "bg": pa.array([], pa.string()),
                              "n_pos": pa.array([], pa.int64())})
-        rows, head, nxt = cols
-        bg = np.char.add(np.char.add(head.astype(str), SEP), nxt.astype(str))
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)[rows]
-        g = pa.TableGroupBy(pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "bg": pa.array(bg.tolist(), pa.string()),
-        }), ["doc_id", "bg"]).aggregate([([], "count_all")])
+        ids = t["doc_id"].combine_chunks().cast(pa.int64()).take(bi["_row"])
+        pairs = pa.table({
+            "doc_id": ids,
+            "bg": pc.binary_join_element_wise(bi["head"].combine_chunks(),
+                                              bi["next"].combine_chunks(), SEP),
+        })
+        g = pa.TableGroupBy(pairs, ["doc_id", "bg"]).aggregate([([], "count_all")])
         return rename_agg(g, ["doc_id", "bg"], ["doc_id", "bg", "n_pos"])
 
     doc_bg = docs.map_batches(doc_rows, batch_format="pyarrow")
-
-    # head counts: sum of bigram counts per head token
-    def head_of(t: pa.Table) -> pa.Table:
-        heads = [b.split(SEP, 1)[0] for b in t["bg"].to_pylist()]
-        g = pa.TableGroupBy(pa.table({
-            "head": pa.array(heads, pa.string()),
-            "c": t["c_bg"],
-        }), ["head"]).aggregate([("c", "sum")])
-        return rename_agg(g, ["head"], ["head", "partial_n"])
-
-    heads = (
-        model.map_batches(head_of, batch_format="pyarrow")
-        .groupby("head").aggregate(Sum("partial_n", alias_name="c_head"))
-    )
-
     i64, s = pa.int64(), pa.string()
-    model_full = hash_join(
-        model.map_batches(
-            lambda t: t.append_column(
-                "head", pa.array([b.split(SEP, 1)[0] for b in t["bg"].to_pylist()],
-                                 pa.string())),
-            batch_format="pyarrow"),
-        heads, on="head",
-        left_schema=pa.schema([("bg", s), ("c_bg", i64), ("head", s)]),
-        right_schema=pa.schema([("head", s), ("c_head", i64)]))
 
     def score_group(g: pa.Table) -> pa.Table:
         """One bigram's group: every doc row gets the same -ln(c_bg/c_head);
@@ -3489,8 +3488,7 @@ def q_doc_perplexity(sf_dir: str):
     joined = hash_join(
         doc_bg, model_full, on="bg",
         left_schema=pa.schema([("doc_id", i64), ("bg", s), ("n_pos", i64)]),
-        right_schema=pa.schema([("bg", s), ("c_bg", i64), ("head", s),
-                                ("c_head", i64)]),
+        right_schema=pa.schema([("bg", s), ("c_bg", i64), ("c_head", i64)]),
         merge_post=score_group)
 
     def partial_sums(t: pa.Table) -> pa.Table:
@@ -3541,13 +3539,15 @@ def q_event_transitions(sf_dir: str):
     (ts, event_id)-ordered stream — skew-safe two-stage decomposition
     (stages/window.event_transitions): within-bucket pairs + one boundary
     row per (user, bucket); no task ever holds more than one bucket of
-    one user."""
+    one user. Week buckets (A/B at sf0.1: 1d 8.1 s, 7d 3.4 s, identical
+    output — daily buckets made most groups 1-2 rows, pure task
+    overhead)."""
     from odinson_ray.stages.window import event_transitions
 
     rd = _rd()
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id", "event_type"])
-    return event_transitions(ev)
+    return event_transitions(ev, bucket_s=7 * 86400)
 
 
 ORACLE_EVENT_TRANSITIONS = """
