@@ -97,7 +97,9 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     # 2,387 docs/s moving from ~625-doc to ~2,500-doc tasks at pool 24,
     # while the pool-6 rate was flat — the no-Ray control shows the
     # hardware is not the limit)
-    docs_per_block = int(os.environ.get("BENCH_DOCS_PER_BLOCK", "2500"))
+    # 5,000-doc tasks beat 2,500 (min-of-3 interleaved, r4: 98.4k vs
+    # 94.6k docs/s) and 10,000 (fewer blocks -> worse tail/balance)
+    docs_per_block = int(os.environ.get("BENCH_DOCS_PER_BLOCK", "5000"))
     nb = min(2048, max(num_cpus, n_docs // docs_per_block))
     # disjoint doc_id ranges per copy: each copy's ids are offset by a
     # stride so downstream key cardinality genuinely grows `replicate`x

@@ -48,7 +48,7 @@ rules:
 
 def mentions_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
                      concurrency: int = 4, batch_size: int = 256,
-                     docs_per_block: int = 2500):
+                     docs_per_block: int = 5000):
     # annotation AND span interleaving run inline inside the matcher
     # actors (deterministic annotator): neither the nested-annotation nor
     # the nested-spans Arrow column ships through the object store — the
@@ -137,7 +137,7 @@ class TripleCounter(GrammarMatcher):
 
 def fused_triple_counts(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
                         concurrency: int = 4, batch_size: int = 256,
-                        docs_per_block: int = 2500):
+                        docs_per_block: int = 5000):
     """Fused flagship: documents -> TripleCounter pool -> combine ->
     one small groupby. Byte-identical aggregated output to the unfused
     chain (pinned by tests + the kg_triples oracle)."""
