@@ -179,3 +179,78 @@ def test_event_transitions_zipfian(tmp_path):
         .sort_values(["from_type", "to_type"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, ref.astype({"n": "int64"}))
+
+
+def test_asof_join_bucket_boundaries(tmp_path):
+    """Handcrafted edges: event exactly at a bucket start, order ts ==
+    event ts (inclusive), multiple same-ts orders (max id wins), event
+    before any order (dropped), carry across many empty buckets."""
+    import ray.data as rd
+
+    from odinson_ray.stages.window import asof_join_latest
+
+    day = 86400
+    base = pd.Timestamp("2024-01-01")  # aligned to the epoch-day grid
+
+    def ts(days_off, secs=0):
+        return (base + pd.to_timedelta(days_off * day + secs, unit="s")
+                ).to_datetime64()
+
+    orders = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "ts": [ts(0), ts(0), ts(5, 10), ts(30), ts(50)],
+        "id": [10, 11, 12, 13, 20],
+    })
+    events = pd.DataFrame({
+        "event_id": [100, 101, 102, 103, 104, 105],
+        "user_id": [1, 1, 1, 1, 2, 2],
+        # bucket start exactly; same ts as an order; between; far after
+        "ts": [ts(1), ts(5, 10), ts(5, 5), ts(29), ts(49), ts(51)],
+    })
+    for df, name in ((orders, "orders"), (events, "events")):
+        df.assign(ts=df["ts"].astype("datetime64[us]")).to_parquet(
+            tmp_path / f"{name}.parquet", index=False)
+
+    got = asof_join_latest(
+        rd.read_parquet(str(tmp_path / "events.parquet")),
+        rd.read_parquet(str(tmp_path / "orders.parquet")),
+        key="user_id", ts="ts", ev_id="event_id", ord_id="id",
+        out="last_orderkey", bucket_s=day,
+    ).to_pandas().set_index("event_id")["last_orderkey"].to_dict()
+    assert got == {
+        100: 11,  # two same-ts orders: max id wins
+        101: 12,  # order ts == event ts is included
+        102: 11,  # 5d+5s event precedes the 5d+10s order -> carry
+        103: 12,  # carry across empty buckets 6..29
+        105: 20,  # user 2 after their one order
+        # 104 (user 2 before any order) dropped
+    }
+
+
+def test_event_transitions_edge_cases(tmp_path):
+    """Single-event users contribute nothing; one user entirely inside
+    one bucket matches; ts ties break by event_id."""
+    import ray.data as rd
+
+    from odinson_ray.stages.window import event_transitions
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 3, 3],
+        "ts": pd.to_datetime([base, base, base + pd.Timedelta("1h"),
+                              base, base + pd.Timedelta("40d"),
+                              base + pd.Timedelta("80d")]).astype("datetime64[us]"),
+        "event_id": [2, 1, 3, 9, 5, 6],
+        "event_type": ["b", "a", "c", "x", "p", "q"],
+    })
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        event_transitions(rd.read_parquet(str(tmp_path / "events.parquet")),
+                          bucket_s=86400)
+        .to_pandas().sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("p", "q", 1)],
+        columns=["from_type", "to_type", "n"],
+    )
+    pd.testing.assert_frame_equal(got, want.astype({"n": "int64"}))
