@@ -3685,3 +3685,113 @@ FROM flat GROUP BY label, dim
 
 QUERIES["embedding_centroids"] = q_embedding_centroids
 ORACLES["embedding_centroids"] = ORACLE_EMBEDDING_CENTROIDS
+
+
+# ===================================== fuzzy decontamination (MinHash)
+
+def q_fuzzy_decontaminate(sf_dir: str):
+    """Training docs near-duplicating an eval doc (LSH candidates +
+    exact-jaccard >= 0.9 verify; eval set = doc_id % 10 == 0, broadcast
+    once). stages/curate.fuzzy_decontaminate."""
+    from odinson_ray.stages.curate import fuzzy_decontaminate
+
+    return fuzzy_decontaminate(sf_dir, threshold=0.9, eval_mod=10)
+
+
+ORACLE_FUZZY_DECONTAMINATE = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+         i -> t[i] || CASE WHEN t[i+1] IS NULL THEN '' ELSE ' ' || t[i+1] END
+                   || CASE WHEN t[i+2] IS NULL THEN '' ELSE ' ' || t[i+2] END)) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+SELECT a.doc_id, b.doc_id AS eval_id,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS j
+FROM sh a JOIN sh b ON b.doc_id % 10 = 0 AND a.doc_id % 10 != 0
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.9
+"""
+
+QUERIES["fuzzy_decontaminate"] = q_fuzzy_decontaminate
+ORACLES["fuzzy_decontaminate"] = ORACLE_FUZZY_DECONTAMINATE
+
+
+# ===================================== per-source length-percentile filter
+
+def q_per_source_long_docs(sf_dir: str):
+    """Docs longer than their source's p90 token count (quantile_disc
+    semantics: sorted[ceil(0.9 n)-1], strictly greater). The SCALABLE
+    exact-quantile shape: per-batch (source, n_tokens, count) combiner ->
+    one groupby over DISTINCT (source, length) rows -> per-source
+    threshold from cumulative counts (distinct lengths per source is
+    bounded, never row count) -> thresholds broadcast -> one filtered
+    map over the doc stream. Contrast value_quantiles' one-group-per-key
+    form, which holds a key's raw rows."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.shuffle import rename_agg
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+
+    def len_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        base = pa.table({
+            "source": t["source"],
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+        })
+        g = pa.TableGroupBy(base, ["source", "n_tokens"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(g, ["source", "n_tokens"],
+                          ["source", "n_tokens", "partial_n"])
+
+    hist = (
+        docs.map_batches(len_partial, batch_format="pyarrow")
+        .groupby(["source", "n_tokens"]).aggregate(Sum("partial_n", alias_name="c"))
+    )
+
+    def threshold(g: pa.Table) -> pa.Table:
+        o = pc.sort_indices(g["n_tokens"])
+        lens = g["n_tokens"].take(o).to_numpy(zero_copy_only=False)
+        counts = g["c"].take(o).to_numpy(zero_copy_only=False)
+        n = int(counts.sum())
+        rank = max(0, math.ceil(0.9 * n) - 1)
+        p90 = int(lens[np.searchsorted(np.cumsum(counts), rank + 1)])
+        return pa.table({"source": g["source"].slice(0, 1),
+                         "p90": pa.array([p90], pa.int64())})
+
+    thresholds = {r["source"]: r["p90"] for r in
+                  hist.groupby("source").map_groups(
+                      threshold, batch_format="pyarrow").take_all()}
+    ref = ray.put(thresholds)
+
+    def long_docs(t: pa.Table) -> pa.Table:
+        th = get_broadcast(ref)
+        toks = pc.split_pattern(t["text"], " ")
+        n_tok = pc.cast(pc.list_value_length(toks), pa.int64())
+        cut = pa.array([th[s] for s in t["source"].to_pylist()], pa.int64())
+        out = pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                        "n_tokens": n_tok})
+        return out.filter(pc.greater(n_tok, cut))
+
+    return docs.map_batches(long_docs, batch_format="pyarrow")
+
+
+ORACLE_PER_SOURCE_LONG_DOCS = """
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+q AS (SELECT source, quantile_disc(n_tokens, 0.9) AS p90 FROM d GROUP BY source)
+SELECT d.doc_id, d.source, CAST(d.n_tokens AS BIGINT) AS n_tokens
+FROM d JOIN q USING (source) WHERE d.n_tokens > q.p90
+"""
+
+QUERIES["per_source_long_docs"] = q_per_source_long_docs
+ORACLES["per_source_long_docs"] = ORACLE_PER_SOURCE_LONG_DOCS

@@ -255,3 +255,75 @@ def pack_chunks(sf_dir: str, width: int = 32, stride: int = 24):
     ).map_batches(
         lambda t: pack_chunks_batch(t, width, stride), batch_format="pyarrow"
     )
+
+
+def fuzzy_decontaminate(sf_dir: str, threshold: float = 0.9,
+                        eval_mod: int = 10):
+    """MinHash-LSH fuzzy decontamination: training docs near-duplicating
+    an eval doc (exact 3-shingle jaccard >= threshold after LSH candidate
+    generation). Returns (doc_id, eval_id, j) pairs; eval docs are those
+    with doc_id % eval_mod == 0 (stand-in for a real benchmark list).
+
+    Scale shape: eval sets are FIXED-SIZE benchmarks, so the eval side's
+    band table + texts broadcast once (ray.put) and the corpus streams
+    through a single zero-shuffle map_batches — the exact-substring
+    ``decontaminate`` twin's shape, with LSH banding instead of n-gram
+    membership. Banding (b=32, r=4) misses a j>=0.9 pair with
+    probability ~(1-0.9^4)^32 ~ 5e-15, so the output equals the exact
+    pair set for oracle purposes (same argument as minhash_neardup)."""
+    import hashlib
+
+    import ray
+
+    from ..sources.io import clean_rd as rd
+    from .link import get_broadcast
+    from ..stages.dedup import N_BANDS, ROWS_PER_BAND, _batch_signatures, jaccard
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _is_eval_mask(t: pa.Table) -> np.ndarray:
+        return t["doc_id"].to_numpy(zero_copy_only=False) % eval_mod == 0
+
+    # eval side: small by construction — collect band table + texts
+    ev = docs.map_batches(
+        lambda t: t.filter(pa.array(_is_eval_mask(t))), batch_format="pyarrow")
+    bands: dict = {}
+    texts: dict = {}
+    for b in ev.iter_batches(batch_format="pyarrow"):
+        ids = b["doc_id"].to_pylist()
+        txts = b["text"].to_pylist()
+        sigs = _batch_signatures(txts)
+        for did, txt, sig in zip(ids, txts, sigs):
+            texts[int(did)] = txt
+            for band in range(N_BANDS):
+                h = hashlib.md5(
+                    sig[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND].tobytes()
+                ).hexdigest()
+                bands.setdefault((band, h), []).append(int(did))
+    ref = ray.put((bands, texts))
+
+    def flag(t: pa.Table) -> pa.Table:
+        ev_bands, ev_texts = get_broadcast(ref)
+        t = t.filter(pa.array(~_is_eval_mask(t)))
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        sigs = _batch_signatures(txts)
+        out_id, out_ev, out_j = [], [], []
+        for did, txt, sig in zip(ids, txts, sigs):
+            cands = set()
+            for band in range(N_BANDS):
+                h = hashlib.md5(
+                    sig[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND].tobytes()
+                ).hexdigest()
+                cands.update(ev_bands.get((band, h), ()))
+            for ev_id in sorted(cands):
+                j = round(jaccard(txt, ev_texts[ev_id]), 6)
+                if j >= threshold:
+                    out_id.append(int(did))
+                    out_ev.append(ev_id)
+                    out_j.append(j)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "eval_id": pa.array(out_ev, pa.int64()),
+                         "j": pa.array(out_j, pa.float64())})
+
+    return docs.map_batches(flag, batch_format="pyarrow")
