@@ -2449,31 +2449,46 @@ def q_value_quantiles(sf_dir: str):
     quantile_disc semantics — sorted[ceil(q*n)-1] — pick an actual
     element, so no float interpolation can diverge between engines.
 
-    Scale note: one group = one task (the sessionize bound — event_type
-    cardinality is small and documented). For high-cardinality keys the
-    same shape works because groups shrink as keys multiply; a single
-    pathological hot key would need the iterative count-below selection
-    instead."""
-    rd = _rd()
+    Scale shape (r4 — replaced a one-group-per-key map_groups that held a
+    key's RAW rows): per-batch (key, value, count) combiner -> groupby
+    over DISTINCT (key, value) rows -> per-key selection from cumulative
+    counts. A key's reducer input is bounded by its distinct-value count
+    (the column is 2dp-quantized here; at true continuous cardinality
+    this degrades to the raw shape and an approximate sketch is the
+    right tool instead)."""
     import math
 
-    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import rename_agg
+
+    rd = _rd()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["event_type", "value"]),
+                            ["event_type", "value"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["event_type", "value"],
+                          ["event_type", "value", "partial_n"])
+
+    hist = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "value"]).aggregate(Sum("partial_n", alias_name="c"))
+    )
 
     def quantiles(g: pa.Table) -> pa.Table:
-        v = np.sort(g["value"].to_numpy(zero_copy_only=False))
-        n = len(v)
-        pick = lambda q: float(v[max(0, math.ceil(q * n) - 1)])
+        o = pc.sort_indices(g["value"])
+        v = g["value"].take(o).to_numpy(zero_copy_only=False)
+        c = np.cumsum(g["c"].take(o).to_numpy(zero_copy_only=False))
+        n = int(c[-1])
+        pick = lambda q: float(v[np.searchsorted(c, max(1, math.ceil(q * n)))])
         return pa.table({
             "event_type": pa.array([g["event_type"][0].as_py()], pa.string()),
             "p50": pa.array([pick(0.5)], pa.float64()),
             "p90": pa.array([pick(0.9)], pa.float64()),
         })
 
-    return (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-        .groupby("event_type")
-        .map_groups(quantiles, batch_format="pyarrow")
-    )
+    return hist.groupby("event_type").map_groups(quantiles, batch_format="pyarrow")
 
 
 ORACLE_VALUE_QUANTILES = """
