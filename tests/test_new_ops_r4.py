@@ -80,3 +80,40 @@ def test_doc_split_deterministic_and_complete(sf_dir):
     n = len(pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]))
     assert a.sum() == n
     assert 0.7 * n <= a.get("train", 0) <= 0.9 * n
+
+
+def test_fuzzy_decontaminate_finds_planted_dup(tmp_path):
+    """A training doc that is a near-copy of an eval doc (id % 10 == 0)
+    is flagged with the right eval id and jaccard; unrelated docs are
+    not; eval docs never appear on the training side."""
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        {"doc_id": 10, "text": base},                       # eval doc
+        {"doc_id": 3, "text": base + " tail3"},             # near-copy -> flagged
+        {"doc_id": 7, "text": " ".join(f"z{i}" for i in range(60))},  # clean
+        {"doc_id": 20, "text": " ".join(f"y{i}" for i in range(60))}, # eval, clean
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+
+    from odinson_ray.stages.curate import fuzzy_decontaminate
+
+    got = fuzzy_decontaminate(str(tmp_path), threshold=0.9, eval_mod=10).to_pandas()
+    assert set(zip(got.doc_id, got.eval_id)) == {(3, 10)}
+    assert (got.j >= 0.9).all()
+
+
+def test_per_source_long_docs_matches_local(sf_dir):
+    import math
+
+    from odinson_ray.pipelines.queries import q_per_source_long_docs
+
+    got = q_per_source_long_docs(sf_dir).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    docs["n_tokens"] = docs["text"].str.split(" ").str.len()
+    want = set()
+    for src, g in docs.groupby("source"):
+        v = sorted(g["n_tokens"])
+        p90 = v[max(0, math.ceil(0.9 * len(v)) - 1)]
+        want |= set(g.loc[g["n_tokens"] > p90, "doc_id"])
+    assert set(got["doc_id"]) == want
