@@ -3810,3 +3810,214 @@ FROM d JOIN q USING (source) WHERE d.n_tokens > q.p90
 
 QUERIES["per_source_long_docs"] = q_per_source_long_docs
 ORACLES["per_source_long_docs"] = ORACLE_PER_SOURCE_LONG_DOCS
+
+
+# ===================================== C4-style exact line-level dedup
+
+def q_line_dedup(sf_dir: str):
+    """Exact line-level deduplication (C4 / RefinedWeb-style: keep only
+    the globally FIRST occurrence of every duplicated line, reassemble
+    each document from its surviving lines). The corpus has no newlines,
+    so a "line" is each consecutive 10-token segment — the operator is
+    delimiter-agnostic; swap the segmentation for a newline split on
+    real corpora. Reference analogue: corpus-level text hygiene ahead of
+    indexing (/root/reference/extra/.../AnnotateText.scala prepares docs
+    wholesale; line hygiene is the LLM-curation extension).
+
+    Shape: one flat-map (doc -> line rows), ONE groupby(line) that keeps
+    the (doc_id, line_no)-min occurrence per distinct line (hot
+    boilerplate lines are k rows in, 1 row out — linear, never
+    quadratic), one groupby(doc_id) reassembly. Two shuffles total, both
+    over line-granular rows; nothing touches the driver.
+    """
+    LINE_TOKS = 10
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks).to_pandas()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(t)), lens)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(len(flat)) - np.repeat(starts, lens)
+        line_no = pos // LINE_TOKS
+        gid = parent.astype(np.int64) * (1 << 20) + line_no
+        # one ' '.join per LINE (<= LINE_TOKS strings each), not per token
+        joined = pd.Series(flat).groupby(gid, sort=True).agg(" ".join)
+        g = joined.index.to_numpy()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[g >> 20], pa.int64()),
+            "line_no": pa.array((g & ((1 << 20) - 1)).astype(np.int64)),
+            "line": pa.array(joined.to_numpy(), pa.string()),
+        })
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending"),
+                                            ("line_no", "ascending")])
+        return g.take(idx[:1])
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g["line_no"])
+        lines = g["line"].take(idx).to_pylist()
+        return pa.table({"doc_id": g["doc_id"].slice(0, 1),
+                         "text": pa.array([" ".join(lines)], pa.string())})
+
+    lines = docs.map_batches(to_lines, batch_format="pyarrow")
+    kept = lines.groupby("line").map_groups(keep_first, batch_format="pyarrow")
+    return kept.groupby("doc_id").map_groups(reassemble, batch_format="pyarrow")
+
+
+ORACLE_LINE_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1)) AS line_no,
+         unnest(list_transform(generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1),
+                i -> array_to_string(t[i*10+1 : i*10+10], ' '))) AS line
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM lines
+)
+SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text
+FROM kept WHERE rn = 1 GROUP BY doc_id
+"""
+
+QUERIES["line_dedup"] = q_line_dedup
+ORACLES["line_dedup"] = ORACLE_LINE_DEDUP
+
+
+# ===================================== deterministic per-group sample
+
+def q_group_sample_k(sf_dir: str):
+    """Uniform k-per-group sample WITHOUT an RNG: keep the k events whose
+    md5(event_id) hex digest sorts smallest within each event_type
+    (bottom-k-by-hash == reservoir sampling made deterministic — same
+    sample at any parallelism, any retry, any shard order; mergeable:
+    bottom-k of a union is the bottom-k of per-part bottom-ks). Runs on
+    grouped_topk's per-batch combiner, so the shuffle moves <= k rows per
+    key per batch."""
+    from odinson_ray.stages.shuffle import grouped_topk
+
+    rd = _rd()
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type"])
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return t.append_column("h", pa.array(h, pa.string()))
+
+    sampled = grouped_topk(
+        events.map_batches(with_hash, batch_format="pyarrow"),
+        by="event_type", cols=["h", "event_id"],
+        descending=[False, False], k=5)
+    return sampled.select_columns(["event_type", "event_id"])
+
+
+ORACLE_GROUP_SAMPLE_K = """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events) WHERE rn <= 5
+"""
+
+QUERIES["group_sample_k"] = q_group_sample_k
+ORACLES["group_sample_k"] = ORACLE_GROUP_SAMPLE_K
+
+
+# ===================================== Bloom-filter semi join
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+_BLOOM_BITS = 1 << 17  # 16 KiB bitmap, fixed regardless of key count
+_BLOOM_K = 4
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, k) bit positions via double hashing of splitmix64."""
+    k64 = keys.astype(np.uint64)
+    h1 = _splitmix64(k64)
+    h2 = _splitmix64(k64 ^ np.uint64(0xDEADBEEFCAFEF00D)) | np.uint64(1)
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(_BLOOM_BITS)).astype(np.int64)
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """orders SEMI JOIN high-balance customers via a broadcast Bloom
+    filter + exact verify — the shuffle-free semi-join shape for a big
+    probe side vs a selective build side. The build side never ships its
+    keys to the driver: each build batch emits one FIXED-SIZE (16 KiB)
+    bitmap row, the driver ORs those tiny blobs and ray.puts the result
+    (driver memory is #blocks x 16 KiB, independent of key count). The
+    probe is a vectorized bit test inside map_batches that drops the vast
+    majority of rows BEFORE the only shuffle: the exact semi hash_join
+    that removes Bloom false positives, so the result is exact, not
+    approximate."""
+    import ray
+
+    from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.shuffle import hash_join
+
+    rd = _rd()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"]) \
+        .filter(expr="c_acctbal > 9000.0") \
+        .select_columns(["c_custkey"])
+
+    def build(t: pa.Table) -> pa.Table:
+        bits = np.zeros(_BLOOM_BITS, dtype=bool)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            bits[_bloom_positions(keys).ravel()] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()],
+                                          pa.binary())})
+
+    partials = cust.map_batches(build, batch_format="pyarrow").take_all()
+    bitmap = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for row in partials:
+        bitmap |= np.frombuffer(row["bits"], dtype=np.uint8)
+    ref = ray.put(np.unpackbits(bitmap).astype(bool))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        bits = get_broadcast(ref)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        if not len(keys):
+            return t
+        hit = bits[_bloom_positions(keys)].all(axis=1)
+        return t.filter(pa.array(hit))
+
+    candidates = orders.map_batches(probe, batch_format="pyarrow")
+    out = hash_join(
+        candidates, cust, on="o_custkey", right_on="c_custkey", how="semi",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]))
+    return out.select_columns(["o_orderkey", "o_custkey"])
+
+
+ORACLE_BLOOM_SEMI_JOIN = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+"""
+
+QUERIES["bloom_semi_join"] = q_bloom_semi_join
+ORACLES["bloom_semi_join"] = ORACLE_BLOOM_SEMI_JOIN

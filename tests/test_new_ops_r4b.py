@@ -1,0 +1,100 @@
+"""Round-4 batch-2 operators: line dedup, deterministic group sampling,
+Bloom semi join."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _local_line_dedup(docs: pd.DataFrame, width: int = 10) -> dict[int, str]:
+    seen = set()
+    out = {}
+    for _, r in docs.sort_values("doc_id").iterrows():
+        toks = r.text.split(" ")
+        kept = []
+        for i in range(0, len(toks), width):
+            line = " ".join(toks[i:i + width])
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            out[r.doc_id] = " ".join(kept)
+    return out
+
+
+def test_line_dedup_matches_local(sf_dir):
+    from odinson_ray.pipelines.queries import q_line_dedup
+
+    got = q_line_dedup(sf_dir).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    want = _local_line_dedup(docs)
+    assert dict(zip(got.doc_id, got.text)) == want
+
+
+def test_line_dedup_boilerplate_kept_once(tmp_path):
+    """The same 10-token line planted in 5 docs survives only in the
+    lowest doc_id; unique tails survive everywhere."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [{"doc_id": d, "text": boiler + f" tail{d}"} for d in (3, 1, 9, 4, 7)]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+
+    from odinson_ray.pipelines.queries import q_line_dedup
+
+    got = dict(zip(*(lambda df: (df.doc_id, df.text))(
+        q_line_dedup(str(tmp_path)).to_pandas())))
+    assert got[1] == boiler + " tail1"
+    for d in (3, 4, 7, 9):
+        assert got[d] == f"tail{d}"
+
+
+def test_group_sample_k_deterministic_bottom_k(sf_dir):
+    from odinson_ray.pipelines.queries import q_group_sample_k
+
+    got = q_group_sample_k(sf_dir).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+    ev["h"] = [hashlib.md5(str(i).encode()).hexdigest() for i in ev.event_id]
+    want = set()
+    for et, g in ev.groupby("event_type"):
+        want |= set((et, i) for i in
+                    g.sort_values(["h", "event_id"]).event_id.head(5))
+    assert set(zip(got.event_type, got.event_id)) == want
+    # a second run returns the identical sample (no RNG state anywhere)
+    again = q_group_sample_k(sf_dir).to_pandas()
+    assert set(zip(again.event_type, again.event_id)) == want
+
+
+def test_bloom_semi_join_exact_despite_false_positives(sf_dir):
+    from odinson_ray.pipelines.queries import q_bloom_semi_join
+
+    got = q_bloom_semi_join(sf_dir).to_pandas()
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+    keys = set(cust.loc[cust.c_acctbal > 9000.0, "c_custkey"])
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    want = orders[orders.o_custkey.isin(keys)]
+    assert set(zip(got.o_orderkey, got.o_custkey)) == \
+        set(zip(want.o_orderkey, want.o_custkey))
+
+
+def test_bloom_bitmap_has_no_false_negatives():
+    from odinson_ray.pipelines.queries import _BLOOM_BITS, _bloom_positions
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 1 << 40, size=2000)
+    bits = np.zeros(_BLOOM_BITS, dtype=bool)
+    bits[_bloom_positions(members).ravel()] = True
+    assert bits[_bloom_positions(members)].all(axis=1).all()
+    # false-positive rate on non-members stays small at this load factor
+    probes = rng.integers(1 << 41, 1 << 42, size=20000)
+    fp = bits[_bloom_positions(probes)].all(axis=1).mean()
+    assert fp < 0.02, fp
