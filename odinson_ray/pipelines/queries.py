@@ -4021,3 +4021,156 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
 
 QUERIES["bloom_semi_join"] = q_bloom_semi_join
 ORACLES["bloom_semi_join"] = ORACLE_BLOOM_SEMI_JOIN
+
+
+# ===================================== CUBE grouping sets from one combiner
+
+def q_cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE (l_returnflag, l_linestatus): all FOUR grouping sets
+    derived inside the per-batch combiner (<= |fxs| + |f| + |s| + 1 rows
+    per batch), one global groupby serves every set — same shape as
+    rollup_lineitem with the status-only set added."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    ALL = "__ALL__"
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "q": t["l_quantity"],
+        })
+        both = pa.TableGroupBy(base, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("q", "sum")])
+        flag = pa.TableGroupBy(base.drop_columns(["l_linestatus"]),
+                               ["l_returnflag"]).aggregate([("q", "sum")])
+        flag = flag.add_column(1, "l_linestatus",
+                               pa.array([ALL] * flag.num_rows, pa.string()))
+        stat = pa.TableGroupBy(base.drop_columns(["l_returnflag"]),
+                               ["l_linestatus"]).aggregate([("q", "sum")])
+        stat = stat.add_column(0, "l_returnflag",
+                               pa.array([ALL] * stat.num_rows, pa.string()))
+        tot = pa.table({
+            "l_returnflag": pa.array([ALL], pa.string()),
+            "l_linestatus": pa.array([ALL], pa.string()),
+            "q_sum": pa.array([pc.sum(base["q"]).as_py() or 0.0], pa.float64()),
+        })
+        out = pa.concat_tables([both, flag, stat, tot], promote_options="default")
+        return out.rename_columns(["l_returnflag", "l_linestatus", "partial_q"])
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("partial_q", alias_name="sum_qty"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(t.column_names.index("sum_qty"), "sum_qty",
+                               pc.round(t["sum_qty"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_CUBE_LINEITEM = """
+SELECT COALESCE(l_returnflag, '__ALL__') AS l_returnflag,
+       COALESCE(l_linestatus, '__ALL__') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+QUERIES["cube_lineitem"] = q_cube_lineitem
+ORACLES["cube_lineitem"] = ORACLE_CUBE_LINEITEM
+
+
+# ===================================== distributed exact percent_rank
+
+def q_value_percent_rank(sf_dir: str):
+    """PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) for
+    every event — exact, WITHOUT a per-key sort of the raw rows. The
+    distinct-value histogram (value is 2dp-quantized, so per-key distinct
+    count is bounded — value_quantiles documents the same precondition)
+    yields rank(v) = 1 + #smaller from cumulative counts; the per-value
+    rank table then joins BACK to the event stream on a composite
+    (event_type, value) key — a distributed hash_join, never a broadcast
+    of the value dictionary."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import hash_join, rename_agg
+
+    rd = _rd()
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["event_type", "value"]),
+                            ["event_type", "value"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["event_type", "value"],
+                          ["event_type", "value", "partial_n"])
+
+    hist = (
+        events.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "value"]).aggregate(Sum("partial_n", alias_name="c"))
+    )
+
+    def ranks(g: pa.Table) -> pa.Table:
+        o = pc.sort_indices(g["value"])
+        v = g["value"].take(o)
+        c = g["c"].take(o).to_numpy(zero_copy_only=False)
+        n = int(c.sum())
+        smaller = np.concatenate([[0], np.cumsum(c)[:-1]])
+        prk = np.round(smaller / max(n - 1, 1), 6)
+        key = pc.binary_join_element_wise(
+            g["event_type"].take(o).cast(pa.string()),
+            pc.cast(v, pa.string()), "|")
+        return pa.table({"_ck": key, "prk": pa.array(prk, pa.float64())})
+
+    rank_table = hist.groupby("event_type").map_groups(
+        ranks, batch_format="pyarrow")
+
+    def with_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t["event_type"].cast(pa.string()),
+            pc.cast(t["value"], pa.string()), "|")
+        return t.append_column("_ck", key)
+
+    joined = hash_join(
+        events.map_batches(with_key, batch_format="pyarrow"),
+        rank_table, on="_ck",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("event_type", pa.string()),
+                               ("value", pa.float64()),
+                               ("_ck", pa.string())]),
+        right_schema=pa.schema([("_ck", pa.string()),
+                                ("prk", pa.float64())]))
+    return joined.select_columns(["event_id", "event_type", "value", "prk"])
+
+
+ORACLE_VALUE_PERCENT_RANK = """
+SELECT event_id, event_type, value,
+       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) AS prk
+FROM events
+"""
+
+QUERIES["value_percent_rank"] = q_value_percent_rank
+ORACLES["value_percent_rank"] = ORACLE_VALUE_PERCENT_RANK
+
+
+# ===================================== CountMin heavy hitters (approximate)
+
+def q_cms_token_counts(sf_dir: str):
+    """Approximate corpus heavy hitters from a 128-KiB linear sketch
+    (stages/sketch.cms_token_counts): per-batch CMS partials + local
+    candidates, tree-merged; the token stream itself never shuffles
+    (contrast exact top_tokens, which groups distinct tokens).
+    Approximate BY DESIGN -> no SQL oracle; the pytest pins CMS's
+    one-sided error bound against exact counts."""
+    from odinson_ray.stages.sketch import cms_token_counts
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return cms_token_counts(docs, top_k=20)
+
+
+QUERIES["cms_token_counts"] = q_cms_token_counts

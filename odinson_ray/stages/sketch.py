@@ -95,3 +95,102 @@ def hll_distinct(ds, group: str, value: str, out: str = "approx_distinct"):
     partials = ds.map_batches(
         lambda t: hll_partial_batch(t, group, value), batch_format="pyarrow")
     return partials.groupby(group).map_groups(merge, batch_format="pyarrow")
+
+
+# ============================= CountMin sketch (approximate frequencies)
+
+_CMS_D = 4
+_CMS_W = 1 << 12  # 4 rows x 4096 int64 counters = 128 KiB per partial
+_CMS_SEEDS = np.array([0x243F6A8885A308D3, 0x13198A2E03707344,
+                       0xA4093822299F31D0, 0x082EFA98EC4E6C89],
+                      dtype=np.uint64)
+
+
+def _cms_cells(hashes: np.ndarray) -> np.ndarray:
+    """(n, d) counter columns: one independent row hash per seed."""
+    return np.stack([
+        (_splitmix64(hashes ^ s) % np.uint64(_CMS_W)).astype(np.int64)
+        for s in _CMS_SEEDS], axis=1)
+
+
+def cms_partial_batch(hashes: np.ndarray, weights: np.ndarray | None = None) -> bytes:
+    """One fixed-size (d x w int64) sketch blob for a batch of hashed keys.
+    Mergeable by elementwise SUM (linear sketch)."""
+    sk = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    if len(hashes):
+        cells = _cms_cells(hashes)
+        w = weights if weights is not None else np.ones(len(hashes), np.int64)
+        for d in range(_CMS_D):
+            np.add.at(sk[d], cells[:, d], w)
+    return sk.tobytes()
+
+
+def cms_merge(blobs) -> np.ndarray:
+    sk = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for b in blobs:
+        sk += np.frombuffer(b, dtype=np.int64).reshape(_CMS_D, _CMS_W)
+    return sk
+
+
+def cms_estimate(sk: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point estimates (min over rows) — never under-counts, over-counts
+    by <= e/w * N with prob 1 - e^-d."""
+    if not len(hashes):
+        return np.zeros(0, dtype=np.int64)
+    cells = _cms_cells(hashes)
+    return np.min(np.stack([sk[d][cells[:, d]] for d in range(_CMS_D)],
+                           axis=1), axis=1)
+
+
+def cms_token_counts(ds, text_col: str = "text", top_k: int = 20,
+                     local_k: int = 50, fanin: int = 32):
+    """Approximate corpus heavy hitters WITHOUT shuffling the token
+    stream: each batch emits (a) one 128-KiB CMS partial and (b) its
+    local top-``local_k`` tokens as candidates. Partials tree-merge
+    through a ``fanin``-way groupby so no single task (or the driver)
+    sees more than #batches/fanin blobs + ``fanin`` at the root; the
+    candidate set is the union of local heavy hitters (a global heavy
+    hitter is locally heavy in aggregate — standard candidate heuristic,
+    documented as such). Returns (token, est_n) for the top_k candidates
+    by estimated count. Approximate BY DESIGN: no SQL oracle; the pytest
+    pins the one-sided error bound against exact counts."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        vals, counts = np.unique(np.asarray(toks), return_counts=True)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "little")
+             for v in vals), dtype=np.uint64, count=len(vals))
+        blob = cms_partial_batch(h, counts.astype(np.int64))
+        top = np.argsort(-counts, kind="stable")[:local_k]
+        salt = int(h[0] % fanin) if len(h) else 0
+        return pa.table({
+            "_s": pa.array([salt], pa.int64()),
+            "_cms": pa.array([blob], pa.binary()),
+            "_cand": pa.array([vals[top].tolist()], pa.list_(pa.string())),
+        })
+
+    def merge_level(g: pa.Table) -> pa.Table:
+        sk = cms_merge(g["_cms"].to_pylist())
+        cands = sorted(set(pc.list_flatten(g["_cand"]).to_pylist()))
+        return pa.table({
+            "_s": pa.array([0], pa.int64()),
+            "_cms": pa.array([sk.tobytes()], pa.binary()),
+            "_cand": pa.array([cands], pa.list_(pa.string())),
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_s").map_groups(merge_level, batch_format="pyarrow")
+              .take_all())
+    sk = cms_merge(r["_cms"] for r in merged)
+    cands = sorted(set().union(*(r["_cand"] for r in merged)))
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(c.encode()).digest()[:8], "little")
+         for c in cands), dtype=np.uint64, count=len(cands))
+    est = cms_estimate(sk, h)
+    order = np.lexsort((np.array(cands), -est))[:top_k]
+    return pa.table({
+        "token": pa.array([cands[i] for i in order], pa.string()),
+        "est_n": pa.array(est[order], pa.int64()),
+    })

@@ -98,3 +98,39 @@ def test_bloom_bitmap_has_no_false_negatives():
     probes = rng.integers(1 << 41, 1 << 42, size=20000)
     fp = bits[_bloom_positions(probes)].all(axis=1).mean()
     assert fp < 0.02, fp
+
+
+def test_cms_heavy_hitters_one_sided_error(sf_dir):
+    from collections import Counter
+
+    from odinson_ray.pipelines.queries import q_cms_token_counts
+
+    got = q_cms_token_counts(sf_dir).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    exact = Counter()
+    for t in docs.text:
+        exact.update(t.split(" "))
+    n_total = sum(exact.values())
+    assert len(got) == 20
+    for tok, est in zip(got.token, got.est_n):
+        # CMS never under-counts; over-count bounded by ~e/w * N per row,
+        # min over 4 rows makes the slack generous here
+        assert est >= exact[tok]
+        assert est - exact[tok] <= max(3, 0.01 * n_total), (tok, est, exact[tok])
+    # every true global heavy hitter appears among the returned tokens
+    true_top = [t for t, _ in exact.most_common(10)]
+    assert set(true_top) <= set(got.token)
+
+
+def test_value_percent_rank_matches_pandas(sf_dir):
+    from odinson_ray.pipelines.queries import q_value_percent_rank
+
+    got = q_value_percent_rank(sf_dir).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    ev["prk"] = ev.groupby("event_type")["value"].rank(method="min")
+    n = ev.groupby("event_type")["value"].transform("size")
+    ev["prk"] = ((ev.prk - 1) / (n - 1).clip(lower=1)).round(6)
+    m = got.set_index("event_id").prk
+    assert len(got) == len(ev)
+    assert (ev.set_index("event_id").prk - m).abs().max() <= 1e-9
