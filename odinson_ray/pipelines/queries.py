@@ -4174,3 +4174,258 @@ def q_cms_token_counts(sf_dir: str):
 
 
 QUERIES["cms_token_counts"] = q_cms_token_counts
+
+
+# ===================================== star join (pre-agg + broadcast dims)
+
+def q_star_join_revenue(sf_dir: str):
+    """Revenue by REGION over the orders->customer->nation->region star —
+    the two star-schema scale patterns composed: (1) orders PRE-AGGREGATE
+    to (custkey, partial revenue) inside each batch BEFORE the fact-fact
+    join, so the join shuffles one row per customer per batch instead of
+    one per order; (2) the nation/region dimension chain is a broadcast
+    dict (ray.put once, read per actor) — dimension tables never shuffle.
+    One hash_join + one tiny final groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.shuffle import hash_join, rename_agg
+
+    rd = _rd()
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"])
+    rname = dict(zip(region.r_regionkey, region.r_name))
+    nat_to_region = {int(n): rname[int(r)] for n, r in
+                     zip(nation.n_nationkey, nation.n_regionkey)}
+    dims = ray.put(nat_to_region)
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        # money sums in exact integer cents: float partial sums of ~1e9
+        # totals differ by summation order at the ULP, which breaks
+        # hash-exact comparison; int64 cents are associative
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"o_custkey": t["o_custkey"], "cents": cents}),
+            ["o_custkey"]).aggregate([("cents", "sum")])
+        return rename_agg(g, ["o_custkey"], ["o_custkey", "rev"])
+
+    pre = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+        .map_batches(order_partial, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(
+        pre, cust, on="o_custkey", right_on="c_custkey",
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("rev", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+
+    def by_region(t: pa.Table) -> pa.Table:
+        lut = get_broadcast(dims)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        base = pa.table({
+            "r_name": pa.array([lut[int(k)] for k in nk], pa.string()),
+            "rev": t["rev"],
+        })
+        g = pa.TableGroupBy(base, ["r_name"]).aggregate([("rev", "sum")])
+        return rename_agg(g, ["r_name"], ["r_name", "rev"])
+
+    agg = (joined.map_batches(by_region, batch_format="pyarrow")
+           .groupby("r_name").aggregate(Sum("rev", alias_name="revenue")))
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("revenue"), "revenue",
+            pc.round(pc.divide(pc.cast(t["revenue"], pa.float64()), 100.0), 2)),
+        batch_format="pyarrow")
+
+
+ORACLE_STAR_JOIN_REVENUE = """
+SELECT r_name,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+QUERIES["star_join_revenue"] = q_star_join_revenue
+ORACLES["star_join_revenue"] = ORACLE_STAR_JOIN_REVENUE
+
+
+# ===================================== column profiling
+
+def q_profile_columns(sf_dir: str):
+    """Per-column data profile (count / nulls / exact distinct / min /
+    max) over lineitem's numeric measures — the schema-validation pass a
+    100-TB ingest runs first. Counts come from a per-batch combiner;
+    distinct/min/max run over DISTINCT (column, value) rows (2dp-
+    quantized measures, the value_quantiles precondition), so the
+    shuffle is bounded by distinct values, never row count. Only
+    #columns rows ever reach the driver."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from odinson_ray.stages.shuffle import rename_agg
+
+    COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    rd = _rd()
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=COLS)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        names, n, n_null = [], [], []
+        for c in COLS:
+            names.append(c)
+            n.append(len(t))
+            n_null.append(t[c].null_count)
+        return pa.table({"col_name": pa.array(names, pa.string()),
+                         "pn": pa.array(n, pa.int64()),
+                         "pnull": pa.array(n_null, pa.int64())})
+
+    counts = (li.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("col_name")
+              .aggregate(Sum("pn", alias_name="n"),
+                         Sum("pnull", alias_name="n_null"))
+              ).take_all()
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in COLS:
+            v = pc.unique(pc.drop_null(t[c].combine_chunks()))
+            parts.append(pa.table({
+                "col_name": pa.array([c] * len(v), pa.string()),
+                "value": v.cast(pa.float64()),
+            }))
+        return pa.concat_tables(parts)
+
+    from ray.data.aggregate import Count
+
+    stats = (li.map_batches(distinct_partial, batch_format="pyarrow")
+             .groupby(["col_name", "value"])
+             .aggregate(Count(alias_name="_dup"))
+             .groupby("col_name")
+             .aggregate(Min("value", alias_name="min_v"),
+                        Max("value", alias_name="max_v"),
+                        Count(alias_name="n_distinct"))
+             ).take_all()
+
+    by_col = {r["col_name"]: dict(r) for r in counts}
+    for r in stats:
+        by_col[r["col_name"]].update(r)
+    rows = [by_col[c] for c in COLS]
+    return pa.table({
+        "col_name": pa.array([r["col_name"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "n_null": pa.array([r["n_null"] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r["n_distinct"] for r in rows], pa.int64()),
+        "min_v": pa.array([round(r["min_v"], 6) for r in rows], pa.float64()),
+        "max_v": pa.array([round(r["max_v"], 6) for r in rows], pa.float64()),
+    })
+
+
+ORACLE_PROFILE_COLUMNS = """
+SELECT 'l_quantity' AS col_name, count(*) AS n,
+       count(*) - count(l_quantity) AS n_null,
+       count(DISTINCT l_quantity) AS n_distinct,
+       round(min(l_quantity), 6) AS min_v, round(max(l_quantity), 6) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+       count(DISTINCT l_extendedprice),
+       round(min(l_extendedprice), 6), round(max(l_extendedprice), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(*) - count(l_discount),
+       count(DISTINCT l_discount),
+       round(min(l_discount), 6), round(max(l_discount), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*), count(*) - count(l_tax),
+       count(DISTINCT l_tax),
+       round(min(l_tax), 6), round(max(l_tax), 6)
+FROM lineitem
+"""
+
+QUERIES["profile_columns"] = q_profile_columns
+ORACLES["profile_columns"] = ORACLE_PROFILE_COLUMNS
+
+
+# ===================================== per-group winsorization
+
+def q_winsorize_values(sf_dir: str):
+    """Per-group outlier clipping (winsorize at [p05, p95], quantile_disc
+    semantics) — the robust-stats cousin of value_zscore. Thresholds come
+    from the distinct-value histogram (one bounded groupby), broadcast as
+    a per-group pair, applied in one vectorized map over the stream."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.shuffle import rename_agg
+
+    rd = _rd()
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["event_type", "value"]),
+                            ["event_type", "value"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["event_type", "value"],
+                          ["event_type", "value", "partial_n"])
+
+    hist = (events.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["event_type", "value"])
+            .aggregate(Sum("partial_n", alias_name="c")))
+
+    def bounds(g: pa.Table) -> pa.Table:
+        o = pc.sort_indices(g["value"])
+        v = g["value"].take(o).to_numpy(zero_copy_only=False)
+        c = np.cumsum(g["c"].take(o).to_numpy(zero_copy_only=False))
+        n = int(c[-1])
+        pick = lambda q: float(v[np.searchsorted(c, max(1, math.ceil(q * n)))])
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()], pa.string()),
+            "lo": pa.array([pick(0.05)], pa.float64()),
+            "hi": pa.array([pick(0.95)], pa.float64()),
+        })
+
+    limits = {r["event_type"]: (r["lo"], r["hi"]) for r in
+              hist.groupby("event_type").map_groups(
+                  bounds, batch_format="pyarrow").take_all()}
+    ref = ray.put(limits)
+
+    def clip(t: pa.Table) -> pa.Table:
+        lut = get_broadcast(ref)
+        et = t["event_type"].to_pylist()
+        lo = pa.array([lut[e][0] for e in et], pa.float64())
+        hi = pa.array([lut[e][1] for e in et], pa.float64())
+        w = pc.min_element_wise(pc.max_element_wise(t["value"], lo), hi)
+        return pa.table({"event_id": t["event_id"],
+                         "w_value": pc.round(w, 6)})
+
+    return events.map_batches(clip, batch_format="pyarrow")
+
+
+ORACLE_WINSORIZE_VALUES = """
+WITH q AS (
+  SELECT event_type, quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_id, round(least(greatest(value, lo), hi), 6) AS w_value
+FROM events JOIN q USING (event_type)
+"""
+
+QUERIES["winsorize_values"] = q_winsorize_values
+ORACLES["winsorize_values"] = ORACLE_WINSORIZE_VALUES

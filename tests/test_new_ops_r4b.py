@@ -134,3 +134,57 @@ def test_value_percent_rank_matches_pandas(sf_dir):
     m = got.set_index("event_id").prk
     assert len(got) == len(ev)
     assert (ev.set_index("event_id").prk - m).abs().max() <= 1e-9
+
+
+def test_star_join_revenue_exact_cents(sf_dir):
+    from odinson_ray.pipelines.queries import q_star_join_revenue
+
+    got = q_star_join_revenue(sf_dir).to_pandas()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    j = (orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+         .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+         .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    j["cents"] = (j.o_totalprice * 100).round().astype("int64")
+    want = (j.groupby("r_name").cents.sum() / 100.0).round(2)
+    assert dict(zip(got.r_name, got.revenue)) == want.to_dict()
+
+
+def test_profile_columns_matches_pandas(sf_dir):
+    from odinson_ray.pipelines.queries import q_profile_columns
+
+    got = q_profile_columns(sf_dir).to_pandas().set_index("col_name")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        assert got.loc[c, "n"] == len(li)
+        assert got.loc[c, "n_null"] == li[c].isna().sum()
+        assert got.loc[c, "n_distinct"] == li[c].nunique()
+        assert got.loc[c, "min_v"] == round(li[c].min(), 6)
+        assert got.loc[c, "max_v"] == round(li[c].max(), 6)
+
+
+def test_winsorize_values_matches_pandas(sf_dir):
+    import math
+
+    from odinson_ray.pipelines.queries import q_winsorize_values
+
+    got = q_winsorize_values(sf_dir).to_pandas().set_index("event_id").w_value
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def disc(v, q):
+        s = sorted(v)
+        return s[max(0, math.ceil(q * len(s)) - 1)]
+
+    want = {}
+    for et, g in ev.groupby("event_type"):
+        lo, hi = disc(g.value, 0.05), disc(g.value, 0.95)
+        for i, v in zip(g.event_id, g.value):
+            want[i] = round(min(max(v, lo), hi), 6)
+    assert len(got) == len(want)
+    assert all(got[i] == want[i] for i in want)
