@@ -4429,3 +4429,19 @@ FROM events JOIN q USING (event_type)
 
 QUERIES["winsorize_values"] = q_winsorize_values
 ORACLES["winsorize_values"] = ORACLE_WINSORIZE_VALUES
+
+
+# ===================================== PQ ANN (compressed scan + rerank)
+
+def q_ann_pq_topk(sf_dir: str):
+    """Approximate cosine top-10 via product quantization: 8-byte/vector
+    ADC code scan + exact rerank of a 100-candidate shortlist
+    (stages/ann.pq_topk). Approximate BY DESIGN -> no SQL oracle; the
+    pytest pins recall@10 against the brute-force baseline. Scores are
+    EXACT cosine (rerank), so overlapping rows hash-match ann_topk's."""
+    from odinson_ray.stages.ann import pq_topk
+
+    return pq_topk(sf_dir, _query_vec(sf_dir), k=10)
+
+
+QUERIES["ann_pq_topk"] = q_ann_pq_topk

@@ -383,3 +383,166 @@ def ivf_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10, nprobe: int = 4):
         ds.map_batches(_make_scorer(qref), batch_format="pyarrow"),
         ["score", "vec_id"], [True, False], k,
     )
+
+
+# ====================================================== product quantization
+
+# The compression path for 100-TB embedding corpora: the full-precision
+# table (4*D bytes/vector) is scanned once at build time and never again;
+# queries scan an 8-byte/vector code table (ADC lookup sums), then rerank
+# a small shortlist exactly. Codebooks train on a DETERMINISTIC bounded
+# sample (bottom-k by md5 of vec_id — the group_sample_k discipline), so
+# the layout is reproducible at any parallelism.
+
+PQ_M = 8        # subspaces
+PQ_CODES = 16   # centroids per subspace (4 bits; stored as uint8)
+PQ_TRAIN_ROWS = 2048
+PQ_ITERS = 10
+
+
+def _pq_layout_dir(sf_dir: str, m: int, codes: int) -> str:
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"pq:{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+        f":{m}:{codes}:v1".encode()).hexdigest()[:16]
+    return os.path.join(_ANN_CACHE_ROOT, key)
+
+
+def _train_codebooks(sample: np.ndarray, m: int, codes: int) -> np.ndarray:
+    """(m, codes, sub_dim) codebooks via seeded Lloyd on the sample.
+    Empty clusters re-seed deterministically from the farthest points."""
+    n, d = sample.shape
+    sub = d // m
+    books = np.zeros((m, codes, sub))
+    rng = np.random.RandomState(42)
+    for j in range(m):
+        X = sample[:, j * sub:(j + 1) * sub]
+        C = X[rng.choice(n, size=min(codes, n), replace=False)]
+        if len(C) < codes:  # tiny corpora: pad with jittered copies
+            C = np.concatenate([C, C[: codes - len(C)] + 1e-6])
+        for _ in range(PQ_ITERS):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(codes):
+                mask = a == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+                else:
+                    C[c] = X[d2.min(axis=1).argmax()]
+        books[j] = C
+    return books
+
+
+def build_pq_layout(sf_dir: str, m: int = PQ_M, codes: int = PQ_CODES) -> str:
+    """Encode the (unit-normalized) corpus once into a parquet codes
+    table (vec_id + one uint8 column per subspace, ~m bytes/vector) with
+    codebooks in _meta.json. Training pulls only the deterministic
+    PQ_TRAIN_ROWS-vector sample to the driver; encoding is one
+    corpus-parallel pass with the codebooks broadcast."""
+    import json
+    import tempfile
+
+    import ray
+    from ..sources.io import clean_rd as rd
+    from .link import get_broadcast
+    from .sample import _embedding_matrix
+    from .shuffle import global_topk
+
+    out = _pq_layout_dir(sf_dir, m, codes)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    _require_shared_root()
+    os.makedirs(_ANN_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".tmp.",
+                           dir=_ANN_CACHE_ROOT)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return t.append_column("_h", pa.array(h, pa.string()))
+
+    train_rows = global_topk(
+        ds.map_batches(with_hash, batch_format="pyarrow"),
+        ["_h", "vec_id"], [False, False], PQ_TRAIN_ROWS).take_all()
+    sample = np.asarray([r["embedding"] for r in train_rows], dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    books = _train_codebooks(sample, m, codes)
+    ref = ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        B = get_broadcast(ref)
+        X = _embedding_matrix(t)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sub = X.shape[1] // len(B)
+        cols = {"vec_id": t["vec_id"]}
+        for j in range(len(B)):
+            Xj = X[:, j * sub:(j + 1) * sub]
+            d2 = ((Xj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            cols[f"c{j}"] = pa.array(d2.argmin(axis=1).astype(np.uint8))
+        return pa.table(cols)
+
+    ds.map_batches(encode, batch_format="pyarrow").write_parquet(tmp)
+    with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+        json.dump({"m": m, "codes": codes, "books": books.tolist()}, fh)
+    return _atomic_publish(tmp, out)
+
+
+def pq_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10,
+            shortlist: int = 100, m: int = PQ_M, codes: int = PQ_CODES):
+    """Approximate cosine top-k via PQ asymmetric-distance scan + exact
+    rerank: the query builds an (m, codes) lookup table once; each codes
+    batch sums m table lookups (pure numpy take — never touches the
+    full-precision vectors); the ``shortlist`` best candidates are
+    reranked exactly against the real embeddings (broadcast id set,
+    one filtered pass). Returns (vec_id, score) with exact cosine
+    scores, ranked by them — approximation affects only which vectors
+    reach the shortlist."""
+    import json
+
+    import pyarrow.compute as pc
+    import ray
+    from ..sources.io import clean_rd as rd
+    from .link import get_broadcast
+    from .shuffle import global_topk
+
+    layout = build_pq_layout(sf_dir, m, codes)
+    with open(os.path.join(layout, "_meta.json")) as fh:
+        meta = json.load(fh)
+    books = np.asarray(meta["books"])
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    sub = len(q) // m
+    lut = np.stack([((books[j] - q[j * sub:(j + 1) * sub][None, :]) ** 2).sum(axis=1)
+                    for j in range(m)])  # (m, codes)
+    lref = ray.put(lut)
+
+    def adc(t: pa.Table) -> pa.Table:
+        L = get_broadcast(lref)
+        d = np.zeros(len(t))
+        for j in range(len(L)):
+            d += L[j][t[f"c{j}"].to_numpy(zero_copy_only=False)]
+        return pa.table({"vec_id": t["vec_id"],
+                         "adc": pa.array(d, pa.float64())})
+
+    codes_ds = rd.read_parquet(layout)
+    short = global_topk(
+        codes_ds.map_batches(adc, batch_format="pyarrow"),
+        ["adc", "vec_id"], [False, False], shortlist).take_all()
+    ids = ray.put(frozenset(r["vec_id"] for r in short))
+
+    def rerank(t: pa.Table) -> pa.Table:
+        keep = get_broadcast(ids)
+        mask = pa.array([int(v) in keep for v in
+                         t["vec_id"].to_numpy(zero_copy_only=False)])
+        return t.filter(mask)
+
+    qref = ray.put(q)
+    exact = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+             .map_batches(rerank, batch_format="pyarrow")
+             .map_batches(_make_scorer(qref), batch_format="pyarrow"))
+    return global_topk(exact, ["score", "vec_id"], [True, False], k)

@@ -188,3 +188,32 @@ def test_winsorize_values_matches_pandas(sf_dir):
             want[i] = round(min(max(v, lo), hi), 6)
     assert len(got) == len(want)
     assert all(got[i] == want[i] for i in want)
+
+
+def test_pq_topk_recall_vs_brute_force(sf_dir):
+    from odinson_ray.pipelines.queries import _query_vec, q_ann_pq_topk
+    from odinson_ray.stages.ann import brute_force_topk
+
+    got = q_ann_pq_topk(sf_dir).to_pandas()
+    exact = brute_force_topk(sf_dir, _query_vec(sf_dir), k=10).to_pandas()
+    assert len(got) == 10
+    recall = len(set(got.vec_id) & set(exact.vec_id)) / 10
+    assert recall >= 0.7, recall
+    # rerank means returned scores are exact cosine: every overlapping id
+    # carries the same score as the brute-force baseline
+    merged = got.merge(exact, on="vec_id", suffixes=("_pq", "_bf"))
+    assert (merged.score_pq - merged.score_bf).abs().max() <= 1e-9
+
+
+def test_pq_layout_deterministic_and_cached(sf_dir):
+    from odinson_ray.stages.ann import build_pq_layout
+
+    a = build_pq_layout(sf_dir)
+    b = build_pq_layout(sf_dir)
+    assert a == b
+    import json
+    import os
+
+    with open(os.path.join(a, "_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["m"] == 8 and meta["codes"] == 16
