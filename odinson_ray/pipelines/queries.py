@@ -4445,3 +4445,266 @@ def q_ann_pq_topk(sf_dir: str):
 
 
 QUERIES["ann_pq_topk"] = q_ann_pq_topk
+
+
+# ===================================== distributed enumeration (row_number)
+
+def _enumerated_orders(sf_dir: str, n_buckets: int = 256):
+    """Order-preserving global enumeration (zipWithIndex over a total
+    order) WITHOUT a global sort landing on the driver: rn for
+    (o_totalprice DESC, o_orderkey ASC).
+
+    Scale shape: (1) one column-pruned pass computes the price range
+    (O(1) to the driver); (2) rows hash into ``n_buckets`` fixed-width
+    price ranges and a per-batch bincount combiner reduces to an
+    n_buckets-row table whose prefix sums give each bucket's global
+    offset (O(n_buckets) on the driver — parallelism-sized, not
+    data-sized); (3) one groupby(bucket) shuffle sorts WITHIN each
+    bucket and adds the broadcast offset. Equivalent to a range-
+    partitioned sort (what ds.sort does internally) but the enumeration
+    needs no second pass because offsets are known before the shuffle.
+    Production boundaries would come from a sample, not fixed widths
+    (documented skew trade; synthetic prices here are ~uniform)."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from odinson_ray.stages.link import get_broadcast
+
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    mm = orders.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    lo, hi = float(mm["min(o_totalprice)"]), float(mm["max(o_totalprice)"])
+    span = (hi - lo) or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) * n_buckets / span).astype(np.int64),
+                       0, n_buckets - 1)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b = bucket_of(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        cnt = np.bincount(b, minlength=n_buckets)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "partial_n": pa.array(cnt[nz], pa.int64())})
+
+    counts = {r["bucket"]: r["n"] for r in
+              orders.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("partial_n", alias_name="n"))
+              .take_all()}
+    # descending price order => buckets consumed from high id to low id
+    offsets, acc = {}, 0
+    for b in range(n_buckets - 1, -1, -1):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    ref = ray.put(offsets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = bucket_of(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def enumerate_bucket(g: pa.Table) -> pa.Table:
+        off = get_broadcast(ref)[g["bucket"][0].as_py()]
+        price = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        key = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((key, -price))
+        rn = np.empty(len(o), dtype=np.int64)
+        rn[o] = off + 1 + np.arange(len(o))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "o_totalprice": g["o_totalprice"],
+                         "rn": pa.array(rn, pa.int64())})
+
+    total = acc
+    ds = (orders.map_batches(tag, batch_format="pyarrow")
+          .groupby("bucket").map_groups(enumerate_bucket, batch_format="pyarrow"))
+    return ds, total
+
+
+def q_global_row_number(sf_dir: str):
+    """ROW_NUMBER() over a global total order, distributed (see
+    _enumerated_orders for the offset-before-shuffle shape)."""
+    ds, _ = _enumerated_orders(sf_dir)
+    return ds.select_columns(["o_orderkey", "rn"])
+
+
+ORACLE_GLOBAL_ROW_NUMBER = """
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+"""
+
+QUERIES["global_row_number"] = q_global_row_number
+ORACLES["global_row_number"] = ORACLE_GLOBAL_ROW_NUMBER
+
+
+# ===================================== NTILE equi-depth bucketing
+
+def q_ntile_orders(sf_dir: str, tiles: int = 4):
+    """NTILE(4) over the same total order, then a per-tile rollup.
+    SQL NTILE gives the first (n mod k) tiles one extra row; that is a
+    pure function of rn and n, applied vectorized after the distributed
+    enumeration — no extra shuffle beyond _enumerated_orders' one."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds, n = _enumerated_orders(sf_dir)
+    q, r = divmod(n, tiles)
+
+    def tile_of(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        big = r * (q + 1)  # rows living in the (q+1)-sized tiles
+        tile = np.where(rn <= big,
+                        (rn - 1) // (q + 1) + 1 if q + 1 else 1,
+                        r + (rn - big - 1) // max(q, 1) + 1)
+        return pa.table({"tile": pa.array(tile, pa.int64()),
+                         "o_totalprice": t["o_totalprice"],
+                         "rn": t["rn"]})
+
+    out = (ds.map_batches(tile_of, batch_format="pyarrow")
+           .groupby("tile")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="sum_price"),
+                      Min("rn", alias_name="min_rn"),
+                      Max("rn", alias_name="max_rn")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        # integer cents via floor(x*100 + 0.5): a ~1e9 sum rounded to 2dp
+        # still sits on a double whose ulp (>1e-7) exceeds the gate's
+        # absolute 1e-9 tolerance; both sides computing the identical
+        # floor expression lands on the same int regardless of ulp drift
+        s = t["sum_price"].to_numpy(zero_copy_only=False)
+        ct = np.floor(s * 100.0 + 0.5).astype(np.int64)
+        return t.set_column(t.schema.get_field_index("sum_price"),
+                            "sum_price_ct", pa.array(ct, pa.int64()))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+ORACLE_NTILE_ORDERS = """
+WITH ranked AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS tile
+  FROM orders
+)
+SELECT tile, count(*) AS n_orders,
+       CAST(FLOOR(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS sum_price_ct,
+       min(rn) AS min_rn, max(rn) AS max_rn
+FROM ranked GROUP BY tile
+"""
+
+QUERIES["ntile_orders"] = q_ntile_orders
+ORACLES["ntile_orders"] = ORACLE_NTILE_ORDERS
+
+
+# ===================================== distributed Pearson correlation
+
+def q_corr_lineitem(sf_dir: str):
+    """Per-group Pearson correlation of quantity vs extendedprice via
+    map-side sufficient statistics: each batch collapses to one
+    (n, sx, sy, sxx, syy, sxy) row per key, the global groupby sums
+    six numbers per key, and corr falls out algebraically — one tiny
+    shuffle, nothing data-sized anywhere. (n-1) cancels in the ratio,
+    so sample corr == this formula exactly."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x, y = t["l_quantity"], t["l_extendedprice"]
+        s = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "x": x, "y": y,
+            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+        })
+        g = pa.TableGroupBy(s, ["l_returnflag"]).aggregate(
+            [([], "count_all"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return rename_agg(g, ["l_returnflag"],
+                          ["l_returnflag", "pn", "px", "py", "pxx", "pyy", "pxy"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("pn", alias_name="n"), Sum("px", alias_name="sx"),
+                      Sum("py", alias_name="sy"), Sum("pxx", alias_name="sxx"),
+                      Sum("pyy", alias_name="syy"), Sum("pxy", alias_name="sxy")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        cov = t["sxy"].to_numpy(zero_copy_only=False) - sx * sy / n
+        vx = t["sxx"].to_numpy(zero_copy_only=False) - sx * sx / n
+        vy = t["syy"].to_numpy(zero_copy_only=False) - sy * sy / n
+        corr = cov / np.sqrt(vx * vy)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "n": t["n"],
+                         "corr_qty_price": pa.array(np.round(corr, 6),
+                                                    pa.float64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+ORACLE_CORR_LINEITEM = """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+QUERIES["corr_lineitem"] = q_corr_lineitem
+ORACLES["corr_lineitem"] = ORACLE_CORR_LINEITEM
+
+
+# ===================================== fixed-width histogram
+
+def q_value_histogram(sf_dir: str, bins: int = 20):
+    """Equi-width histogram of events.value: pass 1 is a column-pruned
+    O(1)-to-driver range scan, pass 2 a per-batch bincount combiner so
+    the global groupby moves <= bins rows per batch. Bin ids use the
+    exact expression the oracle uses — (v - lo) * bins / (hi - lo),
+    floored, clamped to bins-1 — so IEEE doubles agree bit-for-bit."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    mm = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    span = (hi - lo) or 1.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor((v - lo) * float(bins) / span).astype(np.int64),
+                       bins - 1)
+        n = np.bincount(b, minlength=bins)
+        s = np.bincount(b, weights=v, minlength=bins)
+        nz = np.nonzero(n)[0]
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "pn": pa.array(n[nz], pa.int64()),
+                         "ps": pa.array(s[nz], pa.float64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bin")
+           .aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="total")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        # integer cents (same ulp-robust floor as ntile_orders)
+        s = t["total"].to_numpy(zero_copy_only=False)
+        ct = np.floor(s * 100.0 + 0.5).astype(np.int64)
+        return t.set_column(t.schema.get_field_index("total"),
+                            "total_ct", pa.array(ct, pa.int64()))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+ORACLE_VALUE_HISTOGRAM = """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT LEAST(CAST(FLOOR((value - lo) * 20.0 / (hi - lo)) AS BIGINT), 19) AS bin,
+       count(*) AS n,
+       CAST(FLOOR(sum(value) * 100 + 0.5) AS BIGINT) AS total_ct
+FROM events, mm GROUP BY 1
+"""
+
+QUERIES["value_histogram"] = q_value_histogram
+ORACLES["value_histogram"] = ORACLE_VALUE_HISTOGRAM
