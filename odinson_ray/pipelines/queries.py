@@ -4708,3 +4708,96 @@ FROM events, mm GROUP BY 1
 
 QUERIES["value_histogram"] = q_value_histogram
 ORACLES["value_histogram"] = ORACLE_VALUE_HISTOGRAM
+
+
+# ===================================== ROWS-frame moving average
+
+def q_moving_avg(sf_dir: str, frame: int = 3):
+    """Per-user moving average over the last ``frame`` events (SQL ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW) — the ROWS-frame cousin of
+    event_gaps' LAG. Per-group sliding sums via one cumsum + shifted
+    difference (no Python loop); runs under the same per-user skew bound
+    as sessionize (user histories are session-scale, not corpus-scale)."""
+    rd = _rd()
+
+    def mavg(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                            ("event_id", "ascending")])
+        g = g.take(idx)
+        v = g["value"].to_numpy(zero_copy_only=False)
+        c = np.concatenate(([0.0], np.cumsum(v)))
+        lo = np.maximum(np.arange(len(v)) - (frame - 1), 0)
+        s = c[1 + np.arange(len(v))] - c[lo]
+        k = np.arange(len(v)) - lo + 1
+        return pa.table({
+            "event_id": g["event_id"],
+            "mavg3": pa.array(np.round(s / k, 6), pa.float64()),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id", "value"])
+        .groupby("user_id")
+        .map_groups(mavg, batch_format="pyarrow")
+    )
+
+
+ORACLE_MOVING_AVG = """
+SELECT event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             6) AS mavg3
+FROM events
+"""
+
+QUERIES["moving_avg"] = q_moving_avg
+ORACLES["moving_avg"] = ORACLE_MOVING_AVG
+
+
+# ===================================== per-document token entropy
+
+def q_token_entropy(sf_dir: str):
+    """Unigram (Shannon) entropy per document in nats — a vocabulary-
+    diversity quality signal (low entropy = repetitive/template text).
+    Fully vectorized per batch: list-flatten + parent indices, one Arrow
+    groupby over (row, token), two bincounts; H = ln(n) - sum(c ln c)/n.
+    Embarrassingly parallel — a document never leaves its batch."""
+    rd = _rd()
+
+    def ent(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        parent = pc.list_parent_indices(toks)
+        tb = pa.table({"p": parent, "tok": pc.list_flatten(toks)})
+        g = pa.TableGroupBy(tb, ["p", "tok"]).aggregate([([], "count_all")])
+        p = g["p"].to_numpy(zero_copy_only=False)
+        c = g["count_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = np.bincount(p, weights=c, minlength=len(t))
+        s = np.bincount(p, weights=c * np.log(c), minlength=len(t))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = np.where(n > 0, np.log(n) - s / np.maximum(n, 1.0), 0.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+            "entropy": pa.array(np.round(h, 6), pa.float64()),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .map_batches(ent, batch_format="pyarrow")
+    )
+
+
+ORACLE_TOKEN_ENTROPY = """
+WITH cnt AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       round(ln(n) - sum(c * ln(c)) / n, 6) AS entropy
+FROM cnt JOIN tot USING (doc_id) GROUP BY doc_id, n
+"""
+
+QUERIES["token_entropy"] = q_token_entropy
+ORACLES["token_entropy"] = ORACLE_TOKEN_ENTROPY

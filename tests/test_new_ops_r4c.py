@@ -81,3 +81,49 @@ def test_histogram_counts_and_coverage(sf_dir):
     want = pd.Series(b).value_counts().sort_index()
     have = got.set_index("bin").n.sort_index()
     assert have.to_dict() == want.to_dict()
+
+
+def test_moving_avg_matches_pandas(sf_dir):
+    from odinson_ray.pipelines.queries import q_moving_avg
+
+    got = q_moving_avg(sf_dir).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    want = (ev.groupby("user_id").value
+            .rolling(3, min_periods=1).mean().reset_index(drop=True))
+    ev["want"] = want.to_numpy()
+    merged = got.merge(ev[["event_id", "want"]], on="event_id")
+    assert len(merged) == len(ev)
+    assert np.allclose(merged.mavg3, merged.want, atol=1e-5)
+
+
+def test_moving_avg_frame_shorter_at_group_start(tmp_path):
+    """First two rows of a partition average over 1 and 2 rows."""
+    pd.DataFrame({
+        "user_id": [1, 1, 1, 1],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02",
+                              "2024-01-03", "2024-01-04"]),
+        "event_id": [10, 11, 12, 13],
+        "value": [2.0, 4.0, 6.0, 8.0],
+    }).to_parquet(tmp_path / "events.parquet")
+
+    from odinson_ray.pipelines.queries import q_moving_avg
+
+    got = q_moving_avg(str(tmp_path)).to_pandas().sort_values("event_id")
+    assert got.mavg3.tolist() == [2.0, 3.0, 4.0, 6.0]
+
+
+def test_token_entropy_extremes(tmp_path):
+    """All-same tokens -> 0 nats; all-distinct -> ln(n)."""
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["x x x x", "a b c d"],
+    }).to_parquet(tmp_path / "documents.parquet")
+
+    from odinson_ray.pipelines.queries import q_token_entropy
+
+    got = q_token_entropy(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[1].entropy == 0.0
+    assert abs(got.loc[2].entropy - np.log(4)) < 1e-6
+    assert got.n_tokens.tolist() == [4, 4]
