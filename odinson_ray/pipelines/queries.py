@@ -4801,3 +4801,110 @@ FROM cnt JOIN tot USING (doc_id) GROUP BY doc_id, n
 
 QUERIES["token_entropy"] = q_token_entropy
 ORACLES["token_entropy"] = ORACLE_TOKEN_ENTROPY
+
+
+# ===================================== Adamic-Adar link prediction
+
+def q_adamic_adar(sf_dir: str, k: int = 10):
+    """Top-k Adamic–Adar link-prediction scores over the undirected
+    canonical triple graph (stages/graph.adamic_adar_pairs): pairs
+    sharing common neighbors, scored sum(1/ln(deg(z))). Deterministic
+    top-k via (aa DESC, n1, n2). Centers above the degree cap are
+    excluded on BOTH sides (mirrored in the oracle's HAVING clause) —
+    the standard guard against hub pair-matrix blowup."""
+    from odinson_ray.stages.graph import adamic_adar_pairs
+
+    from ray.data.aggregate import Count
+
+    from .kg import triples_dataset
+
+    ds = triples_dataset(sf_dir)
+
+    def to_undirected(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t["subj_canon"], t["obj_canon"])
+        hi = pc.max_element_wise(t["subj_canon"], t["obj_canon"])
+        e = pa.table({"lo": lo, "hi": hi})
+        e = e.filter(pc.not_equal(e["lo"], e["hi"]))
+        return pa.TableGroupBy(e, ["lo", "hi"]).aggregate([])
+
+    edges = (
+        ds.map_batches(to_undirected, batch_format="pyarrow")
+        .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    # PIN before fan-out: adamic_adar_pairs consumes edges on both sides
+    # of its self-join; left lazy, the plan would embed TWO copies of the
+    # upstream annotate+match ACTOR POOL in one executing pipeline, and
+    # two pools without headroom deadlock the streaming executor on small
+    # clusters (the clamp_pool lesson). Entity-pair scale, so cheap.
+    edges = edges.materialize()
+    aa = adamic_adar_pairs(edges)
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("aa"), "aa",
+                            pc.round(t["aa"], 6))
+
+    from odinson_ray.stages.shuffle import global_topk
+
+    return global_topk(aa.map_batches(rounded, batch_format="pyarrow"),
+                       ["aa", "n1", "n2"], [True, False, False], k)
+
+
+ORACLE_ADAMIC_ADAR = """
+WITH trip AS ({body}),
+dedges AS (
+  SELECT DISTINCT least(subj_canon, obj_canon) AS lo,
+                  greatest(subj_canon, obj_canon) AS hi
+  FROM trip WHERE subj_canon != obj_canon
+),
+adj AS (
+  SELECT lo AS v, hi AS n FROM dedges
+  UNION ALL SELECT hi, lo FROM dedges
+),
+deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+wadj AS (
+  SELECT adj.v, adj.n, 1.0 / ln(d) AS w
+  FROM adj JOIN deg USING (v) WHERE d BETWEEN 2 AND 1000
+)
+SELECT a.n AS n1, b.n AS n2, round(sum(a.w), 6) AS aa
+FROM wadj a JOIN wadj b ON a.v = b.v AND a.n < b.n
+GROUP BY 1, 2
+ORDER BY aa DESC, n1, n2 LIMIT 10
+""".format(body=_KG_TRIPLES_BODY)
+
+QUERIES["adamic_adar"] = q_adamic_adar
+ORACLES["adamic_adar"] = ORACLE_ADAMIC_ADAR
+
+
+# ===================================== prefix-filtered similarity join
+
+def q_prefix_jaccard(sf_dir: str):
+    """Exact all-pairs token-Jaccard join (>= 0.95) via prefix filtering
+    (AllPairs/PPJoin family, stages/dedup.prefix_jaccard_pairs): docs
+    emit only their globally-rarest-token prefixes, candidates bucket on
+    those, the in-bucket length filter prunes, and the shared adaptive
+    verify computes exact scores. EXACT (the complete >= t pair set),
+    unlike MinHash-LSH's probabilistic recall — the oracle is the full
+    quadratic join."""
+    from odinson_ray.stages.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(sf_dir, threshold=0.95)
+
+
+ORACLE_PREFIX_JACCARD = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS o
+  FROM toks a JOIN toks b USING (tok) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, round(o * 1.0 / (sa.n + sb.n - o), 6) AS j
+FROM inter JOIN sizes sa ON sa.doc_id = a_id
+           JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(o * 1.0 / (sa.n + sb.n - o), 6) >= 0.95
+"""
+
+QUERIES["prefix_jaccard"] = q_prefix_jaccard
+ORACLES["prefix_jaccard"] = ORACLE_PREFIX_JACCARD

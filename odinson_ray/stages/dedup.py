@@ -185,22 +185,35 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9,
         candidates.groupby(["a_id", "b_id"]).aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
-    # distributed hash joins: pair ids x doc texts for each side, then the
-    # exact-jaccard verification inside map_batches — one streaming
-    # pipeline end to end, nothing driver-side
-    from .shuffle import hash_join
+    return verify_pairs_exact(candidates, docs, jaccard, threshold,
+                              broadcast_docs_threshold)
 
-    # SEMI-JOIN PRUNE (VERDICT r02 "What's wrong" #2): the candidate-pair
-    # set is typically orders of magnitude smaller than the corpus, but the
-    # verify joins would otherwise shuffle EVERY document's text. Collect
-    # the candidate doc_id set once (it is the small side by construction —
-    # near-dup pairs, not documents), broadcast it, and filter ``docs``
-    # inside map_batches before either join, so only candidate texts ever
-    # enter the shuffle.
+
+def verify_pairs_exact(candidates, docs, sim_fn, threshold: float,
+                       broadcast_docs_threshold: int = 100_000):
+    """Exact-similarity verification of a candidate-pair Dataset
+    (a_id, b_id) against doc texts; returns (a_id, b_id, j) with
+    round(sim_fn(a_text, b_text), 6) >= threshold. Shared tail of every
+    candidate-generation scheme (MinHash-LSH, prefix filtering, ...).
+
+    SEMI-JOIN PRUNE (VERDICT r02 "What's wrong" #2): the candidate-pair
+    set is typically orders of magnitude smaller than the corpus, but the
+    verify joins would otherwise shuffle EVERY document's text. Collect
+    the candidate doc_id set once (it is the small side by construction —
+    near-dup pairs, not documents), broadcast it, and filter ``docs``
+    inside map_batches before either join, so only candidate texts ever
+    enter the shuffle.
+
+    ADAPTIVE verify: when at most ``broadcast_docs_threshold`` documents
+    are candidates, their texts are broadcast once (``ray.put``) and the
+    verify is a single zero-shuffle ``map_batches`` over the pair stream.
+    Above the gate (dirty corpora at 100-TB scale) two distributed hash
+    joins attach texts with one shuffle per side."""
     import ray
     import pyarrow.compute as pc
 
     from .link import get_broadcast
+    from .shuffle import hash_join
 
     candidates = candidates.materialize()  # small: verified-pair scale
     cand_ids: set = set()
@@ -215,6 +228,14 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9,
 
     docs = docs.map_batches(prune_docs, batch_format="pyarrow")
 
+    def score(a_texts, b_texts, a, b) -> pa.Table:
+        js = [round(sim_fn(x, y), 6) for x, y in zip(a_texts, b_texts)]
+        out = pa.Table.from_pydict(
+            {"a_id": pa.array(a, pa.int64()), "b_id": pa.array(b, pa.int64()),
+             "j": pa.array(js, pa.float64())}
+        )
+        return out.filter(pa.array([j >= threshold for j in js], pa.bool_()))
+
     if len(cand_ids) <= broadcast_docs_threshold:
         # small-side broadcast verify: candidate texts fit comfortably in
         # a single ray.put; zero shuffles
@@ -227,12 +248,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9,
             m = get_broadcast(texts_ref)
             a = t["a_id"].to_pylist()
             b = t["b_id"].to_pylist()
-            js = [round(jaccard(m[x], m[y]), 6) for x, y in zip(a, b)]
-            out = pa.Table.from_pydict(
-                {"a_id": pa.array(a, pa.int64()), "b_id": pa.array(b, pa.int64()),
-                 "j": pa.array(js, pa.float64())}
-            )
-            return out.filter(pa.array([j >= threshold for j in js], pa.bool_()))
+            return score([m[x] for x in a], [m[y] for y in b], a, b)
 
         return candidates.map_batches(verify_broadcast, batch_format="pyarrow")
 
@@ -251,17 +267,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9,
     ).rename_columns({"text": "b_text"})
 
     def verify(t: pa.Table) -> pa.Table:
-        a = t["a_id"].to_pylist()
-        b = t["b_id"].to_pylist()
-        js = [
-            round(jaccard(x, y), 6)
-            for x, y in zip(t["a_text"].to_pylist(), t["b_text"].to_pylist())
-        ]
-        out = pa.Table.from_pydict(
-            {"a_id": pa.array(a, pa.int64()), "b_id": pa.array(b, pa.int64()),
-             "j": pa.array(js, pa.float64())}
-        )
-        return out.filter(pa.array([j >= threshold for j in js], pa.bool_()))
+        return score(t["a_text"].to_pylist(), t["b_text"].to_pylist(),
+                     t["a_id"].to_pylist(), t["b_id"].to_pylist())
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
 
@@ -548,3 +555,101 @@ def shared_passage_pairs(sf_dir: str, window: int = 8,
         pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
+
+
+# ------------------------------------------------- prefix-filtered jaccard
+
+def token_jaccard(a: str, b: str) -> float:
+    """Jaccard over DISTINCT whitespace tokens (PPJoin's similarity; the
+    shingle variant is ``jaccard``)."""
+    x, y = set(a.split(" ")), set(b.split(" "))
+    u = len(x | y)
+    return len(x & y) / u if u else 0.0
+
+
+def prefix_jaccard_pairs(sf_dir: str, threshold: float = 0.7,
+                         broadcast_docs_threshold: int = 100_000):
+    """All-pairs token-Jaccard similarity join via PREFIX FILTERING
+    (AllPairs/PPJoin family) — exact, unlike MinHash-LSH: returns every
+    pair with token_jaccard >= threshold, verified.
+
+    Candidate generation: order each doc's distinct tokens by GLOBAL
+    (document-frequency, token) ascending — rarest first — and emit only
+    the first p = n - ceil(t*n) + 1 tokens (n = distinct-token count).
+    Two sets with jaccard >= t have overlap o >= ceil(t*n) on each side,
+    and the classic prefix lemma guarantees their prefixes under a shared
+    total order intersect, so bucketing on prefix tokens loses no pair.
+    Because prefixes hold each doc's globally RAREST tokens, bucket
+    groups stay small exactly where lexicographic bucketing would
+    explode; the in-bucket length filter (t * max(na, nb) <= min(na, nb))
+    prunes before pairing. Degenerate corpora (thousands of identical
+    docs) still pair quadratically — that is the true output size, not
+    an artifact.
+
+    Shape: one df aggregate (map-side combined), one hash join attaching
+    df to (doc, token) rows, one groupby(doc) prefix selection, one
+    groupby(token) pairing, pair dedup, then the shared adaptive verify
+    (verify_pairs_exact). ceil is computed conservatively LOW
+    (ceil(t*n - 1e-9)) so float overshoot can only lengthen a prefix,
+    never break completeness."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ..sources.io import clean_rd as rd
+    from .shuffle import hash_join
+    from .text import doc_frequency
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def flat_distinct(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        pair = pa.table({"tok": pc.list_flatten(toks),
+                         "_row": pc.list_parent_indices(toks)})
+        dd = pa.TableGroupBy(pair, ["_row", "tok"]).aggregate([])
+        rows = dd["_row"].to_numpy(zero_copy_only=False)
+        n = np.bincount(rows, minlength=len(t))
+        return pa.table({
+            "tok": dd["tok"],
+            "doc_id": t["doc_id"].take(dd["_row"]),
+            "n": pa.array(n[rows], pa.int64()),
+        })
+
+    dt = docs.map_batches(flat_distinct, batch_format="pyarrow")
+    dfreq = doc_frequency(sf_dir)
+    dt_schema = pa.schema([("tok", pa.string()), ("doc_id", pa.int64()),
+                           ("n", pa.int64())])
+    df_schema = pa.schema([("tok", pa.string()), ("df", pa.int64())])
+    with_df = hash_join(dt, dfreq, on="tok",
+                        left_schema=dt_schema, right_schema=df_schema)
+
+    def prefix(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("df", "ascending"),
+                                            ("tok", "ascending")])
+        n = int(g["n"][0].as_py())
+        alpha = int(np.ceil(threshold * n - 1e-9))
+        p = max(n - alpha + 1, 1)
+        g = g.take(idx[:p])
+        return g.select(["tok", "doc_id", "n"])
+
+    pref = with_df.groupby("doc_id").map_groups(prefix, batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        ns = g["n"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ids)
+        ids, ns = ids[o], ns[o]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        lo = np.minimum(ns[iu], ns[ju]).astype(np.float64)
+        hi = np.maximum(ns[iu], ns[ju]).astype(np.float64)
+        keep = threshold * hi <= lo  # length filter
+        return pa.table({"a_id": pa.array(ids[iu][keep], pa.int64()),
+                         "b_id": pa.array(ids[ju][keep], pa.int64())})
+
+    candidates = (
+        pref.groupby("tok").map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["a_id", "b_id"]).aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    return verify_pairs_exact(candidates, docs, token_jaccard, threshold,
+                              broadcast_docs_threshold)

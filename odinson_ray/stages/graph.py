@@ -126,3 +126,65 @@ def triangle_count(edges) -> int:
         left_schema=pa.schema([("k", _STR)]),
         right_schema=pa.schema([("k", _STR)]))
     return int(closed.count())  # per-block row counts, nothing materialized
+
+
+def adamic_adar_pairs(edges, max_center_degree: int = 1000):
+    """Adamic–Adar link-prediction scores over an undirected (lo, hi)
+    edge Dataset: for every non-adjacent-or-adjacent vertex pair sharing
+    >= 1 neighbor, aa(n1, n2) = sum over common neighbors z of
+    1 / ln(deg(z)). Returns a Dataset (n1, n2, aa) with n1 < n2.
+
+    Shape: one degree aggregate, one hash join to attach the CENTER's
+    degree/weight to its adjacency rows, one self-join keyed on the
+    center with the rank filter inside the join reducer, one final
+    groupby-sum over (n1, n2). AA wedges are intrinsic to the center, so
+    unlike triangle counting no orientation can bound hub groups —
+    instead centers above ``max_center_degree`` are EXCLUDED (the
+    standard AA practice: a hub's 1/ln(deg) contribution is negligible
+    while its d^2/2 pair matrix is not; the cap must be mirrored by any
+    oracle)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from .shuffle import hash_join
+
+    degs = vertex_degrees(edges)
+
+    def both_directions(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pa.chunked_array(t["lo"].chunks + t["hi"].chunks),
+            "n": pa.chunked_array(t["hi"].chunks + t["lo"].chunks),
+        })
+
+    adj = edges.map_batches(both_directions, batch_format="pyarrow")
+    adj_schema = pa.schema([("v", _STR), ("n", _STR)])
+    deg_schema = pa.schema([("v", _STR), ("deg", pa.int64())])
+    with_deg = hash_join(adj, degs, on="v",
+                         left_schema=adj_schema, right_schema=deg_schema)
+
+    def weight(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((d >= 2) & (d <= max_center_degree)))
+        w = 1.0 / np.log(t["deg"].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"v": t["v"], "n": t["n"],
+                         "w": pa.array(w, pa.float64())})
+
+    # pinned: consumed by both sides of the self-join below
+    wadj = with_deg.map_batches(weight, batch_format="pyarrow").materialize()
+    left = wadj.map_batches(
+        lambda t: pa.table({"v": t["v"], "n1": t["n"], "w": t["w"]}),
+        batch_format="pyarrow")
+    right = wadj.map_batches(
+        lambda t: pa.table({"v": t["v"], "n2": t["n"]}),
+        batch_format="pyarrow")
+
+    def keep_ordered(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["n1"], t["n2"])).select(["n1", "n2", "w"])
+
+    pairs = hash_join(
+        left, right, on="v",
+        left_schema=pa.schema([("v", _STR), ("n1", _STR), ("w", pa.float64())]),
+        right_schema=pa.schema([("v", _STR), ("n2", _STR)]),
+        merge_post=keep_ordered)
+    return pairs.groupby(["n1", "n2"]).aggregate(Sum("w", alias_name="aa"))

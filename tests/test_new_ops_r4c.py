@@ -127,3 +127,56 @@ def test_token_entropy_extremes(tmp_path):
     assert got.loc[1].entropy == 0.0
     assert abs(got.loc[2].entropy - np.log(4)) < 1e-6
     assert got.n_tokens.tolist() == [4, 4]
+
+
+def test_adamic_adar_star_graph():
+    """Hub h with leaves l0..l4: every leaf pair scores 1/ln(5); with the
+    center cap below 5 the hub is excluded and nothing pairs."""
+    import ray
+    import pyarrow as pa
+    from odinson_ray.stages.graph import adamic_adar_pairs
+
+    edges = ray.data.from_arrow(pa.table({
+        "lo": ["h"] * 5, "hi": [f"l{i}" for i in range(5)]}))
+    got = adamic_adar_pairs(edges).to_pandas()
+    assert len(got) == 10  # C(5,2) leaf pairs
+    assert np.allclose(got.aa, 1.0 / np.log(5))
+    assert set(got.n1) | set(got.n2) == {f"l{i}" for i in range(5)}
+
+    edges = ray.data.from_arrow(pa.table({
+        "lo": ["h"] * 5, "hi": [f"l{i}" for i in range(5)]}))
+    capped = adamic_adar_pairs(edges, max_center_degree=4).to_pandas()
+    assert len(capped) == 0
+
+
+def test_prefix_jaccard_complete_vs_bruteforce(sf_dir):
+    """Prefix filtering must lose no pair: compare against the full
+    quadratic token-jaccard join at the same threshold."""
+    from itertools import combinations
+
+    from odinson_ray.stages.dedup import prefix_jaccard_pairs, token_jaccard
+
+    got = prefix_jaccard_pairs(sf_dir, threshold=0.95).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    texts = dict(zip(docs.doc_id, docs.text))
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(texts), 2)
+        if round(token_jaccard(texts[a], texts[b]), 6) >= 0.95
+    }
+    assert set(zip(got.a_id, got.b_id)) == want
+
+
+def test_prefix_jaccard_planted_pair(tmp_path):
+    base = " ".join(f"w{i}" for i in range(20))
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, base + " extra", "q r s t u v w x y z"],
+    }).to_parquet(tmp_path / "documents.parquet")
+
+    from odinson_ray.stages.dedup import prefix_jaccard_pairs
+
+    got = prefix_jaccard_pairs(str(tmp_path), threshold=0.9).to_pandas()
+    assert set(zip(got.a_id, got.b_id)) == {(1, 2)}
+    assert abs(got.j.iloc[0] - 20 / 21) < 1e-6
