@@ -4908,3 +4908,123 @@ WHERE round(o * 1.0 / (sa.n + sb.n - o), 6) >= 0.95
 
 QUERIES["prefix_jaccard"] = q_prefix_jaccard
 ORACLES["prefix_jaccard"] = ORACLE_PREFIX_JACCARD
+
+
+# ===================================== per-group mode (argmax of counts)
+
+def q_user_top_type(sf_dir: str):
+    """MODE per group: each user's most frequent event_type (ties ->
+    lexicographically smallest). Two-stage: per-batch (user, type)
+    count combiner -> groupby Sum (the only all-to-all moves per-batch
+    distinct key pairs) -> grouped_topk k=1, whose per-batch prune keeps
+    one row per user before the final shuffle."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import grouped_topk
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(g, ["user_id", "event_type"],
+                          ["user_id", "event_type", "partial_n"])
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+    return grouped_topk(counts, by="user_id",
+                        cols=["n", "event_type"], descending=[True, False],
+                        k=1)
+
+
+ORACLE_USER_TOP_TYPE = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rk
+  FROM events GROUP BY user_id, event_type
+) WHERE rk = 1
+"""
+
+QUERIES["user_top_type"] = q_user_top_type
+ORACLES["user_top_type"] = ORACLE_USER_TOP_TYPE
+
+
+# ===================================== near-dup cluster representative
+
+def q_neardup_keep_best(sf_dir: str):
+    """The dedup pipeline's END STEP: within each near-dup cluster
+    (MinHash pairs -> connected components, stages/dedup.neardup_groups)
+    keep ONE representative — the longest document, doc_id tie-break —
+    and report the cluster size. Composition: the group assignment is
+    joined to doc lengths (one hash join), then a per-batch best-row
+    combiner feeds a groupby whose reducer sees at most one row per
+    group per batch, never the cluster's raw rows."""
+    from odinson_ray.stages.dedup import neardup_groups
+    from odinson_ray.stages.shuffle import hash_join
+
+    rd = _rd()
+    groups = neardup_groups(sf_dir, threshold=0.9)
+    lens = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    joined = hash_join(
+        groups, lens, on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("group_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_chars", pa.int64())]))
+
+    def best_partial(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("group_id", "ascending"), ("n_chars", "descending"),
+            ("doc_id", "ascending")])
+        t = t.take(idx)
+        g = t["group_id"].to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], g[1:] != g[:-1]))
+        runs = np.diff(np.append(np.flatnonzero(first), len(g)))
+        kept = t.filter(pa.array(first))
+        return pa.table({
+            "group_id": kept["group_id"],
+            "kept_doc_id": kept["doc_id"],
+            "kept_n_chars": kept["n_chars"],
+            "partial_n": pa.array(runs, pa.int64()),
+        })
+
+    def best_final(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[
+            ("kept_n_chars", "descending"), ("kept_doc_id", "ascending")])
+        top = g.take(idx[:1])
+        return pa.table({
+            "group_id": top["group_id"],
+            "kept_doc_id": top["kept_doc_id"],
+            "group_size": pa.array(
+                [int(pc.sum(g["partial_n"]).as_py())], pa.int64()),
+        })
+
+    return (joined.map_batches(best_partial, batch_format="pyarrow")
+            .groupby("group_id")
+            .map_groups(best_final, batch_format="pyarrow"))
+
+
+ORACLE_NEARDUP_KEEP_BEST = """
+WITH nd AS ({body}),
+sized AS (
+  SELECT nd.group_id, d.doc_id, d.n_chars
+  FROM nd JOIN documents d ON d.doc_id = nd.doc_id
+)
+SELECT group_id, doc_id AS kept_doc_id, group_size FROM (
+  SELECT group_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY group_id) AS group_size
+  FROM sized
+) WHERE rk = 1
+""".format(body=ORACLE_NEARDUP_GROUPS.strip().rstrip(";"))
+
+QUERIES["neardup_keep_best"] = q_neardup_keep_best
+ORACLES["neardup_keep_best"] = ORACLE_NEARDUP_KEEP_BEST

@@ -180,3 +180,35 @@ def test_prefix_jaccard_planted_pair(tmp_path):
     got = prefix_jaccard_pairs(str(tmp_path), threshold=0.9).to_pandas()
     assert set(zip(got.a_id, got.b_id)) == {(1, 2)}
     assert abs(got.j.iloc[0] - 20 / 21) < 1e-6
+
+
+def test_user_top_type_matches_pandas(sf_dir):
+    from odinson_ray.pipelines.queries import q_user_top_type
+
+    got = q_user_top_type(sf_dir).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    counts = (ev.groupby(["user_id", "event_type"]).size()
+              .rename("n").reset_index()
+              .sort_values(["user_id", "n", "event_type"],
+                           ascending=[True, False, True]))
+    want = counts.groupby("user_id").first().reset_index()
+    merged = got.merge(want, on="user_id", suffixes=("", "_want"))
+    assert len(merged) == ev.user_id.nunique()
+    assert (merged.event_type == merged.event_type_want).all()
+    assert (merged.n == merged.n_want).all()
+
+
+def test_neardup_keep_best_invariants(sf_dir):
+    from odinson_ray.pipelines.queries import q_neardup_keep_best
+
+    got = q_neardup_keep_best(sf_dir).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    # every document is accounted for in exactly one cluster
+    assert got.group_size.sum() == len(docs)
+    # each representative belongs to its own cluster id space and is a
+    # real doc; singleton clusters keep themselves
+    assert set(got.kept_doc_id) <= set(docs.doc_id)
+    singles = got[got.group_size == 1]
+    assert (singles.kept_doc_id == singles.group_id).all()
