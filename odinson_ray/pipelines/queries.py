@@ -5028,3 +5028,77 @@ SELECT group_id, doc_id AS kept_doc_id, group_size FROM (
 
 QUERIES["neardup_keep_best"] = q_neardup_keep_best
 ORACLES["neardup_keep_best"] = ORACLE_NEARDUP_KEEP_BEST
+
+
+# ===================================== approximate quantile sketch
+
+def q_approx_value_quantiles(sf_dir: str):
+    """Mergeable quantile sketch over events.value
+    (stages/sketch.approx_quantiles): per-batch weighted compaction +
+    tree merge, root reads O(fanin * summary) points. Approximate BY
+    DESIGN -> no SQL oracle; the pytest pins rank error against the
+    exact quantiles. The exact cousin (discrete columns) is
+    value_quantiles."""
+    from odinson_ray.stages.sketch import approx_quantiles
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    est = approx_quantiles(ds, "value", qs=(0.5, 0.9, 0.99))
+    return pd.DataFrame([est])
+
+
+QUERIES["approx_value_quantiles"] = q_approx_value_quantiles
+
+
+# ===================================== per-source token budget prefix
+
+def q_token_budget(sf_dir: str, budget: int = 3000):
+    """Per-source token-budget curriculum prefix: walk each source's
+    docs in doc_id order and keep rows while the cumulative token count
+    stays within ``budget`` — the deterministic "take the first N
+    tokens per domain" mixing primitive. Rides running_total's skew-safe
+    two-stage (key, bucket) cumulative machinery (doc_id recast as a
+    fake microsecond timestamp so 1000-doc ranges form the buckets); a
+    hot source never lands in one task."""
+    from odinson_ray.stages.window import running_total
+
+    rd = _rd()
+
+    def prep(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "ts": pc.multiply(t["doc_id"], 1_000_000).cast(pa.timestamp("us")),
+            "n_tok": pc.cast(ntok, pa.float64()),
+        })
+
+    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "source", "text"])
+          .map_batches(prep, batch_format="pyarrow"))
+    rt = running_total(ds, key="source", ts="ts", order="doc_id",
+                       value="n_tok", out="cum", ndigits=0, bucket_s=1000)
+
+    def fin(t: pa.Table) -> pa.Table:
+        cum = t["cum"].to_numpy(zero_copy_only=False)
+        keep = cum <= budget
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "source": t["source"].filter(pa.array(keep)),
+            "cum_tokens": pa.array(cum[keep].astype(np.int64), pa.int64()),
+        })
+
+    return rt.map_batches(fin, batch_format="pyarrow")
+
+
+ORACLE_TOKEN_BUDGET = """
+SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_tokens FROM (
+  SELECT doc_id, source,
+         sum(len(string_split(text, ' ')))
+           OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM documents
+) WHERE cum <= 3000
+"""
+
+QUERIES["token_budget"] = q_token_budget
+ORACLES["token_budget"] = ORACLE_TOKEN_BUDGET

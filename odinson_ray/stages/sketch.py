@@ -194,3 +194,72 @@ def cms_token_counts(ds, text_col: str = "text", top_k: int = 20,
         "token": pa.array([cands[i] for i in order], pa.string()),
         "est_n": pa.array(est[order], pa.int64()),
     })
+
+
+# --------------------------------------------------- approximate quantiles
+
+def _compact_weighted(v: np.ndarray, w: np.ndarray, m: int):
+    """Compress weighted points (v sorted ascending) to <= m strata of
+    ~equal weight; each stratum is represented by its weighted-middle
+    element carrying the stratum's total weight. Deterministic (no RNG —
+    results are reproducible across retries); rank error added per
+    compaction <= total_weight / (2m)."""
+    if len(v) <= m:
+        return v, w
+    cw = np.cumsum(w)
+    total = cw[-1]
+    bounds = total * (np.arange(1, m + 1) / m)
+    ends = np.searchsorted(cw, bounds - 1e-9) + 1
+    starts = np.concatenate(([0], ends[:-1]))
+    keep = starts < ends
+    starts, ends = starts[keep], ends[keep]
+    prev = np.concatenate(([0.0], cw))[starts]
+    sw = cw[ends - 1] - prev
+    mids = np.searchsorted(cw, prev + sw / 2.0)
+    return v[np.minimum(mids, len(v) - 1)], sw
+
+
+def approx_quantiles(ds, value: str, qs=(0.5, 0.9, 0.99),
+                     summary: int = 256, fanin: int = 32) -> dict:
+    """Distributed approximate quantiles via mergeable weighted
+    summaries (a deterministic one-compactor KLL relative): each batch
+    collapses to <= ``summary`` (value, weight) strata, summaries
+    tree-merge through a ``fanin``-way groupby compaction, and the root
+    reads <= fanin * summary weighted points. Rank error is bounded by
+    (#compaction levels) * n / (2 * summary) — ~1% of n at the defaults
+    — and the pytest pins the observed error against exact quantiles.
+    Approximate BY DESIGN: no SQL oracle (value_quantiles is the exact
+    cousin for discrete columns)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.sort(t[value].to_numpy(zero_copy_only=False).astype(np.float64))
+        cv, cw = _compact_weighted(v, np.ones(len(v)), summary)
+        salt = int(len(v) % fanin)
+        return pa.table({
+            "_s": pa.array([salt], pa.int64()),
+            "_v": pa.array([cv.tolist()], pa.list_(pa.float64())),
+            "_w": pa.array([cw.tolist()], pa.list_(pa.float64())),
+        })
+
+    def merge_level(g: pa.Table) -> pa.Table:
+        v = np.concatenate([np.asarray(x) for x in g["_v"].to_pylist()])
+        w = np.concatenate([np.asarray(x) for x in g["_w"].to_pylist()])
+        o = np.argsort(v, kind="stable")
+        cv, cw = _compact_weighted(v[o], w[o], summary)
+        return pa.table({
+            "_s": pa.array([0], pa.int64()),
+            "_v": pa.array([cv.tolist()], pa.list_(pa.float64())),
+            "_w": pa.array([cw.tolist()], pa.list_(pa.float64())),
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_s").map_groups(merge_level, batch_format="pyarrow")
+              .take_all())  # <= fanin summary rows — parallelism-sized
+    v = np.concatenate([np.asarray(r["_v"]) for r in merged])
+    w = np.concatenate([np.asarray(r["_w"]) for r in merged])
+    o = np.argsort(v, kind="stable")
+    v, w = v[o], w[o]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    idx = np.minimum(np.searchsorted(cw, np.asarray(qs) * total), len(v) - 1)
+    return {f"p{int(q * 100)}": float(v[i]) for q, i in zip(qs, idx)}

@@ -212,3 +212,53 @@ def test_neardup_keep_best_invariants(sf_dir):
     assert set(got.kept_doc_id) <= set(docs.doc_id)
     singles = got[got.group_size == 1]
     assert (singles.kept_doc_id == singles.group_id).all()
+
+
+def test_approx_quantiles_rank_error(sf_dir):
+    """Sketch estimates must land within ~1.5% rank error of exact."""
+    import ray
+    from odinson_ray.stages.sketch import approx_quantiles
+    from odinson_ray.sources.io import clean_rd as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    est = approx_quantiles(ds, "value", qs=(0.5, 0.9, 0.99))
+    v = np.sort(pd.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["value"]).value.to_numpy())
+    n = len(v)
+    for q in (0.5, 0.9, 0.99):
+        rank = np.searchsorted(v, est[f"p{int(q * 100)}"]) / n
+        assert abs(rank - q) < 0.015, (q, rank)
+
+
+def test_approx_quantiles_exact_when_small():
+    """Fewer points than the summary size -> exact quantiles."""
+    import ray
+    from odinson_ray.stages.sketch import approx_quantiles
+
+    vals = np.arange(100, dtype=np.float64)
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table({"x": vals}))
+    est = approx_quantiles(ds, "x", qs=(0.5, 0.9))
+    # quantile_disc semantics: sorted[ceil(q*n) - 1]
+    assert est["p50"] == 49.0
+    assert est["p90"] == 89.0
+
+
+def test_token_budget_prefix_semantics(sf_dir):
+    from odinson_ray.pipelines.queries import q_token_budget
+
+    got = q_token_budget(sf_dir).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    docs["n_tok"] = docs.text.str.split(" ").str.len()
+    docs = docs.sort_values(["source", "doc_id"])
+    docs["cum"] = docs.groupby("source").n_tok.cumsum()
+    want = docs[docs.cum <= 3000]
+    merged = got.merge(want, on="doc_id")
+    assert len(merged) == len(want)
+    assert (merged.cum_tokens == merged.cum).all()
+    # budget is an actual prefix: within each source the kept doc_ids are
+    # a prefix of the source's sorted doc_id list
+    for src, g in want.groupby("source"):
+        kept = set(got[got.source == src].doc_id)
+        assert kept == set(g.doc_id)
