@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     "bm25_topk",
     "event_transitions",
     "doc_perplexity",
+    "global_row_number",
+    "user_top_type",
+    "moving_avg",
+    "token_entropy",
+    "adamic_adar",
 ]
 
 
