@@ -5102,3 +5102,54 @@ SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_tokens FROM (
 
 QUERIES["token_budget"] = q_token_budget
 ORACLES["token_budget"] = ORACLE_TOKEN_BUDGET
+
+
+# ===================================== bucketed layout co-located join
+
+def q_bucketed_join_revenue(sf_dir: str):
+    """Hive-style bucketing (stages/layout.py): orders and customer are
+    each written ONCE as parquet partitioned by hash(custkey) % 32 (the
+    build's single shuffle, amortized across every later join on that
+    key), then the join AND the per-customer aggregate run inside one
+    task per bucket with ZERO runtime shuffle — keys are co-located by
+    construction, so grouping within a bucket is globally exact."""
+    from odinson_ray.stages.layout import bucket_layout, bucketed_join
+
+    root_o = bucket_layout(
+        f"{sf_dir}/orders.parquet", "custkey",
+        {"o_custkey": "custkey", "o_totalprice": "o_totalprice"})
+    root_c = bucket_layout(
+        f"{sf_dir}/customer.parquet", "custkey",
+        {"c_custkey": "custkey", "c_name": "c_name"})
+
+    def per_bucket_agg(j: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(j, ["custkey", "c_name"]).aggregate(
+            [([], "count_all"), ("o_totalprice", "sum")])
+        g = rename_agg(g, ["custkey", "c_name"],
+                       ["custkey", "c_name", "n_orders", "_sum"])
+        s = g["_sum"].to_numpy(zero_copy_only=False)
+        ct = np.floor(s * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "custkey": g["custkey"], "c_name": g["c_name"],
+            "n_orders": g["n_orders"],
+            "total_ct": pa.array(ct, pa.int64()),
+        })
+
+    return bucketed_join(
+        root_o, root_c, "custkey",
+        schema_a=pa.schema([("custkey", pa.int64()),
+                            ("o_totalprice", pa.float64())]),
+        schema_b=pa.schema([("custkey", pa.int64()),
+                            ("c_name", pa.string())]),
+        post=per_bucket_agg)
+
+
+ORACLE_BUCKETED_JOIN_REVENUE = """
+SELECT c_custkey AS custkey, c_name, count(*) AS n_orders,
+       CAST(FLOOR(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_ct
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+QUERIES["bucketed_join_revenue"] = q_bucketed_join_revenue
+ORACLES["bucketed_join_revenue"] = ORACLE_BUCKETED_JOIN_REVENUE

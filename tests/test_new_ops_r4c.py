@@ -262,3 +262,48 @@ def test_token_budget_prefix_semantics(sf_dir):
     for src, g in want.groupby("source"):
         kept = set(got[got.source == src].doc_id)
         assert kept == set(g.doc_id)
+
+
+def test_bucketed_join_matches_pandas(sf_dir):
+    from odinson_ray.pipelines.queries import q_bucketed_join_revenue
+
+    got = q_bucketed_join_revenue(sf_dir).to_pandas()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    want = j.groupby(["o_custkey", "c_name"]).agg(
+        n_orders=("o_totalprice", "size"),
+        total=("o_totalprice", "sum")).reset_index()
+    merged = got.merge(want, left_on="custkey", right_on="o_custkey")
+    assert len(merged) == len(want) == len(got)
+    assert (merged.n_orders_x == merged.n_orders_y).all()
+    assert np.allclose(merged.total_ct, np.floor(merged.total * 100 + 0.5))
+
+
+def test_bucket_layout_idempotent_and_consistent(sf_dir):
+    """Same corpus -> same layout dir, reused; bucket assignment is a
+    pure function of the key (both tables agree bucket-by-bucket)."""
+    import json
+    import os
+
+    from odinson_ray.stages.layout import bucket_layout
+
+    r1 = bucket_layout(f"{sf_dir}/customer.parquet", "custkey",
+                       {"c_custkey": "custkey", "c_name": "c_name"})
+    r2 = bucket_layout(f"{sf_dir}/customer.parquet", "custkey",
+                       {"c_custkey": "custkey", "c_name": "c_name"})
+    assert r1 == r2 and os.path.exists(os.path.join(r1, "_SUCCESS"))
+    with open(os.path.join(r1, "_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["n_buckets"] == 32
+    # every customer row landed in the bucket its key hashes to
+    import pyarrow.parquet as pq
+    from odinson_ray.stages.layout import _bucket_ids
+    import pyarrow as pa
+
+    for b, files in list(meta["buckets"].items())[:5]:
+        t = pq.read_table(os.path.join(r1, files[0]))
+        calc = _bucket_ids(t["custkey"], 32)
+        assert (calc == int(b)).all()
