@@ -4454,32 +4454,34 @@ def _enumerated_orders(sf_dir: str, n_buckets: int = 256):
     order) WITHOUT a global sort landing on the driver: rn for
     (o_totalprice DESC, o_orderkey ASC).
 
-    Scale shape: (1) one column-pruned pass computes the price range
-    (O(1) to the driver); (2) rows hash into ``n_buckets`` fixed-width
-    price ranges and a per-batch bincount combiner reduces to an
-    n_buckets-row table whose prefix sums give each bucket's global
-    offset (O(n_buckets) on the driver — parallelism-sized, not
-    data-sized); (3) one groupby(bucket) shuffle sorts WITHIN each
-    bucket and adds the broadcast offset. Equivalent to a range-
-    partitioned sort (what ds.sort does internally) but the enumeration
-    needs no second pass because offsets are known before the shuffle.
-    Production boundaries would come from a sample, not fixed widths
-    (documented skew trade; synthetic prices here are ~uniform)."""
+    Scale shape: (1) one column-pruned pass computes SAMPLED range
+    boundaries via the mergeable quantile sketch
+    (stages/sketch.approx_quantile_values) — buckets stay ~n/n_buckets
+    rows at ANY key distribution, where the fixed-width variant this
+    replaced degenerated on skew; boundary accuracy only affects
+    BALANCE, never correctness, because the bucket map is monotone and
+    tie-consistent (equal keys share a bucket); (2) a per-batch bincount
+    combiner reduces to an n_buckets-row table whose prefix sums give
+    each bucket's global offset (O(n_buckets) on the driver —
+    parallelism-sized, not data-sized); (3) one groupby(bucket) shuffle
+    sorts WITHIN each bucket and adds the broadcast offset. Equivalent
+    to a range-partitioned sort (what ds.sort does internally) but the
+    enumeration needs no second pass because offsets are known before
+    the shuffle."""
     import ray
-    from ray.data.aggregate import Max, Min, Sum
+    from ray.data.aggregate import Sum
 
     from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.sketch import approx_quantile_values
 
     rd = _rd()
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_totalprice"])
-    mm = orders.aggregate(Min("o_totalprice"), Max("o_totalprice"))
-    lo, hi = float(mm["min(o_totalprice)"]), float(mm["max(o_totalprice)"])
-    span = (hi - lo) or 1.0
+    boundaries = np.unique(approx_quantile_values(
+        orders, "o_totalprice", np.arange(1, n_buckets) / n_buckets))
 
     def bucket_of(v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo) * n_buckets / span).astype(np.int64),
-                       0, n_buckets - 1)
+        return np.searchsorted(boundaries, v, side="left")
 
     def count_partial(t: pa.Table) -> pa.Table:
         b = bucket_of(t["o_totalprice"].to_numpy(zero_copy_only=False))
@@ -5153,3 +5155,118 @@ GROUP BY 1, 2
 
 QUERIES["bucketed_join_revenue"] = q_bucketed_join_revenue
 ORACLES["bucketed_join_revenue"] = ORACLE_BUCKETED_JOIN_REVENUE
+
+
+# ===================================== k-core decomposition
+
+def q_kg_kcore(sf_dir: str, k: int = 2, rounds: int = 3):
+    """Vertices of the KG graph surviving ``rounds`` peels of k-core
+    decomposition (stages/graph.kcore_edges, bounded mode — the SQL
+    oracle unrolls the same three peels; the fixpoint mode is
+    pytest-verified against a local peel). Output: surviving vertices
+    with their in-subgraph degree."""
+    from ray.data.aggregate import Count
+
+    from odinson_ray.stages.graph import kcore_edges, vertex_degrees
+
+    from .kg import triples_dataset
+
+    ds = triples_dataset(sf_dir)
+
+    def to_undirected(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t["subj_canon"], t["obj_canon"])
+        hi = pc.max_element_wise(t["subj_canon"], t["obj_canon"])
+        e = pa.table({"lo": lo, "hi": hi})
+        e = e.filter(pc.not_equal(e["lo"], e["hi"]))
+        return pa.TableGroupBy(e, ["lo", "hi"]).aggregate([])
+
+    edges = (
+        ds.map_batches(to_undirected, batch_format="pyarrow")
+        .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    ).materialize()  # pinned: consumed once per peel round
+    core = kcore_edges(edges, k=k, rounds=rounds)
+    return vertex_degrees(core)
+
+
+ORACLE_KG_KCORE = """
+WITH trip AS ({body}),
+e0 AS (
+  SELECT DISTINCT least(subj_canon, obj_canon) AS lo,
+                  greatest(subj_canon, obj_canon) AS hi
+  FROM trip WHERE subj_canon != obj_canon
+),
+d0 AS (SELECT v, count(*) AS d FROM
+       (SELECT lo AS v FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY v),
+l0 AS (SELECT v FROM d0 WHERE d < 2),
+e1 AS (SELECT * FROM e0 WHERE lo NOT IN (SELECT v FROM l0)
+                          AND hi NOT IN (SELECT v FROM l0)),
+d1 AS (SELECT v, count(*) AS d FROM
+       (SELECT lo AS v FROM e1 UNION ALL SELECT hi FROM e1) GROUP BY v),
+l1 AS (SELECT v FROM d1 WHERE d < 2),
+e2 AS (SELECT * FROM e1 WHERE lo NOT IN (SELECT v FROM l1)
+                          AND hi NOT IN (SELECT v FROM l1)),
+d2 AS (SELECT v, count(*) AS d FROM
+       (SELECT lo AS v FROM e2 UNION ALL SELECT hi FROM e2) GROUP BY v),
+l2 AS (SELECT v FROM d2 WHERE d < 2),
+e3 AS (SELECT * FROM e2 WHERE lo NOT IN (SELECT v FROM l2)
+                          AND hi NOT IN (SELECT v FROM l2))
+SELECT v, count(*) AS deg FROM
+  (SELECT lo AS v FROM e3 UNION ALL SELECT hi FROM e3) GROUP BY v
+""".format(body=_KG_TRIPLES_BODY)
+
+QUERIES["kg_kcore"] = q_kg_kcore
+ORACLES["kg_kcore"] = ORACLE_KG_KCORE
+
+
+# ===================================== time-decayed aggregate
+
+def q_decayed_value(sf_dir: str):
+    """Exponentially time-decayed sum per event_type (half-life 7 days,
+    reference 2024-02-01): the streaming-popularity primitive. A decayed
+    sum with a FIXED reference is just a weighted sum, so it map-side
+    combines like any other aggregate — per-batch exp + partial sums,
+    one tiny shuffle. Age and weight are computed with the identical
+    IEEE expression the oracle uses; the rounded output magnitudes keep
+    double ulp far below the gate's tolerance."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ref_us = pd.Timestamp("2024-02-01").value // 1000  # epoch micros
+    lam = np.log(2.0) / 7.0  # per-day decay, 7-day half-life
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age_days = (ref_us - ts) / 86400000000.0
+        w = t["value"].to_numpy(zero_copy_only=False) * np.exp(-lam * age_days)
+        s = pa.table({"event_type": t["event_type"],
+                      "w": pa.array(w, pa.float64())})
+        g = pa.TableGroupBy(s, ["event_type"]).aggregate(
+            [([], "count_all"), ("w", "sum")])
+        return rename_agg(g, ["event_type"], ["event_type", "pn", "pw"])
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n"), Sum("pw", alias_name="dsum"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("dsum"), "decayed_sum",
+                            pc.round(t["dsum"], 4))
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+ORACLE_DECAYED_VALUE = """
+SELECT event_type, count(*) AS n,
+       round(sum(value * exp(-(ln(2.0) / 7.0) *
+             ((epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts))
+              / 86400000000.0))), 4) AS decayed_sum
+FROM events GROUP BY event_type
+"""
+
+QUERIES["decayed_value"] = q_decayed_value
+ORACLES["decayed_value"] = ORACLE_DECAYED_VALUE

@@ -188,3 +188,43 @@ def adamic_adar_pairs(edges, max_center_degree: int = 1000):
         right_schema=pa.schema([("v", _STR), ("n2", _STR)]),
         merge_post=keep_ordered)
     return pairs.groupby(["n1", "n2"]).aggregate(Sum("w", alias_name="aa"))
+
+
+def kcore_edges(edges, k: int = 2, rounds: int | None = None,
+                max_rounds: int = 100):
+    """k-core peeling over an undirected (lo, hi) edge Dataset: repeat
+    {drop every vertex with degree < k and its edges} until fixpoint
+    (``rounds=None``) or for exactly ``rounds`` peels (bounded mode —
+    what a SQL oracle can unroll). Returns the surviving edge Dataset.
+
+    Each round is one degree aggregate (map-side combined) plus two anti
+    hash-joins removing edges incident to dropped vertices — fully
+    distributed; the driver sees only the dropped-vertex COUNT per
+    round. Rounds are O(peel depth) (real graphs: tens), the same
+    driver-round-loop shape as connected_components; like there, the
+    fixpoint mode RAISES if max_rounds is exhausted rather than
+    returning a silently-unpeeled graph."""
+    from .shuffle import hash_join
+
+    cur = edges.materialize()
+    done_rounds = 0
+    while rounds is None or done_rounds < rounds:
+        degs = vertex_degrees(cur)
+
+        def low_only(t: pa.Table) -> pa.Table:
+            return t.filter(pc.less(t["deg"], k)).select(["v"])
+
+        low = degs.map_batches(low_only, batch_format="pyarrow").materialize()
+        if low.count() == 0:
+            return cur
+        e1 = hash_join(cur, low, on="lo", right_on="v", how="anti",
+                       left_schema=_EDGE_SCHEMA,
+                       right_schema=pa.schema([("v", _STR)]))
+        cur = hash_join(e1, low, on="hi", right_on="v", how="anti",
+                        left_schema=_EDGE_SCHEMA,
+                        right_schema=pa.schema([("v", _STR)])).materialize()
+        done_rounds += 1
+        if rounds is None and done_rounds >= max_rounds:
+            raise RuntimeError(
+                f"k-core did not converge within {max_rounds} rounds")
+    return cur

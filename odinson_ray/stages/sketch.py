@@ -219,8 +219,8 @@ def _compact_weighted(v: np.ndarray, w: np.ndarray, m: int):
     return v[np.minimum(mids, len(v) - 1)], sw
 
 
-def approx_quantiles(ds, value: str, qs=(0.5, 0.9, 0.99),
-                     summary: int = 256, fanin: int = 32) -> dict:
+def approx_quantile_values(ds, value: str, qs,
+                           summary: int = 256, fanin: int = 32) -> "np.ndarray":
     """Distributed approximate quantiles via mergeable weighted
     summaries (a deterministic one-compactor KLL relative): each batch
     collapses to <= ``summary`` (value, weight) strata, summaries
@@ -228,8 +228,8 @@ def approx_quantiles(ds, value: str, qs=(0.5, 0.9, 0.99),
     reads <= fanin * summary weighted points. Rank error is bounded by
     (#compaction levels) * n / (2 * summary) — ~1% of n at the defaults
     — and the pytest pins the observed error against exact quantiles.
-    Approximate BY DESIGN: no SQL oracle (value_quantiles is the exact
-    cousin for discrete columns)."""
+    Returns the raw value array for fractions ``qs`` (also the boundary
+    supplier for sample-partitioned sorts, e.g. _enumerated_orders)."""
 
     def partial(t: pa.Table) -> pa.Table:
         v = np.sort(t[value].to_numpy(zero_copy_only=False).astype(np.float64))
@@ -262,4 +262,13 @@ def approx_quantiles(ds, value: str, qs=(0.5, 0.9, 0.99),
     cw = np.cumsum(w)
     total = cw[-1]
     idx = np.minimum(np.searchsorted(cw, np.asarray(qs) * total), len(v) - 1)
-    return {f"p{int(q * 100)}": float(v[i]) for q, i in zip(qs, idx)}
+    return v[idx]
+
+
+def approx_quantiles(ds, value: str, qs=(0.5, 0.9, 0.99),
+                     summary: int = 256, fanin: int = 32) -> dict:
+    """p-labelled dict wrapper over approx_quantile_values. Approximate
+    BY DESIGN: no SQL oracle (value_quantiles is the exact cousin for
+    discrete columns)."""
+    vals = approx_quantile_values(ds, value, qs, summary, fanin)
+    return {f"p{int(q * 100)}": float(x) for q, x in zip(qs, vals)}

@@ -307,3 +307,84 @@ def test_bucket_layout_idempotent_and_consistent(sf_dir):
         t = pq.read_table(os.path.join(r1, files[0]))
         calc = _bucket_ids(t["custkey"], 32)
         assert (calc == int(b)).all()
+
+
+def _local_kcore(edges, k):
+    """Reference fixpoint peel on a python edge list."""
+    cur = set(edges)
+    while True:
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        low = {v for v, d in deg.items() if d < k}
+        if not low:
+            return cur
+        cur = {(a, b) for a, b in cur if a not in low and b not in low}
+
+
+def test_kcore_fixpoint_matches_local():
+    """Chain a-b-c-d-e plus triangle x-y-z: the 2-core is exactly the
+    triangle; fixpoint mode must peel the whole chain (3 rounds)."""
+    import ray
+    import pyarrow as pa
+    from odinson_ray.stages.graph import kcore_edges
+
+    raw = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+           ("x", "y"), ("y", "z"), ("x", "z")]
+    edges = ray.data.from_arrow(pa.table({
+        "lo": [e[0] for e in raw], "hi": [e[1] for e in raw]}))
+    got = kcore_edges(edges, k=2).to_pandas()
+    assert set(zip(got.lo, got.hi)) == _local_kcore(raw, 2)
+    assert set(zip(got.lo, got.hi)) == {("x", "y"), ("y", "z"), ("x", "z")}
+
+
+def test_kcore_bounded_rounds_partial_peel():
+    """rounds=1 peels only the current leaves; the chain's interior
+    survives one round even though the fixpoint removes it."""
+    import ray
+    import pyarrow as pa
+    from odinson_ray.stages.graph import kcore_edges
+
+    raw = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = ray.data.from_arrow(pa.table({
+        "lo": [e[0] for e in raw], "hi": [e[1] for e in raw]}))
+    got = kcore_edges(edges, k=2, rounds=1).to_pandas()
+    assert set(zip(got.lo, got.hi)) == {("b", "c"), ("c", "d")}
+
+
+def test_global_row_number_skewed_keys(tmp_path):
+    """Sampled boundaries keep the enumeration exact on a heavy-tailed
+    sort key (the fixed-width variant piled ~all rows into one bucket)."""
+    rng = np.random.RandomState(7)
+    prices = np.exp(rng.randn(5000) * 2.0) * 100.0
+    pd.DataFrame({"o_orderkey": np.arange(5000),
+                  "o_totalprice": prices}).to_parquet(
+        tmp_path / "orders.parquet")
+
+    from odinson_ray.pipelines.queries import q_global_row_number
+
+    got = q_global_row_number(str(tmp_path)).to_pandas()
+    want = (pd.DataFrame({"o_orderkey": np.arange(5000),
+                          "o_totalprice": prices})
+            .sort_values(["o_totalprice", "o_orderkey"],
+                         ascending=[False, True]))
+    want["rn"] = np.arange(1, 5001)
+    merged = got.merge(want[["o_orderkey", "rn"]], on="o_orderkey",
+                       suffixes=("", "_want"))
+    assert (merged.rn == merged.rn_want).all()
+
+
+def test_quantile_boundaries_balanced_on_skew():
+    """The sketch's boundaries split a lognormal stream into ~equal-mass
+    buckets — the property the enumeration's balance relies on."""
+    import ray
+    import pyarrow as pa
+    from odinson_ray.stages.sketch import approx_quantile_values
+
+    rng = np.random.RandomState(11)
+    v = np.exp(rng.randn(20000) * 2.0)
+    ds = ray.data.from_arrow(pa.table({"x": v}))
+    bounds = approx_quantile_values(ds, "x", np.arange(1, 16) / 16)
+    counts = np.bincount(np.searchsorted(bounds, v), minlength=16)
+    assert counts.max() < 3 * len(v) / 16, counts
