@@ -5270,3 +5270,105 @@ FROM events GROUP BY event_type
 
 QUERIES["decayed_value"] = q_decayed_value
 ORACLES["decayed_value"] = ORACLE_DECAYED_VALUE
+
+
+# ===================================== grouped linear regression
+
+def q_regress_lineitem(sf_dir: str):
+    """Per-group OLS of extendedprice on quantity (slope / intercept /
+    R^2) from the SAME six sufficient statistics as corr_lineitem — the
+    map-side-combine family covers every closed-form regression
+    aggregate for free; only six numbers per key ever shuffle."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x, y = t["l_quantity"], t["l_extendedprice"]
+        s = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "x": x, "y": y,
+            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+        })
+        g = pa.TableGroupBy(s, ["l_returnflag"]).aggregate(
+            [([], "count_all"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return rename_agg(g, ["l_returnflag"],
+                          ["l_returnflag", "pn", "px", "py", "pxx", "pyy", "pxy"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("pn", alias_name="n"), Sum("px", alias_name="sx"),
+                      Sum("py", alias_name="sy"), Sum("pxx", alias_name="sxx"),
+                      Sum("pyy", alias_name="syy"), Sum("pxy", alias_name="sxy")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        cov = sxy - sx * sy / n
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        slope = cov / vx
+        intercept = sy / n - slope * (sx / n)
+        r2 = (cov * cov) / (vx * vy)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "slope": pa.array(np.round(slope, 6), pa.float64()),
+            "intercept": pa.array(np.round(intercept, 4), pa.float64()),
+            "r2": pa.array(np.round(r2, 6), pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+ORACLE_REGRESS_LINEITEM = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag
+"""
+
+QUERIES["regress_lineitem"] = q_regress_lineitem
+ORACLES["regress_lineitem"] = ORACLE_REGRESS_LINEITEM
+
+
+# ===================================== per-key EWMA (recursive smoothing)
+
+def q_user_ewma(sf_dir: str, alpha: float = 0.3):
+    """Per-user exponentially weighted moving average of value over
+    (ts, event_id) order, reporting each user's final smoothed level —
+    the classic online-feature recurrence s_t = a*v_t + (1-a)*s_{t-1}.
+    Inherently sequential per key, so it runs per group (the sessionize
+    skew bound) with pandas' C ewm kernel — no Python loop. RECURSIVE ->
+    no SQL oracle (DuckDB has no ewm); the pytest checks against pandas
+    groupby().ewm() directly."""
+    rd = _rd()
+
+    def ewma(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                            ("event_id", "ascending")])
+        v = g["value"].take(idx).to_numpy(zero_copy_only=False)
+        s = pd.Series(v).ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n": pa.array([len(v)], pa.int64()),
+            "ewma": pa.array([round(float(s), 6)], pa.float64()),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id", "value"])
+        .groupby("user_id")
+        .map_groups(ewma, batch_format="pyarrow")
+    )
+
+
+QUERIES["user_ewma"] = q_user_ewma

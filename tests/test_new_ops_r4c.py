@@ -388,3 +388,31 @@ def test_quantile_boundaries_balanced_on_skew():
     bounds = approx_quantile_values(ds, "x", np.arange(1, 16) / 16)
     counts = np.bincount(np.searchsorted(bounds, v), minlength=16)
     assert counts.max() < 3 * len(v) / 16, counts
+
+
+def test_regress_matches_numpy(sf_dir):
+    from odinson_ray.pipelines.queries import q_regress_lineitem
+
+    got = q_regress_lineitem(sf_dir).to_pandas()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    for _, r in got.iterrows():
+        g = li[li.l_returnflag == r.l_returnflag]
+        slope, intercept = np.polyfit(g.l_quantity, g.l_extendedprice, 1)
+        assert abs(r.slope - slope) < 1e-4
+        assert abs(r.intercept - intercept) < 1e-2
+        assert 0.0 <= r.r2 <= 1.0
+
+
+def test_user_ewma_matches_pandas(sf_dir):
+    from odinson_ray.pipelines.queries import q_user_ewma
+
+    got = q_user_ewma(sf_dir).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    want = (ev.groupby("user_id").value
+            .apply(lambda s: s.ewm(alpha=0.3, adjust=False).mean().iloc[-1]))
+    assert len(got) == len(want)
+    assert np.allclose(got.ewma, want.loc[got.index].round(6), atol=1e-6)
