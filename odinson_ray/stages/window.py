@@ -30,6 +30,11 @@ import pyarrow.compute as pc
 
 from .shuffle import as_arrow_schema
 
+# coarse fan-out for the as-of final resolve: enough partitions that a
+# 256-node cluster keeps every core busy, few enough that per-partition
+# run counts amortize the per-group overhead
+ASOF_PARTITIONS = 1024
+
 
 def _with_bucket(t: pa.Table, ts: str, bucket_s: int) -> pa.Table:
     epoch = pc.divide(pc.cast(t[ts], pa.int64()), 1_000_000)  # us -> s
@@ -222,7 +227,6 @@ def asof_join_latest(events, orders, key: str = "user_id", ts: str = "ts",
     in-bucket searchsorted hit (when any) strictly dominates the carry,
     and otherwise the carry IS the latest prior order.
     """
-    from .shuffle import hash_join
 
     key_t = as_arrow_schema(events.schema()).field(key).type
     int_key = pa.types.is_integer(key_t)
@@ -292,71 +296,166 @@ def asof_join_latest(events, orders, key: str = "user_id", ts: str = "ts",
     partials = orders.map_batches(order_partials, batch_format="pyarrow").union(
         events.map_batches(event_buckets, batch_format="pyarrow"))
 
-    # ---- stage 2: per-key exclusive prefix-best over bucket partials
-    def carries(g: pa.Table) -> pa.Table:
+    # ---- stage 2: per-key exclusive prefix-best over bucket partials,
+    # computed over COARSE key partitions (hash(_k) % ASOF_PARTITIONS)
+    # rather than one map_groups task per key: per-key groups here are
+    # O(#buckets) rows — tiny — and the per-group dispatch plus per-key
+    # Arrow-call overhead of the first version (pa.array x3 + _jk_of per
+    # KEY) measured 6 s of remote wall on a 100k-event input. One
+    # Arrow->numpy conversion per partition, scalar numpy inside, one
+    # vectorized _jk_of over ALL output rows at the end.
+    def add_kgk(t: pa.Table) -> pa.Table:
+        if int_key:
+            from .sketch import _splitmix64
+
+            kv = t["_k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            gk = (_splitmix64(kv) % np.uint64(ASOF_PARTITIONS)).astype(np.int64)
+        else:
+            import hashlib
+
+            gk = np.fromiter(
+                (int.from_bytes(hashlib.md5(str(s).encode()).digest()[:8],
+                                "little") % ASOF_PARTITIONS
+                 for s in t["_k"].to_pylist()),
+                dtype=np.int64, count=len(t))
+        return t.append_column("_kgk", pa.array(gk, pa.int64()))
+
+    def carries_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        k = g["_k"].to_numpy(zero_copy_only=False)
         b = g["_bucket"].to_numpy(zero_copy_only=False)
-        bts = g["_bts"].to_numpy(zero_copy_only=False)  # float w/ nan for nulls
+        bts = g["_bts"].to_numpy(zero_copy_only=False)  # float w/ nan nulls
         bid = g["_bid"].to_numpy(zero_copy_only=False)
-        ub = np.unique(b)
-        kv = g["_k"][0]
-        best_ts, best_id = None, None  # running best strictly before bucket
-        out_jk, out_ts, out_id = [], [], []
-        for bucket in ub:  # O(#buckets per key), never event rows
-            out_jk.append(bucket)
-            out_ts.append(best_ts)
-            out_id.append(best_id)
-            m = b == bucket
-            cand_ts, cand_id = bts[m], bid[m]
-            ok = ~pd_isnan(cand_ts)
-            if ok.any():
-                j = np.lexsort((cand_id[ok], cand_ts[ok]))[-1]
-                cts, cid = int(cand_ts[ok][j]), int(cand_id[ok][j])
-                if best_ts is None or (cts, cid) > (best_ts, best_id):
-                    best_ts, best_id = cts, cid
-        keys = pa.array([kv.as_py()] * len(ub), key_t)
-        jk = _jk_of(keys, pa.array(out_jk, pa.int64()))
+        perm = np.lexsort((b, k))
+        k_s, b_s = k[perm], b[perm]
+        bts_s, bid_s = bts[perm], bid[perm]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(k_s[1:] != k_s[:-1]) + 1, [len(k_s)]))
+        out_k, out_b, out_ts, out_id = [], [], [], []
+        for a, e in zip(starts[:-1], starts[1:]):
+            best_ts, best_id = None, None
+            i = a
+            while i < e:
+                j = i
+                while j < e and b_s[j] == b_s[i]:
+                    j += 1
+                out_k.append(k_s[i])
+                out_b.append(b_s[i])
+                out_ts.append(best_ts)
+                out_id.append(best_id)
+                cand_ts, cand_id = bts_s[i:j], bid_s[i:j]
+                ok = ~pd_isnan(cand_ts)
+                if ok.any():
+                    m = np.lexsort((cand_id[ok], cand_ts[ok]))[-1]
+                    cts, cid = int(cand_ts[ok][m]), int(cand_id[ok][m])
+                    if best_ts is None or (cts, cid) > (best_ts, best_id):
+                        best_ts, best_id = cts, cid
+                i = j
+        if int_key:
+            keys = pa.array(np.asarray(out_k, dtype=np.int64), key_t)
+        else:
+            keys = pa.array(list(out_k), key_t)
+        jk = _jk_of(keys, pa.array(out_b, pa.int64()))
         return pa.table({"_jk": jk,
                          "_cts": pa.array(out_ts, pa.int64()),
                          "_cid": pa.array(out_id, pa.int64())})
 
-    carry_rows = partials.groupby("_k").map_groups(carries, batch_format="pyarrow")
+    carry_rows = (partials.map_batches(add_kgk, batch_format="pyarrow")
+                  .groupby("_kgk")
+                  .map_groups(carries_partition, batch_format="pyarrow"))
 
-    # ---- join + per-bucket resolve (merge_post: rows already co-located)
-    def resolve(g: pa.Table) -> pa.Table:
+    # ---- final resolve over COARSE key partitions (r4 perf fix).
+    # The first version hash-joined carries onto the event/order stream
+    # keyed on _jk and resolved per (key, bucket) group — semantically
+    # right, but (key, bucket) groups are TINY (~10 rows) and enormously
+    # numerous, and each one paid ~2 ms of per-group Arrow-call overhead
+    # in the join reducer (measured: 43 s of remote wall for a 100k-event
+    # input; at web scale those groups number in the billions, so the
+    # overhead IS the cost). Instead: union the carry rows into the
+    # side-tagged stream, shuffle ONCE on hash(_jk) % ASOF_PARTITIONS,
+    # and resolve every _jk run in a partition with one Arrow->numpy
+    # conversion + one lexsort + a per-run numpy loop (~5 us/run, no
+    # Arrow calls inside). Same output, one fewer shuffle leg. A hot
+    # (key, bucket) still bounds per-task rows exactly as before —
+    # partitions split by hash, runs stay intact.
+    def carry_project(t: pa.Table) -> pa.Table:
+        # a missing/null carry means "no prior order" == no carry row
+        t = t.filter(pc.is_valid(t["_cid"]))
+        n = t.num_rows
+        return pa.table({
+            "_jk": t["_jk"],
+            "_side": pa.array(np.full(n, 2, dtype=np.int8)),
+            "_k": pa.nulls(n, key_t),
+            "_ts": t["_cts"], "_id": t["_cid"],
+        })
+
+    both = left.union(
+        carry_rows.map_batches(carry_project, batch_format="pyarrow"))
+
+    def add_gk(t: pa.Table) -> pa.Table:
+        if int_key:
+            from .sketch import _splitmix64
+
+            jk = t["_jk"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            gk = (_splitmix64(jk) % np.uint64(ASOF_PARTITIONS)).astype(np.int64)
+        else:
+            import hashlib
+
+            gk = np.fromiter(
+                (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                                "little") % ASOF_PARTITIONS
+                 for s in t["_jk"].to_pylist()),
+                dtype=np.int64, count=len(t))
+        return t.append_column("_gk", pa.array(gk, pa.int64()))
+
+    def resolve_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        jk = g["_jk"].to_numpy(zero_copy_only=False)
         side = g["_side"].to_numpy(zero_copy_only=False)
-        tsv = g["_ts"].to_numpy(zero_copy_only=False)
-        ids = g["_id"].to_numpy(zero_copy_only=False)
-        ei = np.flatnonzero(side == 0)
-        oi = np.flatnonzero(side == 1)
-        if ei.size == 0:
+        tsv = g["_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g["_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        perm = np.lexsort((ids, tsv, jk))
+        jk_s, side_s = jk[perm], side[perm]
+        ts_s, id_s = tsv[perm], ids[perm]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(jk_s[1:] != jk_s[:-1]) + 1, [len(jk_s)]))
+        out_ids, out_res, out_pos = [], [], []
+        for a, b in zip(starts[:-1], starts[1:]):
+            sd = side_s[a:b]
+            ei = np.flatnonzero(sd == 0)
+            if ei.size == 0:
+                continue
+            oi = np.flatnonzero(sd == 1)
+            ci = np.flatnonzero(sd == 2)
+            ts_r, id_r = ts_s[a:b], id_s[a:b]
+            # run is (ts, id)-sorted, so the order subsequence is too
+            idx = np.searchsorted(ts_r[oi], ts_r[ei], side="right") - 1
+            hit = idx >= 0
+            res = np.empty(ei.size, dtype=np.int64)
+            res[hit] = id_r[oi][idx[hit]]
+            if ci.size:
+                res[~hit] = id_r[ci[0]]
+                valid = np.ones(ei.size, dtype=bool)
+            else:
+                valid = hit
+            keep = ei[valid]
+            out_ids.append(id_r[keep])
+            out_res.append(res[valid])
+            out_pos.append(perm[a + keep])
+        if not out_ids:
             return pa.table({ev_id: pa.array([], pa.int64()),
                              key: pa.array([], key_t),
                              out: pa.array([], pa.int64())})
-        o = oi[np.lexsort((ids[oi], tsv[oi]))]
-        idx = np.searchsorted(tsv[o], tsv[ei], side="right") - 1
-        hit = idx >= 0
-        res = np.empty(ei.size, dtype=np.int64)
-        res[hit] = ids[o][idx[hit]]
-        cid = g["_cid"][0] if g.num_rows else None
-        carry_ok = cid is not None and cid.is_valid
-        valid = hit.copy()
-        if carry_ok:
-            res[~hit] = cid.as_py()
-            valid[:] = True
-        keep = ei[valid]
-        return pa.table({ev_id: pa.array(ids[keep], pa.int64()),
-                         key: g["_k"].take(pa.array(keep, pa.int64())),
-                         out: pa.array(res[valid], pa.int64())})
+        pos = np.concatenate(out_pos)
+        return pa.table({
+            ev_id: pa.array(np.concatenate(out_ids), pa.int64()),
+            key: g["_k"].take(pa.array(pos, pa.int64())),
+            out: pa.array(np.concatenate(out_res), pa.int64()),
+        })
 
-    return hash_join(
-        left, carry_rows, on="_jk", how="left_outer",
-        left_schema=pa.schema([("_jk", jk_type), ("_side", pa.int8()),
-                               ("_k", key_t), ("_ts", pa.int64()),
-                               ("_id", pa.int64())]),
-        right_schema=pa.schema([("_jk", jk_type), ("_cts", pa.int64()),
-                                ("_cid", pa.int64())]),
-        merge_post=resolve,
-    )
+    return (both.map_batches(add_gk, batch_format="pyarrow")
+            .groupby("_gk")
+            .map_groups(resolve_partition, batch_format="pyarrow"))
 
 
 def pd_isnan(a: np.ndarray) -> np.ndarray:
