@@ -5372,3 +5372,60 @@ def q_user_ewma(sf_dir: str, alpha: float = 0.3):
 
 
 QUERIES["user_ewma"] = q_user_ewma
+
+
+# ===================================== media resize (multimodal stub)
+
+def q_media_resize(sf_dir: str):
+    """Fit-in-256 image resize over the media span table
+    (stages/media.MediaResizer): aspect-preserving dimension math +
+    binary payload output through a small-batch actor pool. The byte
+    transform is the documented deterministic stub (md5 of ref:dims), so
+    the oracle recomputes payload hex exactly; a real resizer swaps one
+    method."""
+    from odinson_ray.stages.media import media_resize
+
+    def proj(t: pa.Table) -> pa.Table:
+        hexes = [p.hex() for p in t["payload"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"], "media_ref": t["media_ref"],
+            "out_width": t["out_width"], "out_height": t["out_height"],
+            "payload_hex": pa.array(hexes, pa.string()),
+        })
+
+    return media_resize(sf_dir).map_batches(proj, batch_format="pyarrow")
+
+
+ORACLE_MEDIA_RESIZE = """
+WITH media AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id,
+         'media://img/' || doc_id AS media_ref
+  FROM documents WHERE doc_id % 5 = 0
+),
+feat AS (
+  SELECT *, list_sum(list_transform(string_split(media_ref, ''),
+                                    x -> ascii(x))) AS n
+  FROM media
+),
+dims AS (
+  SELECT doc_id, media_ref,
+         CAST(64 + (n % 64) * 16 AS INT) AS w,
+         CAST(64 + (n % 48) * 16 AS INT) AS h
+  FROM feat
+),
+sized AS (
+  SELECT *, LEAST(256.0 / w, 256.0 / h, 1.0) AS s FROM dims
+),
+outs AS (
+  SELECT doc_id, media_ref,
+         GREATEST(1, CAST(FLOOR(w * s) AS INT)) AS out_width,
+         GREATEST(1, CAST(FLOOR(h * s) AS INT)) AS out_height
+  FROM sized
+)
+SELECT doc_id, media_ref, out_width, out_height,
+       md5(media_ref || ':' || out_width || 'x' || out_height) AS payload_hex
+FROM outs
+"""
+
+QUERIES["media_resize"] = q_media_resize
+ORACLES["media_resize"] = ORACLE_MEDIA_RESIZE

@@ -190,3 +190,84 @@ class MediaPerceptualHasher:
             "phash": pa.array([self.phash(k, r) for k, r in zip(kinds, refs)],
                               pa.string()),
         })
+
+
+# ------------------------------------------------------------ resize stage
+
+RESIZE_TARGET = 256
+
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("out_width", pa.int32()),
+        ("out_height", pa.int32()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+class MediaResizer:
+    """Actor-pool stage: image feature rows -> fit-in-box resized
+    payloads (aspect preserved, never upscaled). The byte TRANSFORM is a
+    deterministic stub (md5 of ref:dims — no image libs here); the
+    dimension math, actor signature, small-batch plumbing and binary
+    output column are the real deployment shape. A real resizer replaces
+    ``_fake_bytes`` with the decoded+scaled encode inside the same
+    actor."""
+
+    def __init__(self, target: int = RESIZE_TARGET):
+        import hashlib
+
+        self.target = target
+        self._md5 = hashlib.md5
+
+    def _fake_bytes(self, ref: str, w: int, h: int) -> bytes:
+        return self._md5(f"{ref}:{w}x{h}".encode()).digest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["kind"], "image"))
+        w = batch["width"].to_pylist()
+        h = batch["height"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        t = float(self.target)
+        ow, oh, payload = [], [], []
+        for wi, hi, r in zip(w, h, refs):
+            s = min(t / wi, t / hi, 1.0)
+            a, b = max(1, int(wi * s)), max(1, int(hi * s))
+            ow.append(a)
+            oh.append(b)
+            payload.append(self._fake_bytes(r, a, b))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "out_width": pa.array(ow, pa.int32()),
+            "out_height": pa.array(oh, pa.int32()),
+            "payload": pa.array(payload, pa.binary()),
+        })
+
+
+def media_resize(sf_dir: str, concurrency: int = 2, batch_size: int = 64):
+    """media feature rows -> resized image payloads (actor pool, small
+    batches: output rows carry binary blobs).
+
+    TWO actor pools run in this plan (feature extraction + resize), so
+    the single-pool clamp is not enough: both pools TOGETHER must leave
+    >= 1 CPU of headroom or the streaming executor deadlocks (hit at the
+    4-CPU test session: 2 + 2 actors = every CPU). Split the budget."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if (
+            ray.is_initialized()) else 0
+    except Exception:
+        cpus = 0
+    per = max(1, min(concurrency, (cpus - 1) // 2)) if cpus else concurrency
+    return media_features(sf_dir, concurrency=per,
+                          batch_size=batch_size).map_batches(
+        MediaResizer,
+        batch_format="pyarrow",
+        concurrency=per,
+        batch_size=batch_size,
+        num_cpus=1,
+    )

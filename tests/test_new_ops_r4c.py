@@ -416,3 +416,19 @@ def test_user_ewma_matches_pandas(sf_dir):
             .apply(lambda s: s.ewm(alpha=0.3, adjust=False).mean().iloc[-1]))
     assert len(got) == len(want)
     assert np.allclose(got.ewma, want.loc[got.index].round(6), atol=1e-6)
+
+
+def test_media_resize_semantics(sf_dir):
+    from odinson_ray.pipelines.queries import q_media_resize
+
+    got = q_media_resize(sf_dir).to_pandas()
+    assert len(got) > 0
+    # fit-in-box, never upscaled
+    assert (got.out_width <= 256).all() and (got.out_height <= 256).all()
+    # payload is the documented stub: md5 of ref:dims
+    import hashlib
+
+    r = got.iloc[0]
+    want = hashlib.md5(
+        f"{r.media_ref}:{r.out_width}x{r.out_height}".encode()).hexdigest()
+    assert r.payload_hex == want
