@@ -42,11 +42,51 @@ def as_arrow_schema(s) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _partition_ids(col: pa.ChunkedArray, partitions: int) -> pa.Array:
+    """Deterministic vectorized partition id for a join-key column.
+
+    Any deterministic pure function of the key value works (it only
+    decides co-location, never output values): splitmix64 for integer
+    keys, pandas' C siphash (fixed default key, stable across processes)
+    for strings/objects. Null keys land in partition 0 and are handled
+    as the dedicated null segment by the merge.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    vals = arr.to_numpy(zero_copy_only=False)
+    if np.issubdtype(vals.dtype, np.integer):
+        from .sketch import _splitmix64
+
+        h = _splitmix64(vals.astype(np.uint64))
+    else:
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            np.asarray(arr.to_pandas(), dtype=object), categorize=False)
+    p = (h % np.uint64(partitions)).astype(np.int64)
+    null_mask = ~np.asarray(pc.is_valid(arr))
+    if null_mask.any():
+        p[null_mask] = 0
+    return pa.array(p, pa.int64())
+
+
+def _seg_arange(seg_starts: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Concatenated aranges: [s0..s0+l0) ++ [s1..s1+l1) ++ ..., fully
+    vectorized (no per-segment Python)."""
+    total = int(seg_lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    rep = np.repeat(np.arange(len(seg_starts)), seg_lens)
+    out_starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+    offs = np.arange(total) - np.repeat(out_starts, seg_lens)
+    return seg_starts[rep] + offs
+
+
 def hash_join(left, right, on: str, right_on: str | None = None,
               how: str = "inner", right_suffix: str = "_r",
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None,
-              merge_post=None, hot_chunk_rows: int = 10_000_000):
+              merge_post=None, hot_chunk_rows: int = 10_000_000,
+              partitions: int = 512):
     """Distributed single-key hash join built on ``groupby().map_groups()``.
 
     Why not ``Dataset.join``: Ray 2.49's hash-shuffle join (a) crashes
@@ -78,6 +118,17 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     postprocessing (e.g. an ordered cumsum seeded by a joined offset)
     would otherwise need its own groupby on the same key — a whole extra
     all-to-all shuffle for rows that are already co-located here.
+
+    EXECUTION SHAPE (r4, tiny-group rule): without ``merge_post`` the
+    shuffle key is ``hash(key) % partitions`` — COARSE partitions, not
+    per-key groups — and each partition's merge is one Arrow sort + one
+    dictionary_encode + segmented numpy index arithmetic for EVERY key
+    run at once. Per-key ``map_groups`` pays ~2 ms of dispatch +
+    Arrow-call overhead per group; join keys are mostly high-cardinality
+    (doc ids, entity keys), so at web scale that overhead IS the join
+    cost (the same fix took asof_join's resolve 43.7 s -> 1.2 s).
+    ``merge_post`` callers keep the per-key path: their contract is a
+    single-key table (seeded cumsums, per-center ranks).
     """
     assert how in ("inner", "left_outer", "full_outer", "semi", "anti"), how
     right_on = right_on or on
@@ -92,24 +143,30 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     rpay = [c for c in rs.names if c != right_on]
     rout = {c: (c + right_suffix if c in ls.names else c) for c in rpay}
 
+    coarse = merge_post is None
+
     def proj_left(t: pa.Table) -> pa.Table:
         n = len(t)
-        data = {"_k": t[on].combine_chunks().cast(ktype),
-                "_side": pa.array(np.zeros(n, dtype=np.int8))}
+        k = t[on].combine_chunks().cast(ktype)
+        data = {"_k": k, "_side": pa.array(np.zeros(n, dtype=np.int8))}
+        if coarse:
+            data["_p"] = _partition_ids(k, partitions)
         for c in lpay:
-            data["_l_" + c] = t[c].combine_chunks()
+            data["_l_" + c] = t[c].combine_chunks().cast(ltypes[c])
         for c in rpay:
             data["_r_" + c] = pa.nulls(n, rtypes[c])
         return pa.Table.from_pydict(data)
 
     def proj_right(t: pa.Table) -> pa.Table:
         n = len(t)
-        data = {"_k": t[right_on].combine_chunks().cast(ktype),
-                "_side": pa.array(np.ones(n, dtype=np.int8))}
+        k = t[right_on].combine_chunks().cast(ktype)
+        data = {"_k": k, "_side": pa.array(np.ones(n, dtype=np.int8))}
+        if coarse:
+            data["_p"] = _partition_ids(k, partitions)
         for c in lpay:
             data["_l_" + c] = pa.nulls(n, ltypes[c])
         for c in rpay:
-            data["_r_" + c] = t[c].combine_chunks()
+            data["_r_" + c] = t[c].combine_chunks().cast(rtypes[c])
         return pa.Table.from_pydict(data)
 
     def merge(g: pa.Table) -> pa.Table:
@@ -198,9 +255,105 @@ def hash_join(left, right, on: str, right_on: str | None = None,
             joined = merge_post(joined)
         return joined
 
+    def _emit(g: pa.Table, lidx: np.ndarray, ridx: np.ndarray) -> pa.Table:
+        out = {on: g["_k"].take(lidx)}
+        for c in lpay:
+            out[c] = g["_l_" + c].take(lidx)
+        for c in rpay:
+            out[rout[c]] = g["_r_" + c].take(ridx)
+        return pa.Table.from_pydict(out)
+
+    def merge_partition(g: pa.Table) -> pa.Table:
+        """Segmented merge of a COARSE hash partition: every key run in
+        the partition resolved from one sort + one dictionary_encode +
+        numpy index arithmetic — no per-key Arrow calls or dispatch.
+
+        Null-key rows land in one trailing segment (code -1) and follow
+        SQL semantics exactly as the per-key path did: never matched;
+        emitted unmatched by left_outer/full_outer/anti.
+        """
+        g = g.combine_chunks()
+        n = g.num_rows
+        # key runs contiguous, left rows before right rows within a run,
+        # nulls at the end (Arrow sort default null_placement)
+        g = g.take(pc.sort_indices(
+            g, sort_keys=[("_k", "ascending"), ("_side", "ascending")]))
+        enc = pc.dictionary_encode(g["_k"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        if codes.dtype.kind == "f":  # nulls present -> float with nan
+            codes = np.where(np.isnan(codes), -1, codes)
+        codes = codes.astype(np.int64)
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
+        lens = np.diff(np.append(starts, n))
+        lcnt = np.add.reduceat((side == 0).astype(np.int64), starts)
+        rcnt = lens - lcnt
+        isnull = codes[starts] == -1
+
+        if how in ("semi", "anti"):
+            sel = (~isnull & (rcnt > 0)) if how == "semi" else \
+                ((rcnt == 0) | isnull)
+            lidx = _seg_arange(starts[sel], lcnt[sel])
+            out = {on: g["_k"].take(lidx)}
+            for c in lpay:
+                out[c] = g["_l_" + c].take(lidx)
+            return pa.Table.from_pydict(out)
+
+        matched = ~isnull & (lcnt > 0) & (rcnt > 0)
+        ls, lc, rc = starts[matched], lcnt[matched], rcnt[matched]
+        rstart, out_n = ls + lc, lc * rc
+        pieces = []
+        hot = out_n > hot_chunk_rows
+        if hot.any():
+            import warnings
+
+            for i in np.flatnonzero(hot):
+                warnings.warn(
+                    f"hash_join: hot key expands to {lc[i]}x{rc[i]} rows "
+                    "in one task; emitting in chunked sub-tables "
+                    "(consider pre-aggregating or salting upstream)",
+                    RuntimeWarning,
+                )
+                li = np.arange(ls[i], ls[i] + lc[i])
+                ri = np.arange(rstart[i], rstart[i] + rc[i])
+                per = max(1, hot_chunk_rows // max(int(rc[i]), 1))
+                for s in range(0, int(lc[i]), per):
+                    lch = li[s:s + per]
+                    pieces.append(_emit(g, np.repeat(lch, ri.size),
+                                        np.tile(ri, lch.size)))
+            ls, lc = ls[~hot], lc[~hot]
+            rstart, rc, out_n = rstart[~hot], rc[~hot], out_n[~hot]
+        # cross product of every remaining matched run at once:
+        # output row j of run i maps to left ls[i] + j // rc[i],
+        # right rstart[i] + j % rc[i]
+        if len(ls):
+            rep = np.repeat(np.arange(len(ls)), out_n)
+            ostarts = np.concatenate(([0], np.cumsum(out_n)[:-1]))
+            j = np.arange(int(out_n.sum())) - np.repeat(ostarts, out_n)
+            lidx = ls[rep] + j // rc[rep]
+            ridx = rstart[rep] + j % rc[rep]
+        else:
+            lidx = ridx = np.empty(0, dtype=np.int64)
+        if how == "left_outer":
+            extra = _seg_arange(starts[(rcnt == 0) | isnull],
+                                lcnt[(rcnt == 0) | isnull])
+            lidx = np.concatenate([lidx, extra])
+            ridx = np.concatenate([ridx, extra])  # _r_* are null there
+        elif how == "full_outer":
+            sel = (lcnt == 0) | (rcnt == 0) | isnull
+            extra = _seg_arange(starts[sel], lens[sel])
+            lidx = np.concatenate([lidx, extra])
+            ridx = np.concatenate([ridx, extra])
+        pieces.append(_emit(g, lidx, ridx))
+        return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+
     both = left.map_batches(proj_left, batch_format="pyarrow").union(
         right.map_batches(proj_right, batch_format="pyarrow")
     )
+    if coarse:
+        return both.groupby("_p").map_groups(
+            merge_partition, batch_format="pyarrow")
     return both.groupby("_k").map_groups(merge, batch_format="pyarrow")
 
 
