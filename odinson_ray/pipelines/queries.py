@@ -5429,3 +5429,169 @@ FROM outs
 
 QUERIES["media_resize"] = q_media_resize
 ORACLES["media_resize"] = ORACLE_MEDIA_RESIZE
+
+
+# ===================================== weighted sample (Efraimidis-Spirakis)
+
+def q_weighted_sample(sf_dir: str, k: int = 100):
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis A-ES): every doc draws a hash-uniform u(doc_id) and scores
+    skey = u^(1/weight); the global top-k by skey is an exact weighted
+    sample — P(doc in sample) follows its weight share, here n_chars.
+
+    Distributed shape: score + per-batch top-k prune inside map_batches,
+    then one tiny final sort (global_topk) — no full-data shuffle, no RNG
+    state. Membership is a pure function of doc_id (same Knuth-hash
+    uniform as stratified_sample), so the sample is reproducible and
+    resumable at any parallelism and the SQL oracle expresses the
+    identical draw. skey is emitted as floor(skey * 1e6) — an integer —
+    so the compared values carry no float-representation hazard."""
+    from odinson_ray.stages.shuffle import global_topk
+
+    rd = _rd()
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = (((ids * np.uint64(2654435761)) % np.uint64(1 << 32))
+             .astype(np.float64) + 0.5) / float(1 << 32)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.power(u, 1.0 / w)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_chars": t["n_chars"],
+            "skey_e6": pa.array(np.floor(s * 1e6).astype(np.int64),
+                                pa.int64()),
+            "_s": pa.array(s, pa.float64()),
+        })
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars"])
+        .map_batches(score, batch_format="pyarrow")
+    )
+    top = global_topk(ds, ["_s", "doc_id"], [True, False], k)
+    return top.map_batches(
+        lambda t: t.select(["doc_id", "n_chars", "skey_e6"]),
+        batch_format="pyarrow")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         POW(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0,
+             1.0 / n_chars) AS s
+  FROM documents
+)
+SELECT doc_id, n_chars, CAST(FLOOR(s * 1000000) AS BIGINT) AS skey_e6
+FROM scored ORDER BY s DESC, doc_id LIMIT 100
+"""
+
+QUERIES["weighted_sample"] = q_weighted_sample
+ORACLES["weighted_sample"] = ORACLE_WEIGHTED_SAMPLE
+
+
+# ===================================== weekly cohort retention
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention over the event stream: users are cohorted
+    by their first active week; each (cohort_week, week_offset) cell
+    counts the distinct users of that cohort active offset weeks later —
+    the standard growth/retention matrix.
+
+    Shape (tiny-group rule): per-batch (user, week) dedup packed into one
+    int64, ONE shuffle on hash(user) % 256 coarse partitions (all rows of
+    a user co-located, so per-partition counts are exact distinct counts
+    and disjoint across partitions), segmented numpy resolve (global
+    (user, week) dedup, per-user min via run boundaries, LOCAL
+    (cohort, offset) cells), then a small global groupby sum over cells.
+    The wide stream is shuffled once; the second shuffle moves only
+    per-partition cells. Packing bound: week index < 2^20 (year ~21800),
+    collision-free for user_id < 2^43."""
+    rd = _rd()
+    P, W = 256, 1 << 20
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        week = us // 1_000_000 // 86_400 // 7
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = np.unique(uid * W + week)
+        part = ((comp // W).astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32) % np.uint64(P)
+        return pa.table({"_c": pa.array(comp, pa.int64()),
+                         "_p": pa.array(part.astype(np.int64), pa.int64())})
+
+    def resolve(g: pa.Table) -> pa.Table:
+        comp = np.unique(g["_c"].to_numpy(zero_copy_only=False))
+        uid, week = comp // W, comp % W
+        starts = np.concatenate(
+            ([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1))
+        lens = np.diff(np.append(starts, len(uid)))
+        cohort = np.repeat(week[starts], lens)  # runs sorted -> min first
+        cell = cohort * W + (week - cohort)
+        uc, counts = np.unique(cell, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(uc // W, pa.int64()),
+            "week_offset": pa.array(uc % W, pa.int64()),
+            "_n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    cells = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"])
+        .map_batches(proj, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(resolve, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .sum("_n")
+    )
+    return cells.map_batches(
+        lambda t: pa.table({"cohort_week": t["cohort_week"],
+                            "week_offset": t["week_offset"],
+                            "n_users": t["sum(_n)"]}),
+        batch_format="pyarrow")
+
+
+ORACLE_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 1000000 // 86400 // 7 AS week
+  FROM events
+),
+c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLES["cohort_retention"] = ORACLE_COHORT_RETENTION
+
+
+# ===================================== per-key high-water-mark drawdown
+
+def q_value_drawdown(sf_dir: str):
+    """Per-user running high-water mark of value (ordered by ts,
+    event_id) minus the current value — the peak-to-current drawdown
+    used in monitoring/fraud features. Skew-safe prefix-MAX two-stage
+    decomposition (stages/window.running_drawdown): bucket maxima merge
+    exactly because max is associative and idempotent; the exclusive
+    prefix-max carry joins back on the fine (key, bucket) key and the
+    within-bucket cummax runs in the join reducer."""
+    from odinson_ray.stages.window import running_drawdown
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return running_drawdown(ds)
+
+
+ORACLE_VALUE_DRAWDOWN = """
+SELECT event_id, user_id,
+       round(MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - value, 4) AS drawdown
+FROM events
+"""
+
+QUERIES["value_drawdown"] = q_value_drawdown
+ORACLES["value_drawdown"] = ORACLE_VALUE_DRAWDOWN

@@ -197,6 +197,98 @@ def running_total(ds, key: str = "user_id", ts: str = "ts",
     )
 
 
+def running_drawdown(ds, key: str = "user_id", ts: str = "ts",
+                     order: str = "event_id", value: str = "value",
+                     out: str = "drawdown", ndigits: int = 4,
+                     bucket_s: int = 86400):
+    """Per-key high-water-mark drawdown ordered by (ts, order), skew-safe:
+    ``hwm_t = max(value_1..value_t)`` (inclusive running max),
+    ``drawdown_t = hwm_t - value_t`` — the peak-to-current monitoring
+    statistic.
+
+    Same two-stage (key, bucket) decomposition as ``running_total`` with
+    a prefix-MAX carry instead of a prefix-sum offset: stage 1 collapses
+    each batch to <= one (key, bucket, bucket max) partial row; stage 2
+    (one groupby(key) over PARTIALS only) computes each bucket's
+    EXCLUSIVE prefix max across the key's buckets — the highest value
+    strictly before the bucket, -inf for the first; the carry joins back
+    onto event rows by the fine (key, bucket) composite key and the
+    seeded within-bucket cummax runs inside the join reducer
+    (``merge_post``), so no task holds more than one bucket of one key.
+    Max is associative and idempotent, so per-batch partial maxes merge
+    exactly regardless of how batches split a bucket."""
+    from .shuffle import hash_join, rename_agg
+
+    key_t = as_arrow_schema(ds.schema()).field(key).type
+    int_key = pa.types.is_integer(key_t)
+    _SHIFT = 1 << 22
+
+    def _jk_of(keys, buckets) -> pa.Array:
+        if int_key:
+            day = pc.divide(buckets, bucket_s)
+            return pc.add(pc.multiply(pc.cast(keys, pa.int64()), _SHIFT),
+                          pc.cast(day, pa.int64()))
+        return pc.binary_join_element_wise(
+            pc.cast(keys, pa.string()), pc.cast(buckets, pa.string()), "|")
+
+    jk_type = pa.int64() if int_key else pa.string()
+
+    def add_jk(t: pa.Table) -> pa.Table:
+        t = _with_bucket(t, ts, bucket_s)
+        return t.append_column("_jk", _jk_of(t[key], t["_bucket"]))
+
+    def batch_bmax(t: pa.Table) -> pa.Table:
+        g = (
+            _with_bucket(t.select([key, ts, value]), ts, bucket_s)
+            .select([key, "_bucket", value])
+            .group_by([key, "_bucket"])
+            .aggregate([(value, "max")])
+        )
+        return rename_agg(g, [key, "_bucket"], [key, "_bucket", "_mx"])
+
+    def carries(g: pa.Table) -> pa.Table:
+        b = g["_bucket"].to_numpy(zero_copy_only=False)
+        m = g["_mx"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        mx = np.full(len(ub), -np.inf)
+        np.maximum.at(mx, inv, m)
+        carry = np.concatenate([[-np.inf], np.maximum.accumulate(mx)[:-1]])
+        keys = pa.array([g[key][0].as_py()] * len(ub),
+                        type=g.schema.field(key).type)
+        jk = _jk_of(keys, pa.array(ub, pa.int64()))
+        return pa.table({"_jk": jk, "_carry": pa.array(carry, pa.float64())})
+
+    carry_ds = (
+        ds.map_batches(batch_bmax, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(carries, batch_format="pyarrow")
+    )
+
+    ev = ds.map_batches(add_jk, batch_format="pyarrow").map_batches(
+        lambda t: t.select([order, key, ts, value, "_jk"]),
+        batch_format="pyarrow")
+
+    def seeded(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(ts, "ascending"), (order, "ascending")])
+        g = g.take(idx)
+        vals = g[value].to_numpy(zero_copy_only=False)
+        hwm = np.maximum(np.maximum.accumulate(vals),
+                         g["_carry"][0].as_py())
+        dd = np.round(hwm - vals, ndigits)
+        return pa.table({order: g[order], key: g[key],
+                         out: pa.array(dd, pa.float64())})
+
+    return hash_join(
+        ev, carry_ds, on="_jk",
+        left_schema=pa.schema([(order, pa.int64()), (key, key_t),
+                               (ts, pa.timestamp("us")),
+                               (value, pa.float64()), ("_jk", jk_type)]),
+        right_schema=pa.schema([("_jk", jk_type), ("_carry", pa.float64())]),
+        merge_post=seeded,
+    )
+
+
 def asof_join_latest(events, orders, key: str = "user_id", ts: str = "ts",
                      ev_id: str = "event_id", ord_id: str = "id",
                      out: str = "last_orderkey", bucket_s: int = 86400):
