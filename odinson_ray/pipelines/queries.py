@@ -5595,3 +5595,258 @@ FROM events
 
 QUERIES["value_drawdown"] = q_value_drawdown
 ORACLES["value_drawdown"] = ORACLE_VALUE_DRAWDOWN
+
+
+# ===================================== skyline (Pareto frontier) over orders
+
+def q_skyline_orders(sf_dir: str):
+    """2-D skyline: orders not dominated by any other order (a dominator
+    has an earlier-or-equal date AND a greater-or-equal price, strictly
+    better in at least one dimension).
+
+    Scale shape: the per-date MAX is a plain combiner + small groupby
+    (the date domain is bounded — ~2.4k values per decade — regardless
+    of row count), the exclusive prefix-cummax over sorted dates runs on
+    that tiny table, and the surviving (date, max_cents) pairs are
+    broadcast once (ray.put) into a second streaming pass that filters
+    full rows. Two passes over the input, zero all-to-all on row data.
+    Prices compare as integer cents (floor(x*100+0.5)) so both sides
+    agree bit-exactly."""
+    import ray
+    from ray.data.aggregate import Max
+
+    rd = _rd()
+    cols = ["o_orderkey", "o_orderdate", "o_totalprice"]
+
+    def with_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)),
+                        pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "cents": cents})
+
+    def date_max(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t, ["o_orderdate"]).aggregate([("cents", "max")])
+        return rename_agg(agg, ["o_orderdate"], ["o_orderdate", "cents"])
+
+    per_date = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+        .map_batches(with_cents, batch_format="pyarrow")
+        .map_batches(date_max, batch_format="pyarrow")
+        .groupby("o_orderdate")
+        .aggregate(Max("cents", alias_name="max_cents"))
+        .to_pandas()
+        .sort_values("o_orderdate")
+        .reset_index(drop=True)
+    )
+    m = per_date["max_cents"].to_numpy()
+    prefix = np.concatenate([[np.iinfo(np.int64).min],
+                             np.maximum.accumulate(m)[:-1]])
+    keep = m > prefix
+    # keys normalized to int64 epoch-us: datetime64 hashes are unit-
+    # sensitive (a [ns] driver-side key never matches a [us] batch key)
+    survivors = {
+        int(d): int(c)
+        for d, c in zip(per_date["o_orderdate"][keep]
+                        .astype("datetime64[us]").astype(np.int64).to_numpy(),
+                        per_date["max_cents"][keep].to_numpy())
+    }
+    ref = ray.put(survivors)
+
+    def pick(t: pa.Table) -> pa.Table:
+        sv = ray.get(ref)
+        t = with_cents(t)
+        dates = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        want = np.fromiter(
+            (sv.get(int(d), -1) == c for d, c in zip(dates, cents)),
+            dtype=bool, count=len(cents))
+        return t.filter(pa.array(want))
+
+    return rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+        pick, batch_format="pyarrow")
+
+
+ORACLE_SKYLINE_ORDERS = """
+WITH o AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderdate, cents FROM o r
+WHERE NOT EXISTS (
+  SELECT 1 FROM o s
+  WHERE s.o_orderdate <= r.o_orderdate AND s.cents >= r.cents
+    AND (s.o_orderdate < r.o_orderdate OR s.cents > r.cents)
+)
+"""
+
+QUERIES["skyline_orders"] = q_skyline_orders
+ORACLES["skyline_orders"] = ORACLE_SKYLINE_ORDERS
+
+
+# ===================================== unpivot (melt) lineitem measures
+
+def q_unpivot_measures(sf_dir: str):
+    """Wide-to-long unpivot of the four lineitem measures folded directly
+    into a per-batch partial sum — the long table (4x rows) never
+    materializes; the global exchange moves 4 rows per batch."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, sums, ns = [], [], []
+        for m in measures:
+            names.append(m)
+            sums.append(pc.sum(t[m]).as_py() or 0.0)
+            ns.append(t.num_rows)
+        return pa.table({"measure": names,
+                         "_s": pa.array(sums, pa.float64()),
+                         "_n": pa.array(ns, pa.int64())})
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=measures)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("measure")
+        .aggregate(Sum("_s", alias_name="_s"), Sum("_n", alias_name="n"))
+        .to_pandas()
+    )
+    out["total_cents"] = np.floor(out["_s"] * 100 + 0.5).astype(np.int64)
+    return out[["measure", "total_cents", "n"]]
+
+
+ORACLE_UNPIVOT_MEASURES = """
+SELECT 'l_quantity' AS measure,
+       CAST(FLOOR(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS total_cents,
+       count(*) AS n FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       CAST(FLOOR(sum(l_extendedprice) * 100 + 0.5) AS BIGINT), count(*)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+       CAST(FLOOR(sum(l_discount) * 100 + 0.5) AS BIGINT), count(*)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax',
+       CAST(FLOOR(sum(l_tax) * 100 + 0.5) AS BIGINT), count(*)
+FROM lineitem
+"""
+
+QUERIES["unpivot_measures"] = q_unpivot_measures
+ORACLES["unpivot_measures"] = ORACLE_UNPIVOT_MEASURES
+
+
+# ===================================== changelog compaction (latest per key)
+
+def q_latest_events(sf_dir: str):
+    """Upsert/changelog compaction: the latest event row per user
+    (ts desc, event_id desc tie-break) — grouped_topk k=1, whose
+    per-batch combiner keeps one row per key per batch, so the shuffle
+    moves <= num_batches rows per key no matter how hot the key."""
+    from odinson_ray.stages.shuffle import grouped_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    out = grouped_topk(ds, by="user_id", cols=["ts", "event_id"],
+                       descending=[True, True], k=1)
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "ts", "event_type"]),
+        batch_format="pyarrow")
+
+
+ORACLE_LATEST_EVENTS = """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+QUERIES["latest_events"] = q_latest_events
+ORACLES["latest_events"] = ORACLE_LATEST_EVENTS
+
+
+# ===================================== snapshot diff (table change capture)
+
+def q_snapshot_diff(sf_dir: str):
+    """Diff of two table snapshots -> (key, added|removed|changed).
+
+    Snapshot B is derived deterministically from orders (keys % 97
+    deleted, % 11 repriced +1.00, % 101 mirrored in as adds with a
+    sentinel price) so the oracle can build the identical pair. Both
+    snapshots stream through ONE pass that emits presence/price partial
+    rows; a single groupby(key) sums the four partials and classifies —
+    the only all-to-all is the unavoidable key exchange, and per-row
+    integer cents avoid float-sum-order ambiguity entirely."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def partials(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        zeros = np.zeros(len(k), dtype=np.int64)
+        ones = np.ones(len(k), dtype=np.int64)
+        a = {"k": k, "a_n": ones, "a_c": cents, "b_n": zeros, "b_c": zeros}
+        keep = k % 97 != 0
+        b_c = cents + np.where(k % 11 == 0, 100, 0)
+        b = {"k": k[keep], "a_n": zeros[keep], "a_c": zeros[keep],
+             "b_n": ones[keep], "b_c": b_c[keep]}
+        addm = k % 101 == 0
+        add = {"k": -k[addm], "a_n": zeros[addm], "a_c": zeros[addm],
+               "b_n": ones[addm], "b_c": np.full(int(addm.sum()), 99, np.int64)}
+        return pa.table({c: np.concatenate([a[c], b[c], add[c]])
+                         for c in ("k", "a_n", "a_c", "b_n", "b_c")})
+
+    def classify(t: pa.Table) -> pa.Table:
+        a_n = t["a_n"].to_numpy(zero_copy_only=False)
+        b_n = t["b_n"].to_numpy(zero_copy_only=False)
+        a_c = t["a_c"].to_numpy(zero_copy_only=False)
+        b_c = t["b_c"].to_numpy(zero_copy_only=False)
+        change = np.where(a_n == 0, "added",
+                          np.where(b_n == 0, "removed", "changed"))
+        keep = (a_n == 0) | (b_n == 0) | (a_c != b_c)
+        return pa.table({"o_orderkey": t["k"], "change": pa.array(change)}
+                        ).filter(pa.array(keep))
+
+    return (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("a_n", alias_name="a_n"), Sum("a_c", alias_name="a_c"),
+                   Sum("b_n", alias_name="b_n"), Sum("b_c", alias_name="b_c"))
+        .map_batches(classify, batch_format="pyarrow")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders
+), b AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           + CASE WHEN o_orderkey % 11 = 0 THEN 100 ELSE 0 END AS c
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT -o_orderkey, 99 FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT COALESCE(a.k, b.k) AS o_orderkey,
+       CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL OR a.c <> b.c
+"""
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
