@@ -5850,3 +5850,322 @@ WHERE a.k IS NULL OR b.k IS NULL OR a.c <> b.c
 
 QUERIES["snapshot_diff"] = q_snapshot_diff
 ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
+
+
+# ===================================== tumbling-window distinct users
+
+def q_window_distinct_users(sf_dir: str):
+    """Exact count(distinct user) per (day, event_type): per-batch
+    distinct-triples combiner, one groupby over the (day, type, user)
+    triple space, then a per-batch count fold — the same two-stage exact
+    distinct as distinct_users_per_type with the window key added, so
+    the shuffle moves distinct triples (bounded by users x days x types),
+    not event rows."""
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    day_us = 86400 * 1_000_000
+
+    def triples(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.multiply(pc.floor(pc.divide(us, day_us)), day_us)
+        base = pa.table({
+            "day": pc.cast(pc.cast(day, pa.int64()), pa.timestamp("us")),
+            "event_type": t["event_type"],
+            "user_id": t["user_id"],
+        })
+        agg = pa.TableGroupBy(base, ["day", "event_type", "user_id"]).aggregate([])
+        return agg
+
+    def fold(t: pa.Table) -> pa.Table:
+        base = pa.table({"day": t["day"], "event_type": t["event_type"]})
+        agg = pa.TableGroupBy(base, ["day", "event_type"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(agg, ["day", "event_type"],
+                          ["day", "event_type", "_n"])
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["ts", "event_type", "user_id"])
+        .map_batches(triples, batch_format="pyarrow")
+        .groupby(["day", "event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("_n", alias_name="n_users"))
+    )
+
+
+ORACLE_WINDOW_DISTINCT_USERS = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["window_distinct_users"] = q_window_distinct_users
+ORACLES["window_distinct_users"] = ORACLE_WINDOW_DISTINCT_USERS
+
+
+# ===================================== dense rank over a bounded domain
+
+def q_dense_rank_dates(sf_dir: str):
+    """DENSE_RANK over o_orderdate for every order: the rank domain is
+    the distinct-date set (bounded — ~365/year — regardless of row
+    count), so ranks are computed once from a per-batch distinct
+    combiner + small groupby, broadcast via ray.put, and applied in a
+    second streaming pass. No row-level sort or enumeration shuffle —
+    dense_rank over a bounded key domain never needs one."""
+    import ray
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+
+    def distinct_dates(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t.select(["o_orderdate"]),
+                               ["o_orderdate"]).aggregate([])
+
+    dates = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+        .map_batches(distinct_dates, batch_format="pyarrow")
+        .groupby("o_orderdate")
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()["o_orderdate"]
+        .astype("datetime64[us]")
+        .astype(np.int64)
+        .sort_values()
+        .to_numpy()
+    )
+    rank_of = {int(d): i + 1 for i, d in enumerate(dates)}
+    ref = ray.put(rank_of)
+
+    def apply_rank(t: pa.Table) -> pa.Table:
+        ranks = ray.get(ref)
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        r = np.fromiter((ranks[int(x)] for x in d), dtype=np.int64,
+                        count=len(d))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "date_rank": pa.array(r, pa.int64())})
+
+    return rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(apply_rank, batch_format="pyarrow")
+
+
+ORACLE_DENSE_RANK_DATES = """
+SELECT o_orderkey,
+       DENSE_RANK() OVER (ORDER BY o_orderdate) AS date_rank
+FROM orders
+"""
+
+QUERIES["dense_rank_dates"] = q_dense_rank_dates
+ORACLES["dense_rank_dates"] = ORACLE_DENSE_RANK_DATES
+
+
+# ===================================== ratio-to-report (share of total)
+
+def q_revenue_share(sf_dir: str):
+    """Per-priority share of total revenue: one combined aggregate pass
+    (the group domain is 5 values), then the normalize runs driver-side
+    on the 5-row result — the total is derived from the same partials
+    rather than a second scan."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t, ["o_orderpriority"]).aggregate(
+            [("o_totalprice", "sum")])
+        return rename_agg(agg, ["o_orderpriority"], ["o_orderpriority", "_s"])
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("_s", alias_name="_s"))
+        .to_pandas()
+    )
+    out["revenue_cents"] = np.floor(out["_s"] * 100 + 0.5).astype(np.int64)
+    out["share"] = (out["_s"] / out["_s"].sum()).round(6)
+    return out[["o_orderpriority", "revenue_cents", "share"]]
+
+
+ORACLE_REVENUE_SHARE = """
+SELECT o_orderpriority,
+       CAST(FLOOR(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS revenue_cents,
+       round(sum(o_totalprice) / sum(sum(o_totalprice)) OVER (), 6) AS share
+FROM orders GROUP BY o_orderpriority
+"""
+
+QUERIES["revenue_share"] = q_revenue_share
+ORACLES["revenue_share"] = ORACLE_REVENUE_SHARE
+
+
+# ===================================== geometric mean per group
+
+def q_geo_mean_value(sf_dir: str):
+    """Grouped geometric mean via the log-sum decomposition: exp(avg(ln x))
+    — a plain (sum, count) combiner in log space; two doubles per
+    (batch, key) cross the shuffle."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pa.table({"event_type": t["event_type"],
+                         "_ln": pc.ln(t["value"])})
+        agg = pa.TableGroupBy(base, ["event_type"]).aggregate(
+            [("_ln", "sum"), ([], "count_all")])
+        return rename_agg(agg, ["event_type"], ["event_type", "_s", "_n"])
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("_s", alias_name="_s"), Sum("_n", alias_name="_n"))
+        .to_pandas()
+    )
+    out["geo_mean"] = np.round(np.exp(out["_s"] / out["_n"]), 6)
+    return out[["event_type", "geo_mean"]]
+
+
+ORACLE_GEO_MEAN_VALUE = """
+SELECT event_type, round(exp(avg(ln(value))), 6) AS geo_mean
+FROM events GROUP BY event_type
+"""
+
+QUERIES["geo_mean_value"] = q_geo_mean_value
+ORACLES["geo_mean_value"] = ORACLE_GEO_MEAN_VALUE
+
+
+# ===================================== semi-structured props extraction
+
+def q_props_stats(sf_dir: str):
+    """JSON-ish field extraction from the props column with Arrow's RE2
+    extract (no Python-level JSON parse per row), folded into a grouped
+    (sum, count, max) combiner."""
+    from ray.data.aggregate import Max, Sum
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(st, "k"), pa.int64())
+        base = pa.table({"event_type": t["event_type"], "_k": k})
+        agg = pa.TableGroupBy(base, ["event_type"]).aggregate(
+            [("_k", "sum"), ("_k", "max"), ([], "count_all")])
+        return rename_agg(agg, ["event_type"],
+                          ["event_type", "_s", "_m", "_n"])
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("_s", alias_name="k_sum"),
+                   Max("_m", alias_name="k_max"),
+                   Sum("_n", alias_name="n"))
+        .to_pandas()
+    )
+    out["k_avg"] = (out["k_sum"] / out["n"]).round(6)
+    return out[["event_type", "k_sum", "k_max", "k_avg", "n"]]
+
+
+ORACLE_PROPS_STATS = """
+SELECT event_type,
+       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS k_sum,
+       max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS k_max,
+       round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 6)
+         AS k_avg,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+QUERIES["props_stats"] = q_props_stats
+ORACLES["props_stats"] = ORACLE_PROPS_STATS
+
+
+# ===================================== as-of attribution pipeline
+
+def q_attribution_value(sf_dir: str):
+    """Attribution composition: each event's value is attributed to the
+    user's latest order at-or-before the event (the skew-safe as-of
+    join), the attributed order's priority is pulled in with ONE
+    distributed hash join, and value rolls up per priority. as-of +
+    enrichment join + grouped fold — three shuffles total, each on a
+    single key."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import hash_join
+    from odinson_ray.stages.window import asof_join_latest
+
+    rd = _rd()
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["o_custkey"], pa.int64()),
+            "ts": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            "id": pc.cast(t["o_orderkey"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    att = asof_join_latest(
+        events.map_batches(lambda t: t.select(["event_id", "user_id", "ts"]),
+                           batch_format="pyarrow"),
+        orders, key="user_id", ts="ts", ev_id="event_id", ord_id="id",
+        out="attr_orderkey", bucket_s=30 * 86400)
+    att = hash_join(
+        att,
+        events.map_batches(lambda t: t.select(["event_id", "value"]),
+                           batch_format="pyarrow"),
+        on="event_id")
+    att = hash_join(
+        att.map_batches(lambda t: t.select(["attr_orderkey", "value"]),
+                        batch_format="pyarrow"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority"]),
+        on="attr_orderkey", right_on="o_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t.select(["o_orderpriority", "value"]),
+                              ["o_orderpriority"]).aggregate(
+            [("value", "sum"), ([], "count_all")])
+        return rename_agg(agg, ["o_orderpriority"],
+                          ["o_orderpriority", "_s", "_n"])
+
+    out = (
+        att.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("_s", alias_name="_s"), Sum("_n", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["value_cents"] = np.floor(out["_s"] * 100 + 0.5).astype(np.int64)
+    return out[["o_orderpriority", "value_cents", "n_events"]]
+
+
+ORACLE_ATTRIBUTION_VALUE = """
+WITH att AS (
+  SELECT event_id, value, o_orderkey FROM (
+    SELECT e.event_id, e.value, o.o_orderkey,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+             AS rn
+    FROM events e JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  ) WHERE rn = 1
+)
+SELECT o.o_orderpriority,
+       CAST(FLOOR(sum(att.value) * 100 + 0.5) AS BIGINT) AS value_cents,
+       count(*) AS n_events
+FROM att JOIN orders o ON o.o_orderkey = att.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+QUERIES["attribution_value"] = q_attribution_value
+ORACLES["attribution_value"] = ORACLE_ATTRIBUTION_VALUE
