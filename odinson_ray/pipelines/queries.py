@@ -6169,3 +6169,168 @@ GROUP BY o.o_orderpriority
 
 QUERIES["attribution_value"] = q_attribution_value
 ORACLES["attribution_value"] = ORACLE_ATTRIBUTION_VALUE
+
+
+# ===================================== grouped median absolute deviation
+
+def q_value_mad(sf_dir: str):
+    """Per-group median absolute deviation — the two-pass broadcast
+    pattern: pass 1 computes the exact per-group discrete median from a
+    distinct-value histogram (value_quantiles machinery), the tiny
+    {group: median} map is broadcast once, and pass 2 histograms the
+    absolute deviations the same way. Both passes move distinct
+    (group, value) rows, never raw rows; medians are actual elements
+    (quantile_disc semantics) so doubles compare bit-exactly."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["event_type", "value"]),
+                            ["event_type", "value"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["event_type", "value"],
+                          ["event_type", "value", "_p"])
+
+    def disc_median(g: pa.Table, out_col: str) -> pa.Table:
+        o = pc.sort_indices(g["value"])
+        v = g["value"].take(o).to_numpy(zero_copy_only=False)
+        c = np.cumsum(g["c"].take(o).to_numpy(zero_copy_only=False))
+        n = int(c[-1])
+        m = float(v[np.searchsorted(c, max(1, math.ceil(0.5 * n)))])
+        return pa.table({"event_type": pa.array([g["event_type"][0].as_py()]),
+                         out_col: pa.array([m], pa.float64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    med = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "value"]).aggregate(Sum("_p", alias_name="c"))
+        .groupby("event_type")
+        .map_groups(lambda g: disc_median(g, "m"), batch_format="pyarrow")
+        .to_pandas()
+    )
+    ref = ray.put(dict(zip(med["event_type"], med["m"])))
+
+    def dev_partial(t: pa.Table) -> pa.Table:
+        meds = ray.get(ref)
+        keys = t["event_type"].to_numpy(zero_copy_only=False)
+        m = np.fromiter((meds[k] for k in keys), dtype=np.float64,
+                        count=len(keys))
+        dev = np.abs(t["value"].to_numpy(zero_copy_only=False) - m)
+        g = pa.TableGroupBy(
+            pa.table({"event_type": t["event_type"],
+                      "value": pa.array(dev, pa.float64())}),
+            ["event_type", "value"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["event_type", "value"],
+                          ["event_type", "value", "_p"])
+
+    return (
+        ds.map_batches(dev_partial, batch_format="pyarrow")
+        .groupby(["event_type", "value"]).aggregate(Sum("_p", alias_name="c"))
+        .groupby("event_type")
+        .map_groups(lambda g: disc_median(g, "mad"), batch_format="pyarrow")
+    )
+
+
+ORACLE_VALUE_MAD = """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, quantile_disc(abs(e.value - med.m), 0.5) AS mad
+FROM events e JOIN med USING (event_type)
+GROUP BY e.event_type
+"""
+
+QUERIES["value_mad"] = q_value_mad
+ORACLES["value_mad"] = ORACLE_VALUE_MAD
+
+
+# ===================================== EXCEPT via presence flags
+
+def q_urgent_not_low_custs(sf_dir: str):
+    """Set difference (customers with an URGENT order EXCEPT customers
+    with a LOW one) without running two pipelines: per-batch per-key
+    presence flags, one groupby(key).max over the flag pair, filter.
+    One shuffle whose rows are bounded by distinct keys per batch."""
+    from ray.data.aggregate import Max
+
+    rd = _rd()
+
+    def flags(t: pa.Table) -> pa.Table:
+        base = pa.table({
+            "o_custkey": t["o_custkey"],
+            "_u": pc.cast(pc.equal(t["o_orderpriority"], "1-URGENT"), pa.int8()),
+            "_l": pc.cast(pc.equal(t["o_orderpriority"], "5-LOW"), pa.int8()),
+        })
+        agg = pa.TableGroupBy(base, ["o_custkey"]).aggregate(
+            [("_u", "max"), ("_l", "max")])
+        return rename_agg(agg, ["o_custkey"], ["o_custkey", "_u", "_l"])
+
+    return (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("_u", alias_name="_a"), Max("_l", alias_name="_b"))
+        .map_batches(
+            lambda t: t.filter(pc.and_(pc.equal(t["_a"], 1),
+                                       pc.equal(t["_b"], 0))).select(["o_custkey"]),
+            batch_format="pyarrow")
+    )
+
+
+ORACLE_URGENT_NOT_LOW_CUSTS = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+QUERIES["urgent_not_low_custs"] = q_urgent_not_low_custs
+ORACLES["urgent_not_low_custs"] = ORACLE_URGENT_NOT_LOW_CUSTS
+
+
+# ===================================== JSONL source/sink round trip
+
+def q_jsonl_roundtrip_langs(sf_dir: str):
+    """JSONL sink + source path: stream documents out as partitioned
+    JSONL (one file per block — Ray's write_json), read them back with
+    the JSONL reader, and aggregate. Exercises the non-parquet IO path
+    end-to-end; the aggregate proves no rows were lost or mangled in
+    serialization."""
+    import tempfile
+
+    import ray.data as rd_native
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    out_dir = tempfile.mkdtemp(prefix="odinson_jsonl_", dir="/tmp")
+    (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "lang", "n_chars"])
+     .write_json(out_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t, ["lang"]).aggregate(
+            [("n_chars", "sum"), ([], "count_all")])
+        return rename_agg(agg, ["lang"], ["lang", "_s", "_n"])
+
+    return (
+        rd_native.read_json(out_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("_s", alias_name="sum_chars"), Sum("_n", alias_name="n"))
+    )
+
+
+ORACLE_JSONL_ROUNDTRIP_LANGS = """
+SELECT lang, sum(n_chars) AS sum_chars, count(*) AS n
+FROM documents GROUP BY lang
+"""
+
+QUERIES["jsonl_roundtrip_langs"] = q_jsonl_roundtrip_langs
+ORACLES["jsonl_roundtrip_langs"] = ORACLE_JSONL_ROUNDTRIP_LANGS
