@@ -6334,3 +6334,168 @@ FROM documents GROUP BY lang
 
 QUERIES["jsonl_roundtrip_langs"] = q_jsonl_roundtrip_langs
 ORACLES["jsonl_roundtrip_langs"] = ORACLE_JSONL_ROUNDTRIP_LANGS
+
+
+# ===================================== distributed covariance matrix
+
+def q_embedding_cov(sf_dir: str):
+    """Full d x d covariance matrix of the embedding column from
+    sufficient statistics: each batch contributes ONE partial row
+    (n, sum-vector, sum-of-outer-products matrix) computed with a single
+    einsum — vectors never shuffle, and the reduce tree merges
+    fixed-size (d^2 + d + 1)-float rows (two levels: content-salted
+    groupby, then a <=64-row driver fold), so the reduce cost is
+    independent of corpus size. Output is the upper triangle in long
+    (i, j, cov) form, 1-based to match SQL generate_subscripts."""
+    import hashlib as _hl
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        n = x.shape[0]
+        s = x.sum(axis=0)
+        ss = np.einsum("ni,nj->ij", x, x)
+        salt = int.from_bytes(_hl.md5(s.tobytes()).digest()[:4], "little") % 64
+        return pa.table({
+            "_g": pa.array([salt], pa.int32()),
+            "n": pa.array([n], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+            "ss": pa.array([ss.ravel().tolist()], pa.list_(pa.float64())),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g["n"]).as_py())
+        s = np.asarray(g["s"].to_pylist(), dtype=np.float64).sum(axis=0)
+        ss = np.asarray(g["ss"].to_pylist(), dtype=np.float64).sum(axis=0)
+        return pa.table({
+            "_g": pa.array([0], pa.int32()),
+            "n": pa.array([n], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+            "ss": pa.array([ss.tolist()], pa.list_(pa.float64())),
+        })
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(merge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    s = np.asarray(parts["s"].tolist(), dtype=np.float64).sum(axis=0)
+    ss = np.asarray(parts["ss"].tolist(), dtype=np.float64).sum(axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    iu, ju = np.triu_indices(d)
+    return pd.DataFrame({
+        "i": (iu + 1).astype(np.int64),
+        "j": (ju + 1).astype(np.int64),
+        "cov": np.round(cov[iu, ju], 8),
+    })
+
+
+ORACLE_EMBEDDING_COV = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+)
+SELECT a.idx AS i, b.idx AS j, round(covar_pop(a.v, b.v), 8) AS cov
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+GROUP BY a.idx, b.idx
+"""
+
+QUERIES["embedding_cov"] = q_embedding_cov
+ORACLES["embedding_cov"] = ORACLE_EMBEDDING_COV
+
+
+# ===================================== BFS levels over the KG graph
+
+def q_kg_bfs_levels(sf_dir: str, rounds: int = 3):
+    """Multi-source-free BFS: levels 0..3 from a deterministic seed (the
+    max-out-degree entity, ties to the lexicographically smallest) over
+    the canonical triple graph. Each round is one distributed hash join
+    (frontier x edges) + an anti join against the visited set — the
+    textbook frontier-expansion decomposition; frontiers and the visited
+    set stay Datasets (pinned per round: each is consumed by the next
+    join AND the union, the fan-out rule). Rounds are bounded, so the
+    oracle unrolls as a depth-capped recursive CTE."""
+    from ray.data.aggregate import Count
+
+    from odinson_ray.stages.shuffle import global_topk, hash_join
+
+    from .kg import triples_dataset
+
+    rd = _rd()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        e = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"]})
+        return pa.TableGroupBy(e, ["src", "dst"]).aggregate([])
+
+    edges = (
+        triples_dataset(sf_dir)
+        .map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    ).materialize()
+
+    deg = edges.groupby("src").aggregate(Count(alias_name="d"))
+    seed = global_topk(deg, ["d", "src"], [True, False], 1).to_pandas()
+    seed_v = seed["src"].iloc[0]
+
+    import ray.data as rdn
+
+    visited = rdn.from_arrow(pa.table({
+        "entity": pa.array([seed_v], pa.string()),
+        "level": pa.array([0], pa.int64()),
+    })).materialize()
+    frontier = visited
+
+    for r in range(1, rounds + 1):
+        nxt = hash_join(
+            frontier.map_batches(lambda t: t.select(["entity"]),
+                                 batch_format="pyarrow"),
+            edges, on="entity", right_on="src")
+
+        def distinct_dst(t: pa.Table) -> pa.Table:
+            return pa.TableGroupBy(pa.table({"entity": t["dst"]}),
+                                   ["entity"]).aggregate([])
+
+        nxt = (nxt.map_batches(distinct_dst, batch_format="pyarrow")
+               .groupby("entity").aggregate(Count(alias_name="_c"))
+               .drop_columns(["_c"]))
+        new = hash_join(nxt, visited, on="entity", how="anti",
+                        right_on="entity")
+        lvl = r
+        new = new.map_batches(
+            lambda t, lvl=lvl: t.append_column(
+                "level", pa.array(np.full(t.num_rows, lvl), pa.int64())),
+            batch_format="pyarrow").materialize()
+        visited = visited.union(new).materialize()
+        frontier = new
+
+    return visited
+
+
+def _bfs_oracle(rounds: int = 3) -> str:
+    return f"""
+WITH RECURSIVE trip AS ({_KG_TRIPLES_BODY}),
+edges AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst FROM trip),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+seed AS (SELECT src FROM deg ORDER BY d DESC, src LIMIT 1),
+bfs(v, lvl) AS (
+  SELECT src, 0 FROM seed
+  UNION ALL
+  SELECT e.dst, b.lvl + 1 FROM bfs b JOIN edges e ON e.src = b.v
+  WHERE b.lvl < {rounds}
+)
+SELECT v AS entity, CAST(MIN(lvl) AS BIGINT) AS level FROM bfs GROUP BY v
+"""
+
+
+ORACLE_KG_BFS_LEVELS = _bfs_oracle(3)
+
+QUERIES["kg_bfs_levels"] = q_kg_bfs_levels
+ORACLES["kg_bfs_levels"] = ORACLE_KG_BFS_LEVELS
