@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "moving_avg",
     "token_entropy",
     "adamic_adar",
+    "snapshot_diff",
+    "latest_events",
+    "value_mad",
+    "embedding_cov",
+    "window_distinct_users",
 ]
 
 

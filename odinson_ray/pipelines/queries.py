@@ -6499,3 +6499,122 @@ ORACLE_KG_BFS_LEVELS = _bfs_oracle(3)
 
 QUERIES["kg_bfs_levels"] = q_kg_bfs_levels
 ORACLES["kg_bfs_levels"] = ORACLE_KG_BFS_LEVELS
+
+
+# ===================================== sliding-window distinct (7-day)
+
+def q_rolling_distinct_users(sf_dir: str):
+    """Rolling 7-day distinct users per day via interval expansion: the
+    distinct (day, user) pair set (bounded by users x active days, one
+    groupby) fans each pair out to the <=7 windows it contributes to,
+    dedups again, and folds to a per-window count. Overlapping windows
+    never rescan events — the expansion factor is the window length, and
+    it applies to the DISTINCT pair set, not the raw stream."""
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    day_us = 86400 * 1_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.multiply(pc.floor(pc.divide(us, day_us)), day_us)
+        base = pa.table({"day": pc.cast(day, pa.int64()),
+                         "user_id": t["user_id"]})
+        return pa.TableGroupBy(base, ["day", "user_id"]).aggregate([])
+
+    def expand(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        k = np.arange(7, dtype=np.int64) * day_us
+        wday = (d[:, None] + k[None, :]).ravel()
+        base = pa.table({"wday": pa.array(wday, pa.int64()),
+                         "user_id": pa.array(np.repeat(u, 7), pa.int64())})
+        return pa.TableGroupBy(base, ["wday", "user_id"]).aggregate([])
+
+    def fold(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t.select(["wday"]), ["wday"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(agg, ["wday"], ["wday", "_n"])
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"]).aggregate(Count(alias_name="_c"))
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby(["wday", "user_id"]).aggregate(Count(alias_name="_c"))
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby("wday").aggregate(Sum("_n", alias_name="n7"))
+    )
+    return out.map_batches(
+        lambda t: pa.table({"day": pc.cast(t["wday"], pa.timestamp("us")),
+                            "n7": t["sum(n7)"] if "sum(n7)" in t.column_names
+                            else t["n7"]}),
+        batch_format="pyarrow")
+
+
+ORACLE_ROLLING_DISTINCT_USERS = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+)
+SELECT du.day + g.i * INTERVAL 1 DAY AS day,
+       count(DISTINCT du.user_id) AS n7
+FROM du, generate_series(0, 6) AS g(i)
+GROUP BY 1
+"""
+
+QUERIES["rolling_distinct_users"] = q_rolling_distinct_users
+ORACLES["rolling_distinct_users"] = ORACLE_ROLLING_DISTINCT_USERS
+
+
+# ===================================== trending tokens per day
+
+def q_trending_tokens(sf_dir: str):
+    """Windowed top-k: the 3 most frequent tokens per day over documents
+    (doc day derived from doc_id so the synthetic corpus gets a stable
+    time axis). Per-batch (day, token) count combiner, one groupby for
+    exact counts, then grouped_topk per day — ties broken (count DESC,
+    token ASC) identically in SQL."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import grouped_topk
+
+    rd = _rd()
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        day = t["doc_id"].to_numpy(zero_copy_only=False) % 7
+        n = pc.list_value_length(toks).cast(pa.int64())
+        flat = pc.list_flatten(toks)
+        days = pa.array(np.repeat(day, n.to_numpy(zero_copy_only=False)))
+        base = pa.table({"day": days, "token": flat})
+        agg = pa.TableGroupBy(base, ["day", "token"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(agg, ["day", "token"], ["day", "token", "_n"])
+
+    counts_ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby(["day", "token"]).aggregate(Sum("_n", alias_name="n"))
+    )
+    return grouped_topk(counts_ds, by="day", cols=["n", "token"],
+                        descending=[True, False], k=3)
+
+
+ORACLE_TRENDING_TOKENS = """
+WITH tok AS (
+  SELECT doc_id % 7 AS day, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), cnt AS (
+  SELECT day, token, count(*) AS n FROM tok GROUP BY day, token
+)
+SELECT day, token, n FROM (
+  SELECT day, token, n,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY n DESC, token ASC) AS rn
+  FROM cnt
+) WHERE rn <= 3
+"""
+
+QUERIES["trending_tokens"] = q_trending_tokens
+ORACLES["trending_tokens"] = ORACLE_TRENDING_TOKENS
