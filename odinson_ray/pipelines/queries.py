@@ -6618,3 +6618,176 @@ SELECT day, token, n FROM (
 
 QUERIES["trending_tokens"] = q_trending_tokens
 ORACLES["trending_tokens"] = ORACLE_TRENDING_TOKENS
+
+
+# ===================================== market-basket pairs (user, day)
+
+def q_basket_pairs(sf_dir: str):
+    """Co-occurrence counts of event-type pairs within a (user, day)
+    basket. Baskets are ~5 rows — per-basket map_groups would pay the
+    tiny-group dispatch tax (the round-4 lesson) — so baskets are
+    co-located with ONE shuffle on hash(user, day) %% 256 coarse
+    partitions and paired with segmented numpy per partition: lexsort,
+    run boundaries, per-run upper-triangle index arithmetic. Pair counts
+    then fold through a small groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from odinson_ray.stages.sketch import _splitmix64
+
+    rd = _rd()
+    day_us = 86400 * 1_000_000
+    PARTS = 256
+
+    def distinct_triples(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.cast(pc.floor(pc.divide(us, day_us)), pa.int64())
+        base = pa.table({"user_id": t["user_id"], "day": day,
+                         "event_type": t["event_type"]})
+        return pa.TableGroupBy(
+            base, ["user_id", "day", "event_type"]).aggregate([])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t["day"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(u * np.uint64(1_000_003) + d)
+             % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def pair_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        ty = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((ty, d, u))
+        u, d, ty = u[order], d[order], ty[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero((u[1:] != u[:-1]) | (d[1:] != d[:-1])) + 1,
+             [len(u)]))
+        lens = np.diff(starts)
+        # per-run upper-triangle pairs via index arithmetic (no per-run loop
+        # over pairs; runs are capped at the distinct-type count)
+        a_idx, b_idx = [], []
+        for s, L in zip(starts[:-1], lens):
+            if L < 2:
+                continue
+            iu, ju = np.triu_indices(L, k=1)
+            a_idx.append(s + iu)
+            b_idx.append(s + ju)
+        if not a_idx:
+            return pa.table({"ta": pa.array([], pa.string()),
+                             "tb": pa.array([], pa.string()),
+                             "_n": pa.array([], pa.int64())})
+        a = np.concatenate(a_idx)
+        b = np.concatenate(b_idx)
+        base = pa.table({"ta": pa.array(ty[a].tolist(), pa.string()),
+                         "tb": pa.array(ty[b].tolist(), pa.string())})
+        agg = pa.TableGroupBy(base, ["ta", "tb"]).aggregate([([], "count_all")])
+        return rename_agg(agg, ["ta", "tb"], ["ta", "tb", "_n"])
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_type"])
+        .map_batches(distinct_triples, batch_format="pyarrow")
+        .groupby(["user_id", "day", "event_type"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(pair_partition, batch_format="pyarrow")
+        .groupby(["ta", "tb"])
+        .aggregate(Sum("_n", alias_name="n"))
+    )
+
+
+ORACLE_BASKET_PAIRS = """
+WITH du AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+  FROM events
+)
+SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n
+FROM du a JOIN du b
+  ON a.user_id = b.user_id AND a.day = b.day
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+QUERIES["basket_pairs"] = q_basket_pairs
+ORACLES["basket_pairs"] = ORACLE_BASKET_PAIRS
+
+
+# ===================================== ordered string aggregation
+
+def q_user_top3_types(sf_dir: str):
+    """Per-user ordered string_agg of the top-3 event types by count
+    (count DESC, type ASC). Counts come from the distinct-pairs
+    combiner; grouped_topk bounds each user to 3 rows; the concat runs
+    segmented-numpy inside coarse hash partitions (3-row groups are the
+    tiny-group case, never one task each)."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import grouped_topk
+    from odinson_ray.stages.sketch import _splitmix64
+
+    rd = _rd()
+    PARTS = 256
+
+    def counts(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t.select(["user_id", "event_type"]),
+                              ["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(agg, ["user_id", "event_type"],
+                          ["user_id", "event_type", "_n"])
+
+    per_type = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"]).aggregate(Sum("_n", alias_name="n"))
+    )
+    top3 = grouped_topk(per_type, by="user_id", cols=["n", "event_type"],
+                        descending=[True, False], k=3)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(u) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def concat_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        ty = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((ty, -n, u))
+        u, ty = u[order], ty[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(u[1:] != u[:-1]) + 1, [len(u)]))
+        users, tops = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            users.append(int(u[s]))
+            tops.append(",".join(ty[s:e]))
+        return pa.table({"user_id": pa.array(users, pa.int64()),
+                         "top_types": pa.array(tops, pa.string())})
+
+    return (top3.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(concat_partition, batch_format="pyarrow"))
+
+
+ORACLE_USER_TOP3_TYPES = """
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM cnt
+)
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY n DESC, event_type ASC)
+         AS top_types
+FROM ranked WHERE rn <= 3
+GROUP BY user_id
+"""
+
+QUERIES["user_top3_types"] = q_user_top3_types
+ORACLES["user_top3_types"] = ORACLE_USER_TOP3_TYPES
