@@ -6103,16 +6103,27 @@ def q_attribution_value(sf_dir: str):
 
     rd = _rd()
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderkey", "o_orderdate"]
-    ).map_batches(
-        lambda t: pa.table({
+    # decorate-join: the 5-value priority rides the as-of order id's low
+    # 3 bits (id = o_orderkey*8 + digit), so the priority "join" costs
+    # nothing — o_orderkey ordering is preserved, so the as-of tie-break
+    # (larger id wins) is unchanged
+    PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+    def enc_orders(t: pa.Table) -> pa.Table:
+        digit = pc.cast(pc.utf8_slice_codeunits(t["o_orderpriority"], 0, 1),
+                        pa.int64())
+        oid = pc.add(pc.multiply(pc.cast(t["o_orderkey"], pa.int64()),
+                                 pa.scalar(8, pa.int64())), digit)
+        return pa.table({
             "user_id": pc.cast(t["o_custkey"], pa.int64()),
             "ts": pc.cast(t["o_orderdate"], pa.timestamp("us")),
-            "id": pc.cast(t["o_orderkey"], pa.int64()),
-        }),
-        batch_format="pyarrow")
+            "id": oid,
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(enc_orders, batch_format="pyarrow")
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
     att = asof_join_latest(
@@ -6120,21 +6131,22 @@ def q_attribution_value(sf_dir: str):
                            batch_format="pyarrow"),
         orders, key="user_id", ts="ts", ev_id="event_id", ord_id="id",
         out="attr_orderkey", bucket_s=30 * 86400)
+    # pin before the next shuffle: the as-of plan already stacks two
+    # sorts; fusing two more all-to-alls into ONE streaming plan measured
+    # >2x the stepwise wall at sf0.1 (barriers starve each other)
+    att = att.materialize()
     att = hash_join(
         att,
         events.map_batches(lambda t: t.select(["event_id", "value"]),
                            batch_format="pyarrow"),
         on="event_id")
-    att = hash_join(
-        att.map_batches(lambda t: t.select(["attr_orderkey", "value"]),
-                        batch_format="pyarrow"),
-        rd.read_parquet(f"{sf_dir}/orders.parquet",
-                        columns=["o_orderkey", "o_orderpriority"]),
-        on="attr_orderkey", right_on="o_orderkey")
 
     def partial(t: pa.Table) -> pa.Table:
-        agg = pa.TableGroupBy(t.select(["o_orderpriority", "value"]),
-                              ["o_orderpriority"]).aggregate(
+        digit = pc.bit_wise_and(t["attr_orderkey"], pa.scalar(7, pa.int64()))
+        prio = pc.take(pa.array([None] + PRIOS, pa.string()),
+                       pc.cast(digit, pa.int32()))
+        base = pa.table({"o_orderpriority": prio, "value": t["value"]})
+        agg = pa.TableGroupBy(base, ["o_orderpriority"]).aggregate(
             [("value", "sum"), ([], "count_all")])
         return rename_agg(agg, ["o_orderpriority"],
                           ["o_orderpriority", "_s", "_n"])
@@ -6473,6 +6485,11 @@ def q_kg_bfs_levels(sf_dir: str, rounds: int = 3):
             lambda t, lvl=lvl: t.append_column(
                 "level", pa.array(np.full(t.num_rows, lvl), pa.int64())),
             batch_format="pyarrow").materialize()
+        if new.count() == 0:
+            # frontier exhausted before the round cap: an empty Dataset
+            # loses its schema, and a further join would both crash and
+            # be pointless
+            break
         visited = visited.union(new).materialize()
         frontier = new
 
