@@ -6808,3 +6808,10 @@ GROUP BY user_id
 
 QUERIES["user_top3_types"] = q_user_top3_types
 ORACLES["user_top3_types"] = ORACLE_USER_TOP3_TYPES
+
+
+# ===================================== round-4 batch k (queries2.py)
+
+from . import queries2 as _q2  # noqa: E402
+
+_q2.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)

@@ -128,6 +128,144 @@ def triangle_count(edges) -> int:
     return int(closed.count())  # per-block row counts, nothing materialized
 
 
+def triangles_per_vertex(edges):
+    """Per-vertex triangle participation counts over an undirected
+    (lo, hi) edge Dataset. Returns a Dataset (v, n_tri) covering only
+    vertices in >= 1 triangle (left-join onto the degree table for the
+    zero rows).
+
+    Same degree-oriented O(m^1.5) wedge bound as ``triangle_count``
+    (reference parity target: per-node graph stats the reference exposes
+    via its dependency-graph queries), but the wedge CENTER rides along:
+    each closed wedge (a, b, c) is one triangle incident to all three
+    vertices, so the closing semi-join keeps (a, b, c), explodes to
+    three (v) rows, and a map-side-combined groupby sums per vertex.
+    Nothing per-vertex ever forms a group — counts are Arrow partials."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import hash_join
+
+    oriented = orient_by_degree(edges).materialize()
+
+    ab = oriented.map_batches(
+        lambda t: pa.table({"src": t["src"], "b": t["dst"], "db": t["dd"]}),
+        batch_format="pyarrow")
+    ac = oriented.map_batches(
+        lambda t: pa.table({"src": t["src"], "c": t["dst"], "dc": t["dd"]}),
+        batch_format="pyarrow")
+
+    def keep_ranked(t: pa.Table) -> pa.Table:
+        mask = pc.or_(
+            pc.less(t["db"], t["dc"]),
+            pc.and_(pc.equal(t["db"], t["dc"]), pc.less(t["b"], t["c"])))
+        t = t.filter(mask)
+        return pa.table({
+            "k": pc.binary_join_element_wise(t["b"], t["c"], "\x1f"),
+            "a": t["src"], "b": t["b"], "c": t["c"],
+        })
+
+    wedges = hash_join(
+        ab, ac, on="src",
+        left_schema=pa.schema([("src", _STR), ("b", _STR), ("db", pa.int64())]),
+        right_schema=pa.schema([("src", _STR), ("c", _STR), ("dc", pa.int64())]),
+        merge_post=keep_ranked)
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.binary_join_element_wise(t["src"], t["dst"], "\x1f")})
+
+    closed = hash_join(
+        wedges,
+        oriented.map_batches(edge_key, batch_format="pyarrow"),
+        on="k", how="semi",
+        left_schema=pa.schema([("k", _STR), ("a", _STR), ("b", _STR), ("c", _STR)]),
+        right_schema=pa.schema([("k", _STR)]))
+
+    def explode(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays([t[col].combine_chunks()
+                              for col in ("a", "b", "c")])
+        agg = pa.TableGroupBy(pa.table({"v": v}), ["v"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"v": agg["v"], "pn": agg["count_all"]})
+
+    return (closed.map_batches(explode, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("pn", alias_name="n_tri")))
+
+
+def label_propagation(edges, rounds: int = 3, pin=None):
+    """Synchronous label-propagation community detection over an
+    undirected (lo, hi) edge Dataset: every vertex starts with its own
+    id as label; each round, every vertex adopts the MOST FREQUENT label
+    among its neighbors (ties -> lexicographically smallest label).
+    Returns a Dataset (v, lab) after exactly ``rounds`` rounds — bounded
+    so a SQL oracle can unroll it.
+
+    Scale shape per round: one distributed hash join (directed edge x
+    label), a map-side-combined groupby counting (v, lab) pairs, a
+    map-side-combined max-count per v, one join to keep argmax rows and
+    a min-label groupby for the tie-break. NO per-vertex map_groups —
+    the argmax decomposes into aggregates, so tiny per-vertex groups
+    never form (the repo's coarse-partition discipline). ``pin``
+    overrides the per-round pin (parquet spill for graphs near
+    object-store capacity, as in connected_components/pagerank)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .shuffle import hash_join
+
+    if pin is None:
+        def pin(ds, _name):
+            return ds.materialize()
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.chunked_array(t["lo"].chunks + t["hi"].chunks),
+            "b": pa.chunked_array(t["hi"].chunks + t["lo"].chunks),
+        })
+
+    bedges = pin(edges.map_batches(both, batch_format="pyarrow"), "bedges")
+    bd_schema = pa.schema([("a", _STR), ("b", _STR)])
+    lab_schema = pa.schema([("v", _STR), ("lab", _STR)])
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(pa.table({"v": t["a"]}), ["v"]).aggregate([])
+        return pa.table({"v": agg["v"], "lab": agg["v"]})
+
+    labels = pin(
+        bedges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("v").aggregate(Min("lab", alias_name="lab")),
+        "labels_0")
+
+    for r in range(1, rounds + 1):
+        joined = hash_join(bedges, labels, on="b", right_on="v",
+                           left_schema=bd_schema, right_schema=lab_schema)
+
+        def cnt_partial(t: pa.Table) -> pa.Table:
+            agg = pa.TableGroupBy(t.select(["a", "lab"]),
+                                  ["a", "lab"]).aggregate([([], "count_all")])
+            return pa.table({"a": agg["a"], "lab": agg["lab"],
+                             "pn": agg["count_all"]})
+
+        counts = (joined.map_batches(cnt_partial, batch_format="pyarrow")
+                  .groupby(["a", "lab"]).aggregate(Sum("pn", alias_name="c")))
+        counts = pin(counts, f"counts_{r}")  # consumed by maxc AND the join
+        maxc = counts.groupby("a").aggregate(Max("c", alias_name="mc"))
+        cnt_schema = pa.schema([("a", _STR), ("lab", _STR), ("c", pa.int64())])
+        mc_schema = pa.schema([("a", _STR), ("mc", pa.int64())])
+
+        def keep_best(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["c"], t["mc"]))
+            return pa.table({"v": t["a"], "lab": t["lab"]})
+
+        # plain map_batches AFTER the coarse-partition join (merge_post
+        # would force the per-key join path: tiny per-vertex groups)
+        best = hash_join(counts, maxc, on="a",
+                         left_schema=cnt_schema, right_schema=mc_schema,
+                         ).map_batches(keep_best, batch_format="pyarrow")
+        labels = pin(
+            best.groupby("v").aggregate(Min("lab", alias_name="lab")),
+            f"labels_{r}")
+    return labels
+
+
 def adamic_adar_pairs(edges, max_center_degree: int = 1000):
     """Adamic–Adar link-prediction scores over an undirected (lo, hi)
     edge Dataset: for every non-adjacent-or-adjacent vertex pair sharing
