@@ -6815,3 +6815,7 @@ ORACLES["user_top3_types"] = ORACLE_USER_TOP3_TYPES
 from . import queries2 as _q2  # noqa: E402
 
 _q2.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
+
+from . import queries3 as _q3  # noqa: E402
+
+_q3.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)

@@ -1,0 +1,359 @@
+"""Round-4 batch-l queries: GNN-style neighborhood aggregation, global
+high-water-mark detection (sequential-dependency streaming op), per-key
+time-weighted average, CSV source/sink roundtrip.
+
+Registered by ``pipelines/queries.py`` like queries2.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from odinson_ray.stages.shuffle import rename_agg
+
+
+def _rd():
+    from ..sources.io import clean_rd
+
+    return clean_rd
+
+
+# ===================================== 2-hop GNN neighborhood aggregation
+
+def q_gnn_neighbor_agg(sf_dir: str):
+    """GraphSAGE-style mean aggregation over the KG graph, 2 hops:
+    x0(v) = deg(v); h1(v) = mean of x0 over v's neighbors; h2(v) = mean
+    of h1 over v's neighbors. The per-layer shape every GNN training
+    pipeline needs at scale: one hash join (directed edge x feature) +
+    one map-side-combined mean per hop — features stay Datasets, the
+    feature of a hub is never materialized per-edge on the driver."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import hash_join
+
+    from .queries2 import _kg_edges
+
+    str_t, f64 = pa.string(), pa.float64()
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.concat_arrays([t["lo"].combine_chunks(),
+                                   t["hi"].combine_chunks()]),
+            "b": pa.concat_arrays([t["hi"].combine_chunks(),
+                                   t["lo"].combine_chunks()]),
+        })
+
+    bedges = _kg_edges(sf_dir).map_batches(
+        both, batch_format="pyarrow").materialize()  # consumed 3x below
+    bd_schema = pa.schema([("a", str_t), ("b", str_t)])
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(pa.table({"v": t["a"]}), ["v"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"v": agg["v"], "pn": agg["count_all"]})
+
+    feat = (bedges.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("pn", alias_name="d")))
+    feat = feat.map_batches(
+        lambda t: pa.table({"v": t["v"], "h": pc.cast(t["d"], f64)}),
+        batch_format="pyarrow")
+
+    def mean_hop(feature_ds, name):
+        f_schema = pa.schema([("v", str_t), ("h", f64)])
+        joined = hash_join(bedges, feature_ds, on="b", right_on="v",
+                           left_schema=bd_schema, right_schema=f_schema)
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(pa.table({"v": t["a"], "h": t["h"]}),
+                                ["v"]).aggregate([("h", "sum"),
+                                                  ("h", "count")])
+            return rename_agg(g, ["v"], ["v", "ps", "pc"])
+
+        sums = (joined.map_batches(partial, batch_format="pyarrow")
+                .groupby("v").aggregate(Sum("ps", alias_name="s"),
+                                        Sum("pc", alias_name="c")))
+        return sums.map_batches(
+            lambda t: pa.table({
+                "v": t["v"],
+                "h": pc.divide(t["s"], pc.cast(t["c"], f64))}),
+            batch_format="pyarrow").materialize()
+
+    h1 = mean_hop(feat, "h1")
+    h2 = mean_hop(h1, "h2")
+
+    from odinson_ray.stages.shuffle import hash_join as hj
+
+    out = hj(h1, h2, on="v",
+             left_schema=pa.schema([("v", str_t), ("h", f64)]),
+             right_schema=pa.schema([("v", str_t), ("h", f64)]))
+    return out.map_batches(
+        lambda t: pa.table({"entity": t["v"],
+                            "h1": pc.round(t["h"], 6),
+                            "h2": pc.round(t["h_r"], 6)}),
+        batch_format="pyarrow")
+
+
+def _gnn_oracle(body: str) -> str:
+    return f"""
+WITH trip AS ({body}),
+e0 AS (
+  SELECT DISTINCT least(subj_canon, obj_canon) AS lo,
+                  greatest(subj_canon, obj_canon) AS hi
+  FROM trip WHERE subj_canon != obj_canon
+),
+edges AS (SELECT lo AS a, hi AS b FROM e0 UNION ALL SELECT hi, lo FROM e0),
+deg AS (SELECT a AS v, CAST(count(*) AS DOUBLE) AS h FROM edges GROUP BY a),
+h1 AS (SELECT e.a AS v, avg(d.h) AS h FROM edges e JOIN deg d ON d.v = e.b
+       GROUP BY e.a),
+h2 AS (SELECT e.a AS v, avg(h1.h) AS h FROM edges e JOIN h1 ON h1.v = e.b
+       GROUP BY e.a)
+SELECT h1.v AS entity, round(h1.h, 6) AS h1, round(h2.h, 6) AS h2
+FROM h1 JOIN h2 ON h2.v = h1.v
+"""
+
+
+# ===================================== global high-water-mark detection
+
+def record_high_counts(ds, order: str, value: str, group: str,
+                       bucket_width: int = 4096, parts: int = 64):
+    """Rows whose ``value`` strictly exceeds every earlier row's value in
+    global ``order`` — the sequential-dependency class (running max over
+    the WHOLE stream, not per key). Two-stage decomposition: per-bucket
+    maxima (one map-side-combined groupby over order-buckets), ONE task
+    turns the #buckets-sized maxima table into exclusive prefix-max
+    carries, carries union back into the bucket-partitioned stream as
+    sentinel rows, and each bucket evaluates its rows vectorized
+    (np.maximum.accumulate seeded by the carry). No task ever holds more
+    than one bucket; the carry pass holds #buckets rows = n/bucket_width
+    (size it so that fits one task — at 10^12 rows, width 10^6 leaves
+    10^6 carry rows).
+
+    Returns (group, n_records) counts of record-setting rows per group.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from odinson_ray.stages.sketch import _splitmix64
+
+    NEG = float("-inf")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        o = t[order].to_numpy(zero_copy_only=False)
+        b = (o // bucket_width).astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(b, pa.int64()),
+            "o": pa.array(o, pa.int64()),
+            "x": pc.cast(t[value], pa.float64()),
+            "g": t[group],
+        })
+
+    rows = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["bkt", "x"]), ["bkt"]).aggregate(
+            [("x", "max")])
+        return rename_agg(g, ["bkt"], ["bkt", "pm"])
+
+    bmax = (rows.map_batches(max_partial, batch_format="pyarrow")
+            .groupby("bkt").aggregate(Max("pm", alias_name="m")))
+
+    def carries(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        o = pc.sort_indices(t["bkt"])
+        b = t["bkt"].take(o).to_numpy(zero_copy_only=False)
+        m = t["m"].take(o).to_numpy(zero_copy_only=False).copy()
+        carry = np.empty(len(m), dtype=np.float64)
+        carry[0] = NEG
+        carry[1:] = np.maximum.accumulate(m[:-1])
+        # sentinel rows: order -inf-like (min int) so they sort first
+        return pa.table({
+            "bkt": pa.array(b, pa.int64()),
+            "o": pa.array(np.full(len(b), np.iinfo(np.int64).min), pa.int64()),
+            "x": pa.array(carry, pa.float64()),
+            "g": pa.array([None] * len(b), pa.string()),
+        })
+
+    const = bmax.map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows,
+                                                          np.int64))),
+        batch_format="pyarrow")
+    carry_rows = (const.groupby("_g")
+                  .map_groups(lambda t: carries(t.drop_columns(["_g"])),
+                              batch_format="pyarrow"))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        b = t["bkt"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(b) % np.uint64(parts)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    unioned = (rows.union(carry_rows)
+               .map_batches(add_part, batch_format="pyarrow"))
+
+    def eval_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        o = pc.sort_indices(t, sort_keys=[("bkt", "ascending"),
+                                          ("o", "ascending")])
+        t = t.take(o)
+        b = t["bkt"].to_numpy(zero_copy_only=False)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        g = t["g"]
+        n = len(b)
+        if n == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64())})
+        starts = np.concatenate(([0], np.flatnonzero(b[1:] != b[:-1]) + 1))
+        # each bucket segment leads with its carry row (o = int64 min,
+        # x = exclusive prefix max over earlier buckets, -inf for the
+        # first). prior-max for row i = cummax of x over the segment up
+        # to i-1 — the carry folds the cross-bucket history in. Few
+        # segments per partition, so the per-segment loop is cheap; the
+        # accumulate inside is vectorized.
+        prev = np.empty(n, dtype=np.float64)
+        seg_bounds = np.append(starts, n)
+        for i in range(len(starts)):
+            s, e = seg_bounds[i], seg_bounds[i + 1]
+            cm = np.maximum.accumulate(x[s:e])
+            prev[s] = -np.inf  # the carry row itself (dropped below)
+            prev[s + 1:e] = cm[:e - s - 1]
+        # carry rows have g == null -> excluded by is_valid
+        is_rec = (x > prev) & np.asarray(pc.is_valid(g))
+        kept = pa.table({"g": g.filter(pa.array(is_rec))})
+        agg = pa.TableGroupBy(kept, ["g"]).aggregate([([], "count_all")])
+        return pa.table({"g": agg["g"], "pn": agg["count_all"]})
+
+    return (unioned.groupby("_p")
+            .map_groups(eval_partition, batch_format="pyarrow")
+            .groupby("g").aggregate(Sum("pn", alias_name="n_records")))
+
+
+def q_record_highs(sf_dir: str):
+    """Count of record-setting events (value strictly above the global
+    running max over all earlier event_ids) per event_type."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value", "event_type"])
+    out = record_high_counts(ds, order="event_id", value="value",
+                             group="event_type")
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t["g"],
+                            "n_records": t["n_records"]}),
+        batch_format="pyarrow")
+
+
+ORACLE_RECORD_HIGHS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_records FROM (
+  SELECT event_type, value,
+         max(value) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM events) t
+WHERE wm IS NULL OR value > wm
+GROUP BY event_type
+"""
+
+
+# ===================================== per-key time-weighted average
+
+def q_twap_value(sf_dir: str):
+    """Time-weighted average of value per user (each value weighted by
+    the duration until the user's next event; the last event carries no
+    weight) — the LEAD window class, per-group vectorized under the
+    sessionize skew bound."""
+    rd = _rd()
+
+    def twap(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                            ("event_id", "ascending")])
+        g = g.take(idx)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = g["value"].to_numpy(zero_copy_only=False)
+        if len(ts) < 2:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "twap": pa.array([], pa.float64())})
+        dt = (ts[1:] - ts[:-1]).astype(np.float64)
+        num = float(np.dot(v[:-1], dt))
+        den = float(dt.sum())
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "twap": pa.array([round(num / den, 6)], pa.float64()),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id", "value"])
+        .groupby("user_id")
+        .map_groups(twap, batch_format="pyarrow")
+    )
+
+
+ORACLE_TWAP_VALUE = """
+WITH x AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - ts) AS dt
+  FROM events
+)
+SELECT user_id, round(sum(value * dt) / sum(dt), 6) AS twap
+FROM x WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# ===================================== CSV source/sink roundtrip
+
+def q_csv_roundtrip(sf_dir: str):
+    """Source/sink parity for CSV: project events to (event_type, value),
+    write sharded CSV under /tmp, read it back with ray.data.read_csv,
+    aggregate. Exercises the non-parquet IO path end to end; 2dp values
+    roundtrip text exactly."""
+    import os
+    import tempfile
+
+    import ray.data as rdn
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    out_dir = tempfile.mkdtemp(prefix="csv_rt_", dir="/tmp")
+    (rd.read_parquet(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "value"])
+     .write_csv(out_dir))
+
+    ds = rdn.read_csv(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [("value", "sum"), ([], "count_all")])
+        return rename_agg(g, ["event_type"], ["event_type", "ps", "pn"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type").aggregate(Sum("ps", alias_name="s"),
+                                            Sum("pn", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": t["n"],
+            "total": pc.round(t["s"], 2),
+        })
+
+    res = agg.map_batches(finish, batch_format="pyarrow")
+    return res
+
+
+ORACLE_CSV_ROUNDTRIP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total
+FROM events GROUP BY event_type
+"""
+
+
+def register(queries: dict, oracles: dict, kg_body: str) -> None:
+    queries["gnn_neighbor_agg"] = q_gnn_neighbor_agg
+    oracles["gnn_neighbor_agg"] = _gnn_oracle(kg_body)
+    queries["record_highs"] = q_record_highs
+    oracles["record_highs"] = ORACLE_RECORD_HIGHS
+    queries["twap_value"] = q_twap_value
+    oracles["twap_value"] = ORACLE_TWAP_VALUE
+    queries["csv_roundtrip"] = q_csv_roundtrip
+    oracles["csv_roundtrip"] = ORACLE_CSV_ROUNDTRIP
