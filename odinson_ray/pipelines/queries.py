@@ -6819,3 +6819,5 @@ _q2.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
 from . import queries3 as _q3  # noqa: E402
 
 _q3.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
+
+_q3._register_batch_m(QUERIES, ORACLES)

@@ -357,3 +357,141 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["twap_value"] = ORACLE_TWAP_VALUE
     queries["csv_roundtrip"] = q_csv_roundtrip
     oracles["csv_roundtrip"] = ORACLE_CSV_ROUNDTRIP
+
+
+# ===================================== A-Priori frequent pair mining
+
+_AP_ITEM_SUP = 0.75   # fraction of baskets an item must appear in
+_AP_PAIR_SUP = 0.62   # fraction of baskets a pair must appear in
+
+
+def q_apriori_pairs(sf_dir: str):
+    """Frequent co-occurring token pairs across documents with A-Priori
+    pruning: items (tokens) below the singleton support threshold are
+    eliminated BEFORE any pair forms — the frequent-item set is small by
+    construction of the threshold (the classic A-Priori argument), so it
+    broadcasts via ray.put and the pair-count shuffle only ever carries
+    pairs of frequent items. Basket = document (distinct tokens); one
+    batch-local distinct (a doc never spans rows), one df groupby, one
+    pair-count groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"].combine_chunks(), r"\s+")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = pa.table({
+            "doc_id": pa.array(np.repeat(did, lens), pa.int64()),
+            "w": flat,
+        }).filter(pc.not_equal(flat, ""))
+        g = pa.TableGroupBy(base, ["doc_id", "w"]).aggregate([])
+        return g
+
+    tok = docs.map_batches(tok_partial, batch_format="pyarrow").materialize()
+    n_docs = docs.count()
+    min_item = _AP_ITEM_SUP * n_docs
+    min_pair = _AP_PAIR_SUP * n_docs
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["w"]), ["w"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"w": g["w"], "pn": g["count_all"]})
+
+    freq = (tok.map_batches(df_partial, batch_format="pyarrow")
+            .groupby("w").aggregate(Sum("pn", alias_name="df"))
+            .map_batches(lambda t: t.filter(
+                pc.greater_equal(pc.cast(t["df"], pa.float64()),
+                                 pa.scalar(min_item))).select(["w"]),
+                batch_format="pyarrow"))
+    # small by construction of the support threshold -> broadcast
+    freq_words = np.sort(np.array([r["w"] for r in freq.take_all()],
+                                  dtype=object))
+    freq_ref = ray.put(freq_words)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        fw = ray.get(freq_ref)
+        t = t.combine_chunks()
+        o = pc.sort_indices(t, sort_keys=[("doc_id", "ascending"),
+                                          ("w", "ascending")])
+        t = t.take(o)
+        w = np.asarray(t["w"].to_pylist(), dtype=object)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(w, fw)
+        w, did = w[keep], did[keep]
+        if len(w) == 0:
+            return pa.table({"wa": pa.array([], pa.string()),
+                             "wb": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64())})
+        starts = np.concatenate(
+            ([0], np.flatnonzero(did[1:] != did[:-1]) + 1, [len(did)]))
+        ia, ib = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            ia.append(s + iu)
+            ib.append(s + ju)
+        if not ia:
+            return pa.table({"wa": pa.array([], pa.string()),
+                             "wb": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64())})
+        a = np.concatenate(ia)
+        b = np.concatenate(ib)
+        base = pa.table({"wa": pa.array(w[a].tolist(), pa.string()),
+                         "wb": pa.array(w[b].tolist(), pa.string())})
+        g = pa.TableGroupBy(base, ["wa", "wb"]).aggregate([([], "count_all")])
+        return pa.table({"wa": g["wa"], "wb": g["wb"],
+                         "pn": g["count_all"]})
+
+    pairs = (tok.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["wa", "wb"]).aggregate(Sum("pn", alias_name="n")))
+    return pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            pc.cast(t["n"], pa.float64()), pa.scalar(min_pair))),
+        batch_format="pyarrow")
+
+
+ORACLE_APRIORI_PAIRS = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+    FROM documents) WHERE w != ''
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+freq AS (
+  SELECT w FROM tok GROUP BY w
+  HAVING count(*) >= 0.75 * (SELECT n FROM nd)
+)
+SELECT a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT) AS n
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+WHERE a.w IN (SELECT w FROM freq) AND b.w IN (SELECT w FROM freq)
+GROUP BY 1, 2
+HAVING count(*) >= 0.62 * (SELECT n FROM nd)
+"""
+
+
+# ===================================== BPE tokenizer fitting (no oracle)
+
+def q_bpe_merges(sf_dir: str, k: int = 5):
+    """First k BPE merges learned from the document corpus
+    (stages/bpe.py). Iterative argmax + re-tokenization — not
+    SQL-expressible; correctness is pinned by a pytest twin (same
+    class as ann_lsh/ann_ivf/cms)."""
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    from odinson_ray.stages.bpe import bpe_top_merges
+
+    return bpe_top_merges(docs, k=k)
+
+
+def _register_batch_m(queries: dict, oracles: dict) -> None:
+    queries["apriori_pairs"] = q_apriori_pairs
+    oracles["apriori_pairs"] = ORACLE_APRIORI_PAIRS
+    queries["bpe_merges"] = q_bpe_merges  # no oracle by design
