@@ -6821,3 +6821,5 @@ from . import queries3 as _q3  # noqa: E402
 _q3.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
 
 _q3._register_batch_m(QUERIES, ORACLES)
+
+_q3._register_batch_n(QUERIES, ORACLES)

@@ -495,3 +495,45 @@ def _register_batch_m(queries: dict, oracles: dict) -> None:
     queries["apriori_pairs"] = q_apriori_pairs
     oracles["apriori_pairs"] = ORACLE_APRIORI_PAIRS
     queries["bpe_merges"] = q_bpe_merges  # no oracle by design
+
+
+# ===================================== session spans (full records)
+
+def q_session_spans(sf_dir: str):
+    """Full session records (start, end, n_events) per user at a 30-min
+    gap — stages/window.session_spans' two-stage fragment merge."""
+    rd = _rd()
+    from odinson_ray.stages.window import session_spans
+
+    return session_spans(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]),
+        key="user_id", ts="ts", gap_s=1800)
+
+
+ORACLE_SESSION_SPANS = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _register_batch_n(queries: dict, oracles: dict) -> None:
+    queries["session_spans"] = q_session_spans
+    oracles["session_spans"] = ORACLE_SESSION_SPANS

@@ -87,6 +87,75 @@ def sessionize(ds, key: str = "user_id", ts: str = "ts", gap_s: int = 1800,
     return stage1.groupby(key).map_groups(merge, batch_format="pyarrow")
 
 
+def session_spans(ds, key: str = "user_id", ts: str = "ts",
+                  gap_s: int = 1800, bucket_s: int = 86400):
+    """Per-key session SPANS (start, end, event count) with an
+    inactivity gap — sessionize's count-only surface extended to the
+    full session records a sessionization sink needs, still skew-safe.
+
+    Stage 1 (groupby (key, bucket)): sort the bucket's timestamps, split
+    into fragments at gaps > gap_s, emit one row per FRAGMENT
+    (start, end, n). A bucket holds at most bucket_s/gap_s + 1 fragments
+    (each fragment after the first is preceded by > gap_s of silence),
+    so stage-2 input per key is bounded by time-range/gap — never by
+    event count.
+
+    Stage 2 (groupby key over fragments): sort fragments by start, merge
+    adjacent fragments whose boundary gap is <= gap_s (vectorized:
+    boundary mask -> cumsum session ids -> np.add.reduceat). Output
+    columns: (key, session_start_us, session_end_us, n_events).
+    """
+
+    def fragments(g: pa.Table) -> pa.Table:
+        ts_us = pc.cast(g[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        ts_us = np.sort(ts_us)
+        brk = np.flatnonzero(np.diff(ts_us) > gap_s * 1_000_000) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(ts_us)])) - 1
+        k = g[key].slice(0, 1)
+        n = len(starts)
+        return pa.table({
+            key: pa.concat_arrays([k.combine_chunks()] * n)
+            if n > 1 else k,
+            "_fs": pa.array(ts_us[starts], pa.int64()),
+            "_fe": pa.array(ts_us[ends], pa.int64()),
+            "_fn": pa.array((ends - starts + 1).astype(np.int64), pa.int64()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("_fs", "ascending"),
+                                              ("_fe", "ascending")])
+        g = g.take(order)
+        fs = g["_fs"].to_numpy(zero_copy_only=False)
+        fe = g["_fe"].to_numpy(zero_copy_only=False)
+        fn = g["_fn"].to_numpy(zero_copy_only=False)
+        # a fragment opens a new session iff its start is > gap after the
+        # running max end of everything before it (fragments from
+        # different buckets can overlap only at boundaries; starts are
+        # sorted, and ends are non-decreasing across bucket order here
+        # because buckets partition time)
+        new = np.ones(len(fs), dtype=bool)
+        new[1:] = (fs[1:] - fe[:-1]) > gap_s * 1_000_000
+        sid = np.cumsum(new) - 1
+        seg = np.flatnonzero(new)
+        out_start = fs[seg]
+        out_end = np.maximum.reduceat(fe, seg)
+        out_n = np.add.reduceat(fn, seg)
+        k = g[key].slice(0, 1).combine_chunks()
+        return pa.table({
+            key: pa.concat_arrays([k] * len(seg)) if len(seg) > 1 else k,
+            "session_start_us": pa.array(out_start, pa.int64()),
+            "session_end_us": pa.array(out_end, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+        })
+
+    bucketed = ds.map_batches(lambda t: _with_bucket(t, ts, bucket_s),
+                              batch_format="pyarrow")
+    stage1 = bucketed.groupby([key, "_bucket"]).map_groups(
+        fragments, batch_format="pyarrow")
+    return stage1.groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
 def running_total(ds, key: str = "user_id", ts: str = "ts",
                   order: str = "event_id", value: str = "value",
                   out: str = "running_value", ndigits: int = 4,

@@ -97,3 +97,70 @@ def test_apriori_prunes_infrequent_items(ray_session, tmp_path):
     # item support 0.75 -> x, y (20), z (15) frequent; w (9), q (2) not.
     # pair support 0.62*20 = 12.4 -> (x,y)=20, (x,z)=(y,z)=15 pass
     assert rows == {("x", "y"): 20, ("x", "z"): 15, ("y", "z"): 15}
+
+
+def _local_session_spans(users, ts_us, gap_us):
+    out = {}
+    import collections
+    by_u = collections.defaultdict(list)
+    for u, t in zip(users, ts_us):
+        by_u[u].append(t)
+    spans = []
+    for u, tss in by_u.items():
+        tss.sort()
+        start = prev = tss[0]
+        n = 1
+        for t in tss[1:]:
+            if t - prev > gap_us:
+                spans.append((u, start, prev, n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        spans.append((u, start, prev, n))
+    return sorted(spans)
+
+
+def test_session_spans_cross_bucket_chains(ray_session):
+    """Sessions chaining across MANY bucket boundaries (events every
+    20 min with a 30-min gap and 1-hour buckets), a Zipfian-hot user,
+    and exact-gap boundaries (gap == threshold stays one session)."""
+    import ray.data as rd
+
+    from odinson_ray.stages.window import session_spans
+
+    H = 3_600 * 1_000_000
+    rng = np.random.RandomState(2)
+    users, ts = [], []
+    # hot user: a 10-hour session of 20-min cadence crossing 10 buckets
+    for i in range(31):
+        users.append(1)
+        ts.append(i * 20 * 60 * 1_000_000)
+    # exact-gap pair: 1800s apart exactly -> same session
+    users += [2, 2]
+    ts += [5 * H, 5 * H + 1800 * 1_000_000]
+    # random sparse users
+    for _ in range(200):
+        users.append(int(rng.randint(3, 10)))
+        ts.append(int(rng.randint(0, 40) * 17 * 60 * 1_000_000))
+    # dedupe exact (user, ts) collisions from the random block: ties are
+    # legal but make the local twin's n_events ambiguous vs distinct rows
+    seen = set()
+    u2, t2 = [], []
+    for u, t in zip(users, ts):
+        if (u, t) not in seen:
+            seen.add((u, t))
+            u2.append(u)
+            t2.append(t)
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(u2, pa.int64()),
+        "ts": pa.array(np.array(t2, dtype=np.int64), pa.timestamp("us")),
+    }))
+    got = sorted((r["user_id"], r["session_start_us"], r["session_end_us"],
+                  r["n_events"])
+                 for r in session_spans(ds, key="user_id", ts="ts",
+                                        gap_s=1800,
+                                        bucket_s=3600).take_all())
+    assert got == _local_session_spans(u2, t2, 1800 * 1_000_000)
+    hot = [g for g in got if g[0] == 1]
+    assert len(hot) == 1 and hot[0][3] == 31  # one unbroken session
