@@ -537,3 +537,172 @@ FROM s GROUP BY user_id, sid
 def _register_batch_n(queries: dict, oracles: dict) -> None:
     queries["session_spans"] = q_session_spans
     oracles["session_spans"] = ORACLE_SESSION_SPANS
+
+
+# ===================================== KG-embedding negative sampling
+
+_NEG_ATTEMPTS = 4
+_NEG_KEEP = 2
+
+
+def q_kg_negative_samples(sf_dir: str):
+    """Deterministic negative sampling for KG-embedding training: for
+    every positive triple (s, r, o), up to 2 corrupted objects drawn by
+    md5-bucket lookup and verified NOT to be real triples.
+
+    The classic scheme needs a uniform pick from the entity catalog,
+    which would require a global enumeration (a sort at catalog scale);
+    instead each entity hashes into one of 64k buckets and the pick is
+    the bucket's min entity — a pure hash-join plan (attempt rows join
+    the bucket-representative table; slight non-uniformity documented),
+    reproducible at any parallelism. Validity = an anti join against the
+    positive set keyed on the corrupted triple; the first 2 valid
+    attempts per positive survive via grouped_topk."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    from odinson_ray.stages.shuffle import grouped_topk, hash_join
+
+    from .kg import triples_dataset
+
+    str_t = pa.string()
+
+    def to_pos(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"s": t["subj_canon"], "r": t["pred"],
+                      "o": t["obj_canon"]}),
+            ["s", "r", "o"]).aggregate([])
+        return g
+
+    pos = (triples_dataset(sf_dir)
+           .map_batches(to_pos, batch_format="pyarrow")
+           .groupby(["s", "r", "o"]).aggregate(Count(alias_name="_c"))
+           .drop_columns(["_c"])).materialize()  # attempts + anti side
+
+    def to_ents(t: pa.Table) -> pa.Table:
+        e = pa.concat_arrays([t["s"].combine_chunks(),
+                              t["o"].combine_chunks()])
+        return pa.TableGroupBy(pa.table({"e": e}), ["e"]).aggregate([])
+
+    ents = (pos.map_batches(to_ents, batch_format="pyarrow")
+            .groupby("e").aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"])).materialize()
+    # modulus = |entity catalog| (a driver SCALAR, not data): hit rate
+    # ~1-1/e at any scale; 64k-bucket fixed moduli miss almost every
+    # attempt when the catalog is small
+    n_buckets = max(1, ents.count())
+
+    def rep_partial(t: pa.Table) -> pa.Table:
+        b = [int(hashlib.md5(e.encode()).hexdigest()[:8], 16) % n_buckets
+             for e in t["e"].to_pylist()]
+        base = pa.table({"b": pa.array(b, pa.int64()), "cand": t["e"]})
+        g = pa.TableGroupBy(base, ["b"]).aggregate([("cand", "min")])
+        return pa.table({"b": g["b"], "cand": g["cand_min"]})
+
+    reps = (ents.map_batches(rep_partial, batch_format="pyarrow")
+            .groupby("b").aggregate(Min("cand", alias_name="cand")))
+
+    def attempts(t: pa.Table) -> pa.Table:
+        s = t["s"].to_pylist()
+        r = t["r"].to_pylist()
+        o = t["o"].to_pylist()
+        n = len(s)
+        m = _NEG_ATTEMPTS
+        ss, rr, oo, ii, bb = [], [], [], [], []
+        for j in range(n):
+            for i in range(m):
+                h = hashlib.md5(
+                    f"{s[j]}|{r[j]}|{o[j]}|{i}".encode()).hexdigest()
+                ss.append(s[j]); rr.append(r[j]); oo.append(o[j])
+                ii.append(i)
+                bb.append(int(h[:8], 16) % n_buckets)
+        return pa.table({"s": pa.array(ss, str_t), "r": pa.array(rr, str_t),
+                         "o": pa.array(oo, str_t),
+                         "i": pa.array(ii, pa.int64()),
+                         "b": pa.array(bb, pa.int64())})
+
+    att = pos.map_batches(attempts, batch_format="pyarrow")
+    att_schema = pa.schema([("s", str_t), ("r", str_t), ("o", str_t),
+                            ("i", pa.int64()), ("b", pa.int64())])
+    rep_schema = pa.schema([("b", pa.int64()), ("cand", str_t)])
+    cand = hash_join(att, reps, on="b",
+                     left_schema=att_schema, right_schema=rep_schema)
+
+    SEP = "\x1f"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.not_equal(t["cand"], t["o"]),
+                             pc.not_equal(t["cand"], t["s"])))
+        k = pc.binary_join_element_wise(t["s"], t["r"], t["cand"], SEP)
+        return pa.table({"k": k, "s": t["s"], "r": t["r"], "o": t["o"],
+                         "i": t["i"], "cand": t["cand"]})
+
+    def pos_keyed(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.binary_join_element_wise(
+            t["s"], t["r"], t["o"], SEP)})
+
+    valid = hash_join(
+        cand.map_batches(keyed, batch_format="pyarrow"),
+        pos.map_batches(pos_keyed, batch_format="pyarrow"),
+        on="k", how="anti",
+        left_schema=pa.schema([("k", str_t), ("s", str_t), ("r", str_t),
+                               ("o", str_t), ("i", pa.int64()),
+                               ("cand", str_t)]),
+        right_schema=pa.schema([("k", str_t)]))
+
+    def tkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "tk", pc.binary_join_element_wise(t["s"], t["r"], t["o"], SEP))
+
+    top = grouped_topk(valid.map_batches(tkey, batch_format="pyarrow"),
+                       by="tk", cols=["i"], descending=[False],
+                       k=_NEG_KEEP)
+    return top.map_batches(
+        lambda t: pa.table({"subj_canon": t["s"], "pred": t["r"],
+                            "obj_canon": t["o"], "neg_obj": t["cand"],
+                            "attempt": t["i"]}),
+        batch_format="pyarrow")
+
+
+def _neg_samples_oracle(body: str) -> str:
+    return f"""
+WITH trip AS ({body}),
+pos AS (SELECT DISTINCT subj_canon AS s, pred AS r, obj_canon AS o FROM trip),
+ents AS (
+  SELECT DISTINCT e FROM (
+    SELECT subj_canon AS e FROM trip UNION SELECT obj_canon FROM trip)
+),
+reps AS (
+  SELECT CAST(('0x' || substr(md5(e), 1, 8)) AS UBIGINT)
+           % (SELECT count(*) FROM ents) AS b,
+         min(e) AS cand
+  FROM ents GROUP BY 1
+),
+att AS (
+  SELECT s, r, o, i,
+         CAST(('0x' || substr(md5(s || '|' || r || '|' || o || '|'
+                                  || CAST(i AS VARCHAR)), 1, 8))
+              AS UBIGINT) % (SELECT count(*) FROM ents) AS b
+  FROM pos CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+),
+cand AS (
+  SELECT a.s, a.r, a.o, a.i, rep.cand AS neg
+  FROM att a JOIN reps rep ON rep.b = a.b
+  WHERE rep.cand <> a.o AND rep.cand <> a.s
+    AND NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.s = a.s AND p.r = a.r AND p.o = rep.cand)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY s, r, o ORDER BY i) AS rn
+  FROM cand
+)
+SELECT s AS subj_canon, r AS pred, o AS obj_canon, neg AS neg_obj,
+       CAST(i AS BIGINT) AS attempt
+FROM ranked WHERE rn <= {_NEG_KEEP}
+"""
+
+
+def _register_batch_o(queries: dict, oracles: dict, kg_body: str) -> None:
+    queries["kg_negative_samples"] = q_kg_negative_samples
+    oracles["kg_negative_samples"] = _neg_samples_oracle(kg_body)

@@ -164,3 +164,25 @@ def test_session_spans_cross_bucket_chains(ray_session):
     assert got == _local_session_spans(u2, t2, 1800 * 1_000_000)
     hot = [g for g in got if g[0] == 1]
     assert len(hot) == 1 and hot[0][3] == 31  # one unbroken session
+
+
+def test_kg_negative_samples_invariants(ray_session):
+    """Negatives are never real triples, never the true object or the
+    subject itself, at most 2 per positive, attempts ordered first."""
+    from odinson_ray.pipelines.kg import triples_dataset
+    from odinson_ray.pipelines.queries3 import q_kg_negative_samples
+
+    sf = "/root/testdata/sf0.001"
+    pos = {(r["subj_canon"], r["pred"], r["obj_canon"])
+           for r in triples_dataset(sf).take_all()}
+    rows = q_kg_negative_samples(sf).take_all()
+    assert rows
+    per_triple = {}
+    for r in rows:
+        t = (r["subj_canon"], r["pred"], r["obj_canon"])
+        assert t in pos
+        assert (r["subj_canon"], r["pred"], r["neg_obj"]) not in pos
+        assert r["neg_obj"] != r["obj_canon"]
+        assert r["neg_obj"] != r["subj_canon"]
+        per_triple.setdefault(t, []).append(r["attempt"])
+    assert all(len(v) <= 2 for v in per_triple.values())
