@@ -706,3 +706,99 @@ FROM ranked WHERE rn <= {_NEG_KEEP}
 def _register_batch_o(queries: dict, oracles: dict, kg_body: str) -> None:
     queries["kg_negative_samples"] = q_kg_negative_samples
     oracles["kg_negative_samples"] = _neg_samples_oracle(kg_body)
+
+
+# ===================================== contrastive hard-negative mining
+
+def q_hard_negatives(sf_dir: str, n_anchors: int = 10, k: int = 3):
+    """Hard-negative mining for contrastive training: for each anchor
+    (vec_id < 10), the top-3 most-similar corpus vectors with a
+    DIFFERENT label — the examples a contrastive loss learns most from.
+    Same broadcast-queries + per-batch-matmul + per-batch top-k prune
+    shape as knn_join, plus the label-inequality mask applied inside the
+    batch kernel (no post-hoc filter that could break top-k exactness)."""
+    import ray
+
+    from odinson_ray.stages.link import get_broadcast
+
+    rd = _rd()
+
+    qdf = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+        .map_batches(lambda t: t.filter(pc.less(t["vec_id"], n_anchors)),
+                     batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    Q = np.array([np.asarray(v, dtype=np.float64) for v in qdf.embedding])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qdf.vec_id.to_numpy(dtype=np.int64)
+    qlabels = qdf.label.to_numpy(dtype=np.int64)
+    qref = ray.put((qids, qlabels, Q))
+
+    def score(t: pa.Table) -> pa.Table:
+        qids_, qlabels_, Q_ = get_broadcast(qref)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        S = np.round((mat / np.where(norms == 0, 1.0, norms)) @ Q_.T, 6)
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            ok = labels != qlabels_[j]
+            if not ok.any():
+                continue
+            cand_v, cand_s = vids[ok], S[ok, j]
+            order = np.lexsort((cand_v, -cand_s))[:k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(cand_v[order])
+            out_s.extend(cand_s[order])
+        return pa.table({
+            "anchor_id": pa.array(np.asarray(out_q, dtype=np.int64)),
+            "neg_id": pa.array(np.asarray(out_v, dtype=np.int64)),
+            "score": pa.array(np.asarray(out_s, dtype=np.float64)),
+        })
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        vids = np.asarray(g["neg_id"].to_pylist(), dtype=np.int64)
+        scores = np.asarray(g["score"].to_pylist(), dtype=np.float64)
+        order = np.lexsort((vids, -scores))[:k]
+        return pa.table({
+            "anchor_id": pc.take(g["anchor_id"], pa.array(order)),
+            "neg_id": pa.array(vids[order]),
+            "score": pa.array(scores[order]),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("anchor_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, label AS alabel, embedding AS aemb
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id AS neg_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(a.aemb AS DOUBLE[])), 6) AS score
+  FROM anchors a JOIN embeddings e ON e.label <> a.alabel
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY score DESC, neg_id) AS rn
+  FROM scored
+)
+SELECT anchor_id, neg_id, score FROM ranked WHERE rn <= 3
+"""
+
+
+def _register_batch_p(queries: dict, oracles: dict) -> None:
+    queries["hard_negatives"] = q_hard_negatives
+    oracles["hard_negatives"] = ORACLE_HARD_NEGATIVES
