@@ -802,3 +802,115 @@ SELECT anchor_id, neg_id, score FROM ranked WHERE rn <= 3
 def _register_batch_p(queries: dict, oracles: dict) -> None:
     queries["hard_negatives"] = q_hard_negatives
     oracles["hard_negatives"] = ORACLE_HARD_NEGATIVES
+
+
+# ===================================== inverted posting lists
+
+def q_inverted_postings(sf_dir: str, k: int = 10):
+    """The index-build as a queryable artifact (the reference's core
+    identity is a Lucene postings writer —
+    core/src/main/scala/ai/lum/odinson/lucene/index/OdinsonIndexWriter.scala):
+    per token, its document frequency and the first 10 doc ids of its
+    posting list. grouped_topk bounds every token to k rows before the
+    string fold; the fold runs segmented in coarse hash partitions
+    (user_top3_types' shape), so a stopword's full posting list never
+    lands in one task."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import grouped_topk, hash_join
+    from odinson_ray.stages.sketch import _splitmix64
+
+    rd = _rd()
+    PARTS = 256
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"].combine_chunks(), r"\s+")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = pa.table({
+            "doc_id": pa.array(np.repeat(did, lens), pa.int64()),
+            "w": flat,
+        }).filter(pc.not_equal(flat, ""))
+        return pa.TableGroupBy(base, ["doc_id", "w"]).aggregate([])
+
+    tok = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+           .map_batches(tok_partial, batch_format="pyarrow")).materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["w"]), ["w"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"w": g["w"], "pn": g["count_all"]})
+
+    df = (tok.map_batches(df_partial, batch_format="pyarrow")
+          .groupby("w").aggregate(Sum("pn", alias_name="df")))
+
+    topk = grouped_topk(tok, by="w", cols=["doc_id"], descending=[False],
+                        k=k)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import zlib
+
+        # crc32, NOT Python hash(): str hash is salted per process, and
+        # a token split across partitions would emit partial postings
+        h = np.array([zlib.crc32(w.encode()) for w in t["w"].to_pylist()],
+                     dtype=np.uint64)
+        p = (_splitmix64(h) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def concat_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        w = np.asarray(g["w"].to_pylist(), dtype=object)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, w))
+        w, d = w[order], d[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(w[1:] != w[:-1]) + 1, [len(w)]))
+        toks, posts = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            toks.append(w[s])
+            posts.append(",".join(str(x) for x in d[s:e]))
+        return pa.table({"w": pa.array(toks, pa.string()),
+                         "postings": pa.array(posts, pa.string())})
+
+    posts = (topk.map_batches(add_part, batch_format="pyarrow")
+             .groupby("_p")
+             .map_groups(concat_partition, batch_format="pyarrow"))
+
+    out = hash_join(df, posts, on="w",
+                    left_schema=pa.schema([("w", pa.string()),
+                                           ("df", pa.int64())]),
+                    right_schema=pa.schema([("w", pa.string()),
+                                            ("postings", pa.string())]))
+    return out.map_batches(
+        lambda t: pa.table({"token": t["w"], "df": t["df"],
+                            "postings": t["postings"]}),
+        batch_format="pyarrow")
+
+
+ORACLE_INVERTED_POSTINGS = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+    FROM documents) WHERE w != ''
+),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY w),
+ranked AS (
+  SELECT w, doc_id,
+         row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn
+  FROM tok
+),
+posts AS (
+  SELECT w, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+  FROM ranked WHERE rn <= 10 GROUP BY w
+)
+SELECT df.w AS token, df.df, posts.postings
+FROM df JOIN posts ON posts.w = df.w
+"""
+
+
+def _register_batch_q(queries: dict, oracles: dict) -> None:
+    queries["inverted_postings"] = q_inverted_postings
+    oracles["inverted_postings"] = ORACLE_INVERTED_POSTINGS
