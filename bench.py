@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "value_mad",
     "embedding_cov",
     "window_distinct_users",
+    "kg_label_prop",
+    "order_window_overlaps",
+    "record_highs",
+    "session_spans",
+    "apriori_pairs",
 ]
 
 

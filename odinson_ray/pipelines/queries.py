@@ -6829,3 +6829,5 @@ _q3._register_batch_o(QUERIES, ORACLES, _KG_TRIPLES_BODY)
 _q3._register_batch_p(QUERIES, ORACLES)
 
 _q3._register_batch_q(QUERIES, ORACLES)
+
+_q3._register_batch_r(QUERIES, ORACLES)

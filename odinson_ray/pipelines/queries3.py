@@ -914,3 +914,63 @@ FROM df JOIN posts ON posts.w = df.w
 def _register_batch_q(queries: dict, oracles: dict) -> None:
     queries["inverted_postings"] = q_inverted_postings
     oracles["inverted_postings"] = ORACLE_INVERTED_POSTINGS
+
+
+# ===================================== zone-map data skipping
+
+_ZM_LO_US = 1_704_844_800_000_000  # 2024-01-10T00:00:00Z
+_ZM_HI_US = 1_705_104_000_000_000  # 2024-01-13T00:00:00Z
+
+
+def q_zonemap_range_agg(sf_dir: str):
+    """Range aggregate over a zone-mapped layout: events are laid out
+    once in natural (roughly time-sorted) order with per-file min/max
+    footers in the manifest (stages/layout.zonemap_layout); the 3-day
+    range scan opens ONLY intersecting files, then applies the exact
+    residual filter. Per-type count + integer-cent value totals."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.layout import zonemap_layout, zonemap_scan
+
+    root = zonemap_layout(f"{sf_dir}/events.parquet", "ts",
+                          ["ts", "event_type", "value"])
+    ds, _n_read, _n_total = zonemap_scan(root, _ZM_LO_US, _ZM_HI_US)
+    if ds is None:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "total_ct": pa.array([], pa.int64())})
+
+    def residual(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, pa.scalar(_ZM_LO_US)),
+                             pc.less(us, pa.scalar(_ZM_HI_US))))
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        base = pa.table({"event_type": t["event_type"],
+                         "ct": pa.array(cents, pa.int64())})
+        g = pa.TableGroupBy(base, ["event_type"]).aggregate(
+            [("ct", "sum"), ([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "pct": g["ct_sum"], "pn": g["count_all"]})
+
+    return (ds.map_batches(residual, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("pn", alias_name="n"),
+                       Sum("pct", alias_name="total_ct")))
+
+
+ORACLE_ZONEMAP_RANGE_AGG = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_ct
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+GROUP BY event_type
+"""
+
+
+def _register_batch_r(queries: dict, oracles: dict) -> None:
+    queries["zonemap_range_agg"] = q_zonemap_range_agg
+    oracles["zonemap_range_agg"] = ORACLE_ZONEMAP_RANGE_AGG

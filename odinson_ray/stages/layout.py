@@ -101,6 +101,84 @@ def bucket_layout(src_parquet: str, key: str, columns,
     return _atomic_publish(tmp, out)
 
 
+def zonemap_layout(src_parquet: str, ts_col: str, columns,
+                   n_shards: int = 16) -> str:
+    """Write a table as n_shards parquet files in NATURAL ORDER with a
+    per-file (min, max) zone map on ``ts_col`` in the manifest — the
+    Iceberg/ORC data-skipping idea. No shuffle at build time (unlike
+    bucket_layout): zone maps exploit whatever clustering the data
+    already has (event streams arrive roughly time-ordered), and a range
+    scan then opens only the files whose [min, max] intersects the
+    predicate. Stats come from the parquet FOOTERS, not a data scan.
+    Idempotent per corpus version; atomic publish."""
+    import pyarrow.parquet as pq
+
+    from ..sources.io import clean_rd as rd
+
+    out = _layout_dir(src_parquet, ts_col, n_shards,
+                      "zonemap:" + ",".join(sorted(columns)))
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    _require_shared_root()
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".tmp.",
+                           dir=_CACHE_ROOT)
+    (rd.read_parquet(src_parquet, columns=list(columns))
+     .repartition(n_shards)
+     .write_parquet(tmp))
+    files = []
+    for f in sorted(os.listdir(tmp)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(tmp, f)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(ts_col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mins, maxs = [], []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not mins:  # footer stats missing: fall back to a column scan
+            col = pq.read_table(os.path.join(tmp, f), columns=[ts_col])
+            mins = [pa.compute.min(col[ts_col]).as_py()]
+            maxs = [pa.compute.max(col[ts_col]).as_py()]
+
+        def _us(v):
+            if hasattr(v, "timestamp"):
+                from datetime import timezone
+
+                if v.tzinfo is None:  # parquet stats are UTC-naive
+                    v = v.replace(tzinfo=timezone.utc)
+                return int(v.timestamp() * 1_000_000)
+            return int(v)
+
+        files.append({"file": f, "min_us": min(_us(v) for v in mins),
+                      "max_us": max(_us(v) for v in maxs)})
+    with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+        json.dump({"ts_col": ts_col, "files": files}, fh)
+    return _atomic_publish(tmp, out)
+
+
+def zonemap_scan(root: str, lo_us: int, hi_us: int):
+    """Dataset over only the files whose zone map intersects
+    [lo_us, hi_us) — the caller applies the exact residual filter (zone
+    maps are a superset guarantee). Returns (dataset_or_None,
+    n_files_read, n_files_total); None when every file is skipped."""
+    from ..sources.io import clean_rd as rd
+
+    with open(os.path.join(root, "_meta.json")) as fh:
+        meta = json.load(fh)
+    keep = [f["file"] for f in meta["files"]
+            if f["min_us"] < hi_us and f["max_us"] >= lo_us]
+    total = len(meta["files"])
+    if not keep:
+        return None, 0, total
+    ds = rd.read_parquet([os.path.join(root, f) for f in keep])
+    return ds, len(keep), total
+
+
 def _read_bucket(root: str, manifest: dict, bucket: int,
                  schema: pa.Schema) -> pa.Table:
     import pyarrow.parquet as pq

@@ -186,3 +186,39 @@ def test_kg_negative_samples_invariants(ray_session):
         assert r["neg_obj"] != r["subj_canon"]
         per_triple.setdefault(t, []).append(r["attempt"])
     assert all(len(v) <= 2 for v in per_triple.values())
+
+
+def test_zonemap_skips_files(ray_session, tmp_path, monkeypatch):
+    """A narrow range scan over a time-clustered layout opens strictly
+    fewer files than the layout holds, and the result is exact."""
+    import pyarrow.parquet as pq
+
+    import odinson_ray.stages.layout as layout
+    from odinson_ray.stages.layout import zonemap_layout, zonemap_scan
+
+    monkeypatch.setattr(layout, "_CACHE_ROOT", str(tmp_path / "cache"))
+
+    n = 10_000
+    ts = (np.arange(n, dtype=np.int64) * 60_000_000)  # one per minute
+    t = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    src = tmp_path / "events.parquet"
+    pq.write_table(t, src)
+
+    root = zonemap_layout(str(src), "ts", ["ts", "v"], n_shards=8)
+    lo, hi = int(ts[2000]), int(ts[3000])
+    ds, n_read, n_total = zonemap_scan(root, lo, hi)
+    assert 0 < n_read < n_total
+    vals = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (us >= lo) & (us < hi)
+        vals.extend(b["v"].to_numpy(zero_copy_only=False)[keep].tolist())
+    assert sorted(vals) == list(range(2000, 3000))
+
+    # a range outside the data skips everything
+    ds2, n2, _ = zonemap_scan(root, int(ts[-1]) + 10**9,
+                              int(ts[-1]) + 2 * 10**9)
+    assert ds2 is None and n2 == 0
