@@ -6831,3 +6831,5 @@ _q3._register_batch_p(QUERIES, ORACLES)
 _q3._register_batch_q(QUERIES, ORACLES)
 
 _q3._register_batch_r(QUERIES, ORACLES)
+
+_q3._register_batch_s(QUERIES, ORACLES)

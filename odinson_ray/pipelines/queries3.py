@@ -974,3 +974,106 @@ GROUP BY event_type
 def _register_batch_r(queries: dict, oracles: dict) -> None:
     queries["zonemap_range_agg"] = q_zonemap_range_agg
     oracles["zonemap_range_agg"] = ORACLE_ZONEMAP_RANGE_AGG
+
+
+# ===================================== length-bucketed training batches
+
+_LB_BUDGET = 2048  # tokens per training batch
+
+
+def q_length_batches(sf_dir: str, n_buckets: int = 256):
+    """Token-budget batch assignment for training: docs ordered globally
+    by (n_tokens ASC, doc_id ASC) — length bucketing minimizes padding —
+    and batch_id = floor(exclusive_prefix_sum(n_tokens) / budget).
+
+    The global prefix sum reuses _enumerated_orders' shape: sampled
+    range boundaries (mergeable quantile sketch), a per-batch bincount
+    combiner whose per-bucket TOKEN sums prefix into offsets on the
+    driver (O(n_buckets), parallelism-sized), then one groupby(bucket)
+    pass sorts within each bucket and adds the broadcast offset. Batch
+    ids are globally consistent without any global sort landing
+    anywhere."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.sketch import approx_quantile_values
+
+    rd = _rd()
+
+    def tc(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+        })
+
+    docs = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(tc, batch_format="pyarrow")).materialize()
+
+    boundaries = np.unique(approx_quantile_values(
+        docs, "n_tokens", np.arange(1, n_buckets) / n_buckets))
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.searchsorted(boundaries, v, side="left")
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        b = bucket_of(n)
+        s = np.bincount(b, weights=n, minlength=n_buckets).astype(np.int64)
+        nz = np.nonzero(s)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "pt": pa.array(s[nz], pa.int64())})
+
+    sums = {r["bucket"]: r["s"] for r in
+            docs.map_batches(sum_partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("pt", alias_name="s"))
+            .take_all()}
+    offsets, acc = {}, 0
+    for b in range(n_buckets):  # ascending length order
+        offsets[b] = acc
+        acc += sums.get(b, 0)
+    ref = ray.put(offsets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = bucket_of(t["n_tokens"].to_numpy(zero_copy_only=False))
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def assign(g: pa.Table) -> pa.Table:
+        off = get_broadcast(ref)[g["bucket"][0].as_py()]
+        n = g["n_tokens"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, n))
+        pfx = np.empty(len(o), dtype=np.int64)
+        cs = np.cumsum(n[o])
+        pfx[o] = off + cs - n[o]  # exclusive prefix in global order
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "n_tokens": g["n_tokens"],
+            "batch_id": pa.array(pfx // _LB_BUDGET, pa.int64()),
+        })
+
+    return (docs.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket").map_groups(assign, batch_format="pyarrow"))
+
+
+ORACLE_LENGTH_BATCHES = """
+WITH tc AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pfx
+  FROM tc
+)
+SELECT doc_id, n_tokens, CAST(pfx // 2048 AS BIGINT) AS batch_id FROM s
+"""
+
+
+def _register_batch_s(queries: dict, oracles: dict) -> None:
+    queries["length_batches"] = q_length_batches
+    oracles["length_batches"] = ORACLE_LENGTH_BATCHES
