@@ -6833,3 +6833,5 @@ _q3._register_batch_q(QUERIES, ORACLES)
 _q3._register_batch_r(QUERIES, ORACLES)
 
 _q3._register_batch_s(QUERIES, ORACLES)
+
+_q3._register_batch_t(QUERIES, ORACLES)

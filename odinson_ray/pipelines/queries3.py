@@ -1077,3 +1077,136 @@ SELECT doc_id, n_tokens, CAST(pfx // 2048 AS BIGINT) AS batch_id FROM s
 def _register_batch_s(queries: dict, oracles: dict) -> None:
     queries["length_batches"] = q_length_batches
     oracles["length_batches"] = ORACLE_LENGTH_BATCHES
+
+
+# ===================================== daily resample + forward fill
+
+_DAY_US2 = 86_400 * 1_000_000
+_FF_SHIFT = 1 << 22  # composite (user, day-index) int64 key
+
+
+def q_daily_ffill(sf_dir: str):
+    """Time-series resampling: each user's value on a DAILY grid from
+    their first to their last active day, forward-filling days with no
+    events from the most recent prior day (feature-pipeline gap fill).
+
+    Shape: (1) per-(user, day) LAST value via grouped_topk k=1 on a
+    composite int64 key (<=1 row per key per batch crosses the shuffle);
+    (2) per-user [d0, d1] bounds from a min/max combiner; (3) the grid
+    expands bounds rows by days-active (bounded by time range, never by
+    event count); (4) grid LEFT JOIN daily-last on the composite key;
+    (5) forward fill runs segmented-vectorized inside coarse hash(user)
+    partitions — the first day of every user has an observation by
+    construction, so a global maximum.accumulate over last-valid indices
+    cannot leak across users."""
+    from ray.data.aggregate import Max, Min
+
+    from odinson_ray.stages.shuffle import grouped_topk, hash_join
+    from odinson_ray.stages.sketch import _splitmix64
+
+    rd = _rd()
+    PARTS = 256
+
+    def keyed(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.cast(pc.divide(us, _DAY_US2), pa.int64())
+        k = pc.add(pc.multiply(t["user_id"], _FF_SHIFT), day)
+        return pa.table({"k": k, "user_id": t["user_id"], "day": day,
+                         "ts_us": us, "event_id": t["event_id"],
+                         "value": t["value"]})
+
+    ev = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["user_id", "ts", "event_id", "value"])
+          .map_batches(keyed, batch_format="pyarrow"))
+
+    daily = grouped_topk(ev, by="k", cols=["ts_us", "event_id"],
+                         descending=[True, True], k=1).materialize()
+
+    bounds = (daily.groupby("user_id")
+              .aggregate(Min("day", alias_name="d0"),
+                         Max("day", alias_name="d1")))
+
+    def grid(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d0 = t["d0"].to_numpy(zero_copy_only=False)
+        d1 = t["d1"].to_numpy(zero_copy_only=False)
+        reps = (d1 - d0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(u)), reps)
+        off = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+        day = d0[idx] + off
+        uu = u[idx]
+        return pa.table({
+            "k": pa.array(uu * _FF_SHIFT + day, pa.int64()),
+            "user_id": pa.array(uu, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+        })
+
+    g = bounds.map_batches(grid, batch_format="pyarrow")
+    joined = hash_join(
+        g,
+        daily.map_batches(lambda t: t.select(["k", "value"]),
+                          batch_format="pyarrow"),
+        on="k", how="left_outer",
+        left_schema=pa.schema([("k", pa.int64()), ("user_id", pa.int64()),
+                               ("day", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()),
+                                ("value", pa.float64())]))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(u) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def ffill(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        o = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                          ("day", "ascending")])
+        t = t.take(o)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        valid = np.asarray(pc.is_valid(t["value"]))
+        idx = np.where(valid, np.arange(len(v)), -1)
+        np.maximum.accumulate(idx, out=idx)
+        filled = v[idx]
+        return pa.table({
+            "user_id": t["user_id"],
+            "day_us": pa.array(
+                t["day"].to_numpy(zero_copy_only=False) * _DAY_US2,
+                pa.int64()),
+            "ffill_value": pa.array(filled, pa.float64()),
+        })
+
+    return (joined.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_p").map_groups(ffill, batch_format="pyarrow"))
+
+
+ORACLE_DAILY_FFILL = """
+WITH last AS (
+  SELECT user_id, day, value FROM (
+    SELECT user_id, date_trunc('day', ts) AS day, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+),
+bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+           FROM last GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+),
+filled AS (
+  SELECT g.user_id, g.day,
+         last_value(l.value IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM grid g LEFT JOIN last l
+    ON l.user_id = g.user_id AND l.day = g.day
+)
+SELECT user_id, CAST(epoch_us(day) AS BIGINT) AS day_us,
+       v AS ffill_value
+FROM filled
+"""
+
+
+def _register_batch_t(queries: dict, oracles: dict) -> None:
+    queries["daily_ffill"] = q_daily_ffill
+    oracles["daily_ffill"] = ORACLE_DAILY_FFILL

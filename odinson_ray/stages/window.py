@@ -39,7 +39,12 @@ ASOF_PARTITIONS = 1024
 def _with_bucket(t: pa.Table, ts: str, bucket_s: int) -> pa.Table:
     epoch = pc.divide(pc.cast(t[ts], pa.int64()), 1_000_000)  # us -> s
     bucket = pc.multiply(pc.divide(epoch, bucket_s), bucket_s)  # floor div
-    return t.append_column("_bucket", pc.cast(bucket, pa.int64()))
+    t = t.append_column("_bucket", pc.cast(bucket, pa.int64()))
+    if t.schema.metadata:
+        # pandas-origin inputs (from_pandas) carry a metadata dict that
+        # defeats Ray's schema hashing in every downstream reduce
+        t = t.replace_schema_metadata(None)
+    return t
 
 
 def sessionize(ds, key: str = "user_id", ts: str = "ts", gap_s: int = 1800,

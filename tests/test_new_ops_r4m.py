@@ -222,3 +222,39 @@ def test_zonemap_skips_files(ray_session, tmp_path, monkeypatch):
     ds2, n2, _ = zonemap_scan(root, int(ts[-1]) + 10**9,
                               int(ts[-1]) + 2 * 10**9)
     assert ds2 is None and n2 == 0
+
+
+def test_daily_ffill_gaps(ray_session, tmp_path):
+    """Gaps forward-fill from the latest prior day; the last event of a
+    day (ts, event_id tie-break) supplies the day's value; single-day
+    users emit one row."""
+    import pyarrow.parquet as pq
+
+    from odinson_ray.pipelines.queries3 import q_daily_ffill
+
+    D = 86_400 * 1_000_000
+    rows = [
+        # user 1: day0 two events (later one wins), gap, day3
+        (1, 10, 0 * D + 100, 5.0), (1, 11, 0 * D + 200, 7.0),
+        (1, 12, 3 * D + 50, 9.0),
+        # user 2: single day
+        (2, 20, 5 * D, 1.25),
+        # user 3: same-ts tie -> higher event_id wins
+        (3, 30, 1 * D, 2.0), (3, 31, 1 * D, 3.0),
+        (3, 32, 2 * D, 4.0),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], np.int64),
+                       pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = sorted((r["user_id"], r["day_us"], r["ffill_value"])
+                 for r in q_daily_ffill(str(tmp_path)).take_all())
+    assert got == [
+        (1, 0 * D, 7.0), (1, 1 * D, 7.0), (1, 2 * D, 7.0), (1, 3 * D, 9.0),
+        (2, 5 * D, 1.25),
+        (3, 1 * D, 3.0), (3, 2 * D, 4.0),
+    ]
