@@ -6835,3 +6835,5 @@ _q3._register_batch_r(QUERIES, ORACLES)
 _q3._register_batch_s(QUERIES, ORACLES)
 
 _q3._register_batch_t(QUERIES, ORACLES)
+
+_q3._register_batch_u(QUERIES, ORACLES, _KG_TRIPLES_BODY)

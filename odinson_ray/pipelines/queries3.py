@@ -1210,3 +1210,102 @@ FROM filled
 def _register_batch_t(queries: dict, oracles: dict) -> None:
     queries["daily_ffill"] = q_daily_ffill
     oracles["daily_ffill"] = ORACLE_DAILY_FFILL
+
+
+# ===================================== PMI-weighted KG edges
+
+def q_kg_pmi_edges(sf_dir: str):
+    """Pointwise mutual information weighting of the undirected KG
+    co-occurrence graph: c_ab = triple-count mass on the pair, c_a =
+    mass touching the entity, N = total mass; pmi = ln(c_ab * N /
+    (c_a * c_b)). The edge-weighting step between raw triple extraction
+    and graph analytics (its output is what pagerank/communities SHOULD
+    run on at web scale, where raw counts overweight stopword-like
+    entities). Shape: one pair aggregate, one exploded marginal
+    aggregate, two hash joins; N is a driver scalar."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import hash_join
+
+    from .kg import triples_dataset
+
+    trips = triples_dataset(sf_dir).materialize()  # pairs + marginals + N
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t["subj_canon"], t["obj_canon"])
+        hi = pc.max_element_wise(t["subj_canon"], t["obj_canon"])
+        e = pa.table({"lo": lo, "hi": hi, "n": t["n"]})
+        e = e.filter(pc.not_equal(e["lo"], e["hi"]))
+        g = pa.TableGroupBy(e, ["lo", "hi"]).aggregate([("n", "sum")])
+        return pa.table({"lo": g["lo"], "hi": g["hi"], "pn": g["n_sum"]})
+
+    pairs = (trips.map_batches(to_pairs, batch_format="pyarrow")
+             .groupby(["lo", "hi"]).aggregate(Sum("pn", alias_name="c_ab")))
+
+    def to_marginals(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["subj_canon"], t["obj_canon"]))
+        v = pa.concat_arrays([t["subj_canon"].combine_chunks(),
+                              t["obj_canon"].combine_chunks()])
+        n = pa.concat_arrays([pc.cast(t["n"], pa.int64()).combine_chunks()] * 2)
+        g = pa.TableGroupBy(pa.table({"v": v, "n": n}), ["v"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"v": g["v"], "pm": g["n_sum"]})
+
+    marg = (trips.map_batches(to_marginals, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("pm", alias_name="c_v"))).materialize()
+
+    total = sum(r["pm"] for r in
+                trips.map_batches(to_marginals, batch_format="pyarrow")
+                .map_batches(lambda t: pa.table(
+                    {"pm": pa.array([pc.sum(t["pm"]).as_py() or 0],
+                                    pa.int64())}),
+                    batch_format="pyarrow").take_all())
+
+    str_t, i64 = pa.string(), pa.int64()
+    j1 = hash_join(pairs, marg, on="lo", right_on="v",
+                   left_schema=pa.schema([("lo", str_t), ("hi", str_t),
+                                          ("c_ab", i64)]),
+                   right_schema=pa.schema([("v", str_t), ("c_v", i64)]))
+    j1 = j1.map_batches(
+        lambda t: pa.table({"lo": t["lo"], "hi": t["hi"], "c_ab": t["c_ab"],
+                            "c_lo": t["c_v"]}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, marg, on="hi", right_on="v",
+                   left_schema=pa.schema([("lo", str_t), ("hi", str_t),
+                                          ("c_ab", i64), ("c_lo", i64)]),
+                   right_schema=pa.schema([("v", str_t), ("c_v", i64)]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        c_ab = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_lo = t["c_lo"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_hi = t["c_v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.round(np.log(c_ab * float(total) / (c_lo * c_hi)), 6)
+        return pa.table({"lo": t["lo"], "hi": t["hi"],
+                         "c_ab": t["c_ab"],
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def _pmi_oracle(body: str) -> str:
+    return f"""
+WITH trip AS ({body}),
+tt AS (SELECT least(subj_canon, obj_canon) AS lo,
+              greatest(subj_canon, obj_canon) AS hi, n
+       FROM trip WHERE subj_canon != obj_canon),
+pairs AS (SELECT lo, hi, CAST(sum(n) AS BIGINT) AS c_ab
+          FROM tt GROUP BY lo, hi),
+marg AS (SELECT v, CAST(sum(n) AS BIGINT) AS c_v FROM (
+  SELECT lo AS v, n FROM tt UNION ALL SELECT hi, n FROM tt) GROUP BY v),
+tot AS (SELECT CAST(sum(n) * 2 AS DOUBLE) AS n FROM tt)
+SELECT p.lo, p.hi, p.c_ab,
+       round(ln(p.c_ab * (SELECT n FROM tot) / (ml.c_v * mh.c_v)), 6)
+         AS pmi
+FROM pairs p JOIN marg ml ON ml.v = p.lo
+             JOIN marg mh ON mh.v = p.hi
+"""
+
+
+def _register_batch_u(queries: dict, oracles: dict, kg_body: str) -> None:
+    queries["kg_pmi_edges"] = q_kg_pmi_edges
+    oracles["kg_pmi_edges"] = _pmi_oracle(kg_body)
