@@ -47,15 +47,32 @@ def _kg_edges(sf_dir: str):
 
 # ===================================== label-propagation communities
 
-def q_kg_label_prop(sf_dir: str, rounds: int = 3):
+def q_kg_label_prop(sf_dir: str, rounds: int = 3,
+                    checkpoint_dir: str | None = None):
     """Community detection by synchronous label propagation over the KG
     graph (3 bounded rounds, most-frequent neighbor label, ties to the
     smallest — stages/graph.py). The reference exposes entity
     neighborhoods via graph traversals (core/.../digraph/DirectedGraph.scala);
-    community labels are the aggregate twin of that adjacency structure."""
+    community labels are the aggregate twin of that adjacency structure.
+    ``checkpoint_dir`` spills the per-round pins to parquet (the same
+    option connected_components/pagerank have)."""
     from odinson_ray.stages.graph import label_propagation
 
-    labels = label_propagation(_kg_edges(sf_dir), rounds=rounds)
+    pin = None
+    if checkpoint_dir is not None:
+        import os
+        import shutil
+
+        from ..sources.io import clean_rd
+
+        def pin(lazy_ds, name):
+            path = os.path.join(checkpoint_dir, name)
+            shutil.rmtree(path, ignore_errors=True)
+            os.makedirs(path, exist_ok=True)
+            lazy_ds.write_parquet(path)
+            return clean_rd.read_parquet(path)
+
+    labels = label_propagation(_kg_edges(sf_dir), rounds=rounds, pin=pin)
     return labels.map_batches(
         lambda t: pa.table({"entity": t["v"], "community": t["lab"]}),
         batch_format="pyarrow")

@@ -191,7 +191,8 @@ def triangles_per_vertex(edges):
             .groupby("v").aggregate(Sum("pn", alias_name="n_tri")))
 
 
-def label_propagation(edges, rounds: int = 3, pin=None):
+def label_propagation(edges, rounds: int | None = 3, pin=None,
+                      max_rounds: int = 100):
     """Synchronous label-propagation community detection over an
     undirected (lo, hi) edge Dataset: every vertex starts with its own
     id as label; each round, every vertex adopts the MOST FREQUENT label
@@ -206,7 +207,12 @@ def label_propagation(edges, rounds: int = 3, pin=None):
     the argmax decomposes into aggregates, so tiny per-vertex groups
     never form (the repo's coarse-partition discipline). ``pin``
     overrides the per-round pin (parquet spill for graphs near
-    object-store capacity, as in connected_components/pagerank)."""
+    object-store capacity, as in connected_components/pagerank).
+
+    ``rounds=None`` runs to the synchronous fixpoint (labels unchanged
+    between rounds — checked by one anti join, a COUNT on the driver)
+    and RAISES if ``max_rounds`` is exhausted, the kcore discipline —
+    never a silently-unconverged result."""
     from ray.data.aggregate import Max, Min, Sum
 
     from .shuffle import hash_join
@@ -234,7 +240,15 @@ def label_propagation(edges, rounds: int = 3, pin=None):
         .groupby("v").aggregate(Min("lab", alias_name="lab")),
         "labels_0")
 
-    for r in range(1, rounds + 1):
+    r = 0
+    while True:
+        r += 1
+        if rounds is not None and r > rounds:
+            break
+        if rounds is None and r > max_rounds:
+            raise RuntimeError(
+                f"label propagation did not converge within {max_rounds} "
+                "rounds")
         joined = hash_join(bedges, labels, on="b", right_on="v",
                            left_schema=bd_schema, right_schema=lab_schema)
 
@@ -260,9 +274,25 @@ def label_propagation(edges, rounds: int = 3, pin=None):
         best = hash_join(counts, maxc, on="a",
                          left_schema=cnt_schema, right_schema=mc_schema,
                          ).map_batches(keep_best, batch_format="pyarrow")
-        labels = pin(
+        new_labels = pin(
             best.groupby("v").aggregate(Min("lab", alias_name="lab")),
             f"labels_{r}")
+        if rounds is None:
+            # fixpoint check: any (v, lab) pair not present verbatim in
+            # the previous labels means something changed
+            def pair_key(t: pa.Table) -> pa.Table:
+                return pa.table({"k": pc.binary_join_element_wise(
+                    t["v"], t["lab"], "\x1f")})
+
+            changed = hash_join(
+                new_labels.map_batches(pair_key, batch_format="pyarrow"),
+                labels.map_batches(pair_key, batch_format="pyarrow"),
+                on="k", how="anti",
+                left_schema=pa.schema([("k", _STR)]),
+                right_schema=pa.schema([("k", _STR)]))
+            if changed.count() == 0:
+                return new_labels
+        labels = new_labels
     return labels
 
 

@@ -162,3 +162,43 @@ def test_quantile_cont_matches_numpy(ray_session, tmp_path):
         want = tuple(round(float(np.percentile(v, p, method="linear")), 4)
                      for p in (25, 50, 75))
         assert got[ty] == want
+
+
+def test_label_propagation_fixpoint_mode(ray_session):
+    """rounds=None runs to the synchronous fixpoint; two cliques with a
+    bridge converge to their min labels and stop."""
+    import itertools
+
+    from odinson_ray.stages.graph import label_propagation
+
+    cl1 = list(itertools.combinations(["a", "b", "c", "d", "e"], 2))
+    cl2 = list(itertools.combinations(["v", "w", "x", "y", "z"], 2))
+    got = {r["v"]: r["lab"]
+           for r in label_propagation(_edges_ds(cl1 + cl2 + [("e", "v")]),
+                                      rounds=None).take_all()}
+    assert {got[u] for u in "abcde"} == {"a"}
+    assert {got[u] for u in "vwxyz"} == {"v"}
+
+
+def test_label_propagation_fixpoint_nonconvergence_raises(ray_session):
+    """A 2-cycle oscillates under synchronous updates: the fixpoint mode
+    must RAISE at max_rounds, never return silently."""
+    import pytest as _pytest
+
+    from odinson_ray.stages.graph import label_propagation
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation(_edges_ds([("a", "b")]), rounds=None,
+                          max_rounds=5).take_all()
+
+
+def test_kg_label_prop_spill_identical(ray_session, tmp_path):
+    from odinson_ray.pipelines.queries2 import q_kg_label_prop
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted((r["entity"], r["community"])
+                  for r in q_kg_label_prop(sf).take_all())
+    spilled = sorted((r["entity"], r["community"])
+                     for r in q_kg_label_prop(
+                         sf, checkpoint_dir=str(tmp_path)).take_all())
+    assert base == spilled and base
