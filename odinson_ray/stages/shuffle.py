@@ -369,6 +369,8 @@ def global_topk(ds, cols, descending, k: int):
     deterministic tie behavior when ``cols`` includes a tiebreaker."""
 
     def prune(t: pa.Table) -> pa.Table:
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)  # keep schemas hashable
         if t.num_rows <= k:
             return t
         idx = pc.sort_indices(t, sort_keys=_sort_keys(cols, descending))
@@ -385,6 +387,8 @@ def grouped_topk(ds, by: str, cols, descending, k: int, schema=None):
     key can pin a reducer with its full row set."""
 
     def prune(t: pa.Table) -> pa.Table:
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)  # keep schemas hashable
         idx = pc.sort_indices(
             t, sort_keys=[(by, "ascending")] + _sort_keys(cols, descending))
         t = t.take(idx)
