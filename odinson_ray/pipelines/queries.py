@@ -6837,3 +6837,148 @@ _q3._register_batch_s(QUERIES, ORACLES)
 _q3._register_batch_t(QUERIES, ORACLES)
 
 _q3._register_batch_u(QUERIES, ORACLES, _KG_TRIPLES_BODY)
+
+
+# ===================================== triple provenance (audit layer)
+
+def q_kg_provenance(sf_dir: str, k_docs: int = 5):
+    """Provenance for every canonical triple: how many distinct documents
+    support it and the first 5 supporting doc ids — the audit layer a KG
+    construction pipeline ships alongside the graph (reference parity:
+    Odinson mentions carry their docId/sentenceId provenance,
+    core/src/main/scala/ai/lum/odinson/Mention.scala). Shape: doc-granular
+    triples from the unfused mention chain, per-batch distinct
+    (triple, doc) combiner, one count groupby, grouped_topk k=5 +
+    segmented concat for the doc list (the inverted_postings shape — a
+    boilerplate triple's full doc set never lands in one task)."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.canon import canonicalize_dataset
+    from odinson_ray.stages.shuffle import grouped_topk, hash_join
+    from odinson_ray.stages.sketch import _splitmix64
+    from odinson_ray.stages.triples import mentions_to_triples
+
+    from .kg import mentions_dataset
+
+    SEP = "\x1f"
+    PARTS = 256
+
+    mentions = mentions_dataset(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["label"], "SVO")),
+        batch_format="pyarrow")
+    trips, _roots = canonicalize_dataset(
+        mentions.map_batches(mentions_to_triples, batch_format="pyarrow"))
+
+    def keyed_distinct(t: pa.Table) -> pa.Table:
+        tk = pc.binary_join_element_wise(
+            t["subj_canon"], t["pred"], t["obj_canon"], SEP)
+        base = pa.table({"tk": tk, "doc_id": t["doc_id"]})
+        return pa.TableGroupBy(base, ["tk", "doc_id"]).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    td = (trips.map_batches(keyed_distinct, batch_format="pyarrow")
+          .groupby(["tk", "doc_id"]).aggregate(Count(alias_name="_c"))
+          .drop_columns(["_c"])).materialize()
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["tk"]), ["tk"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"tk": g["tk"], "pn": g["count_all"]})
+
+    ndocs = (td.map_batches(cnt_partial, batch_format="pyarrow")
+             .groupby("tk").aggregate(Sum("pn", alias_name="n_docs")))
+
+    top = grouped_topk(td, by="tk", cols=["doc_id"], descending=[False],
+                       k=k_docs)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import zlib
+
+        h = np.array([zlib.crc32(x.encode())
+                      for x in t["tk"].to_pylist()], dtype=np.uint64)
+        p = (_splitmix64(h) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def concat_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        tk = np.asarray(g["tk"].to_pylist(), dtype=object)
+        d = np.asarray(g["doc_id"].to_pylist(), dtype=object)
+        order = np.lexsort((d, tk))
+        tk, d = tk[order], d[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(tk[1:] != tk[:-1]) + 1, [len(tk)]))
+        keys, docs = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            keys.append(tk[s])
+            docs.append(",".join(d[s:e]))
+        return pa.table({"tk": pa.array(keys, pa.string()),
+                         "docs": pa.array(docs, pa.string())})
+
+    posts = (top.map_batches(add_part, batch_format="pyarrow")
+             .groupby("_p").map_groups(concat_partition,
+                                       batch_format="pyarrow"))
+
+    joined = hash_join(
+        ndocs, posts, on="tk",
+        left_schema=pa.schema([("tk", pa.string()), ("n_docs", pa.int64())]),
+        right_schema=pa.schema([("tk", pa.string()), ("docs", pa.string())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["tk"].combine_chunks(), SEP)
+        return pa.table({
+            "subj_canon": pc.list_element(parts, 0),
+            "pred": pc.list_element(parts, 1),
+            "obj_canon": pc.list_element(parts, 2),
+            "n_docs": t["n_docs"],
+            "docs": t["docs"],
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_KG_PROVENANCE = f"""
+WITH toks AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id, doc_id AS did,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+),
+postoks AS (
+  SELECT doc_id, did, tok, p, CAST(((p - 1) % 20) AS INT) AS l
+  FROM toks
+),
+raw AS (
+  SELECT a.doc_id, b.tok AS subj, a.tok AS pred, c.tok AS obj
+  FROM postoks a JOIN postoks b ON b.did = a.did AND b.p = a.p + 1
+                 JOIN postoks c ON c.did = a.did AND c.p = a.p + 2
+  WHERE a.l % 5 = 0
+    AND a.tok IN ('scan', 'join', 'sort', 'merge', 'filter', 'group')
+),
+canon AS (
+  SELECT DISTINCT doc_id,
+         'ent:' || {_CANON_SQL.format(c='subj')} AS subj_canon,
+         pred,
+         'ent:' || {_CANON_SQL.format(c='obj')} AS obj_canon
+  FROM raw
+),
+agg AS (
+  SELECT subj_canon, pred, obj_canon, CAST(count(*) AS BIGINT) AS n_docs
+  FROM canon GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY subj_canon, pred, obj_canon
+                               ORDER BY doc_id) AS rn
+  FROM canon
+),
+posts AS (
+  SELECT subj_canon, pred, obj_canon,
+         string_agg(doc_id, ',' ORDER BY doc_id) AS docs
+  FROM ranked WHERE rn <= 5 GROUP BY 1, 2, 3
+)
+SELECT agg.subj_canon, agg.pred, agg.obj_canon, agg.n_docs, posts.docs
+FROM agg JOIN posts USING (subj_canon, pred, obj_canon)
+"""
+
+QUERIES["kg_provenance"] = q_kg_provenance
+ORACLES["kg_provenance"] = ORACLE_KG_PROVENANCE
