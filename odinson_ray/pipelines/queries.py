@@ -6982,3 +6982,92 @@ FROM agg JOIN posts USING (subj_canon, pred, obj_canon)
 
 QUERIES["kg_provenance"] = q_kg_provenance
 ORACLES["kg_provenance"] = ORACLE_KG_PROVENANCE
+
+
+# ===================================== KWIC concordance (shell highlight)
+
+KWIC_RULES = """
+rules:
+  - name: kwic
+    label: Kwic
+    type: basic
+    pattern: "scan"
+"""
+
+
+def q_odinson_kwic(sf_dir: str):
+    """Keyword-in-context concordance for a pattern's matches — the
+    queryable twin of the shell's highlight output (shell.py renders the
+    same +-2-token window; reference: extra/.../Shell.scala highlights).
+    Matches come from the REAL matcher pipeline; contexts come from one
+    hash join back to the documents table (mentions deliberately do not
+    carry their neighborhood — context attachment is a join, not a wider
+    mention row). The per-match window slice is a small Python pass over
+    join output, bounded by match count, not corpus size."""
+    from odinson_ray.stages.shuffle import hash_join
+
+    rd = _rd()
+
+    m = _mention_rows(sf_dir, KWIC_RULES, "Kwic").map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "sent_id": t["sent_id"],
+                            "start": t["start"]}),
+        batch_format="pyarrow")
+
+    def keyed_docs(t: pa.Table) -> pa.Table:
+        ids = [f"doc-{i:06d}" for i in t["doc_id"].to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "text": t["text"]})
+
+    docs = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(keyed_docs, batch_format="pyarrow"))
+
+    j = hash_join(
+        m, docs, on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.string()),
+                               ("sent_id", pa.int32()),
+                               ("start", pa.int32())]),
+        right_schema=pa.schema([("doc_id", pa.string()),
+                                ("text", pa.string())]))
+
+    def ctx(t: pa.Table) -> pa.Table:
+        sid = t["sent_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        st = t["start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = sid * 20 + st  # 0-based global token position
+        lefts, terms, rights = [], [], []
+        for gi, txt in zip(g, t["text"].to_pylist()):
+            toks = txt.split(" ")
+            lefts.append(" ".join(toks[max(0, gi - 2):gi]))
+            terms.append(toks[gi])
+            rights.append(" ".join(toks[gi + 1:gi + 3]))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "p": pa.array(g + 1, pa.int64()),
+            "left_ctx": pa.array(lefts, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "right_ctx": pa.array(rights, pa.string()),
+        })
+
+    return j.map_batches(ctx, batch_format="pyarrow")
+
+
+ORACLE_ODINSON_KWIC = """
+WITH d AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id,
+         string_split(text, ' ') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS p FROM d
+)
+SELECT doc_id, CAST(p AS BIGINT) AS p,
+       COALESCE(array_to_string(ts[greatest(1, p - 2):p - 1], ' '), '')
+         AS left_ctx,
+       ts[p] AS term,
+       COALESCE(array_to_string(ts[p + 1:least(len(ts), p + 2)], ' '), '')
+         AS right_ctx
+FROM pos WHERE ts[p] = 'scan'
+"""
+
+QUERIES["odinson_kwic"] = q_odinson_kwic
+ORACLES["odinson_kwic"] = ORACLE_ODINSON_KWIC
