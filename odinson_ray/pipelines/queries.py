@@ -7071,3 +7071,5 @@ FROM pos WHERE ts[p] = 'scan'
 
 QUERIES["odinson_kwic"] = q_odinson_kwic
 ORACLES["odinson_kwic"] = ORACLE_ODINSON_KWIC
+
+_q3._register_batch_v(QUERIES, ORACLES, _KG_TRIPLES_BODY)

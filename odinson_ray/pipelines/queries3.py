@@ -1309,3 +1309,59 @@ FROM pairs p JOIN marg ml ON ml.v = p.lo
 def _register_batch_u(queries: dict, oracles: dict, kg_body: str) -> None:
     queries["kg_pmi_edges"] = q_kg_pmi_edges
     oracles["kg_pmi_edges"] = _pmi_oracle(kg_body)
+
+
+# ===================================== KG adjacency store (materialize)
+
+def q_kg_adjacency_topdeg(sf_dir: str, k: int = 10):
+    """The north rule's 'graph materialize' clause end to end: extract
+    triples, write them ONCE as a subj_canon-bucketed parquet adjacency
+    store (stages/layout.bucket_layout_ds — manifest, atomic publish),
+    then compute per-entity out-degree (distinct (pred, obj)) with ZERO
+    runtime shuffle — one task per bucket, keys complete within their
+    bucket — and return the top-10 entities (degree DESC, entity ASC)."""
+    import os
+
+    from odinson_ray.stages.layout import bucket_layout_ds, bucketed_aggregate
+    from odinson_ray.stages.shuffle import global_topk
+
+    from .kg import triples_dataset
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = f"kgadj:{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+    trips = triples_dataset(sf_dir).map_batches(
+        lambda t: t.select(["subj_canon", "pred", "obj_canon"]),
+        batch_format="pyarrow")
+    root = bucket_layout_ds(trips, key="subj_canon", n_buckets=16, tag=tag)
+
+    schema = pa.schema([("subj_canon", pa.string()), ("pred", pa.string()),
+                        ("obj_canon", pa.string())])
+
+    def degree(t: pa.Table) -> pa.Table:
+        d = pa.TableGroupBy(t, ["subj_canon", "pred", "obj_canon"]
+                            ).aggregate([])
+        g = pa.TableGroupBy(d.select(["subj_canon"]),
+                            ["subj_canon"]).aggregate([([], "count_all")])
+        return pa.table({"entity": g["subj_canon"],
+                         "out_degree": g["count_all"]})
+
+    degs = bucketed_aggregate(root, schema, degree)
+    return global_topk(degs, ["out_degree", "entity"], [True, False], k)
+
+
+def _adj_oracle(body: str) -> str:
+    return f"""
+WITH trip AS ({body}),
+d AS (SELECT DISTINCT subj_canon, pred, obj_canon FROM trip),
+deg AS (SELECT subj_canon AS entity, CAST(count(*) AS BIGINT)
+          AS out_degree
+        FROM d GROUP BY subj_canon)
+SELECT entity, out_degree FROM deg
+ORDER BY out_degree DESC, entity ASC LIMIT 10
+"""
+
+
+def _register_batch_v(queries: dict, oracles: dict, kg_body: str) -> None:
+    queries["kg_adjacency_topdeg"] = q_kg_adjacency_topdeg
+    oracles["kg_adjacency_topdeg"] = _adj_oracle(kg_body)

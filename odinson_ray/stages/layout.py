@@ -101,6 +101,70 @@ def bucket_layout(src_parquet: str, key: str, columns,
     return _atomic_publish(tmp, out)
 
 
+def bucket_layout_ds(ds, key: str, n_buckets: int, tag: str) -> str:
+    """bucket_layout for a DATASET source (e.g. the extracted triple
+    stream): same hash(key) % n_buckets partitioned-parquet layout,
+    manifest and atomic publish, but cache identity comes from the
+    caller-supplied ``tag`` (corpus version) instead of a source file's
+    stat — Datasets have no mtime. This is the 'graph materialize' step
+    of the north rule: pay the one shuffle-free partitioned write, then
+    every downstream per-entity aggregate or join runs one task per
+    bucket with zero runtime shuffle."""
+    out = os.path.join(_CACHE_ROOT, hashlib.md5(
+        f"ds:{tag}:{key}:{n_buckets}:v1".encode()).hexdigest()[:16])
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    _require_shared_root()
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".tmp.",
+                           dir=_CACHE_ROOT)
+
+    def tag_batch(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", pa.array(_bucket_ids(t[key], n_buckets), pa.int64()))
+
+    ds.map_batches(tag_batch, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["_bucket"])
+    buckets = {}
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("_bucket="):
+            continue
+        bdir = os.path.join(tmp, d)
+        files = sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+        buckets[d.split("=", 1)[1]] = [f"{d}/{f}" for f in files]
+    with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+        json.dump({"key": key, "n_buckets": n_buckets, "buckets": buckets},
+                  fh)
+    return _atomic_publish(tmp, out)
+
+
+def bucketed_aggregate(root: str, schema: pa.Schema, agg_fn):
+    """Per-bucket aggregate over a bucketed layout with ZERO runtime
+    shuffle: one task per bucket reads exactly that bucket's files and
+    applies ``agg_fn`` (keys are entirely within one bucket, so per-key
+    grouping inside the task is exact and complete)."""
+    import ray
+
+    with open(os.path.join(root, "_meta.json")) as fh:
+        meta = json.load(fh)
+    n = meta["n_buckets"]
+
+    def run_bucket(batch: pa.Table) -> pa.Table:
+        outs = []
+        for b in batch["b"].to_pylist():
+            t = _read_bucket(root, meta, b, schema)
+            if t.num_rows:
+                outs.append(agg_fn(t))
+        if outs:
+            return pa.concat_tables(outs)
+        # empty bucket: an empty table with the AGGREGATE's schema (None
+        # is rejected by map_batches; a zero-column table poisons unions)
+        return agg_fn(schema.empty_table())
+
+    ids = ray.data.from_arrow(pa.table({"b": pa.array(range(n), pa.int64())}))
+    return ids.map_batches(run_bucket, batch_format="pyarrow", batch_size=1)
+
+
 def zonemap_layout(src_parquet: str, ts_col: str, columns,
                    n_shards: int = 16) -> str:
     """Write a table as n_shards parquet files in NATURAL ORDER with a
