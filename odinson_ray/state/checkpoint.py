@@ -29,23 +29,82 @@ class CheckpointManifest:
         self.path = os.path.join(out_dir, "_manifest.jsonl")
         os.makedirs(out_dir, exist_ok=True)
 
-    def completed(self) -> Dict[str, dict]:
-        done: Dict[str, dict] = {}
+    def _records(self) -> List[dict]:
+        recs: List[dict] = []
         if os.path.exists(self.path):
             with open(self.path) as f:
-                for line in f:
+                for i, line in enumerate(f):
                     if line.strip():
                         rec = json.loads(line)
-                        if rec.get("retracted"):
-                            done.pop(rec["shard"], None)
-                        else:
-                            done[rec["shard"]] = rec
+                        rec.setdefault("seq", i)  # legacy manifests
+                        recs.append(rec)
+        return recs
+
+    def completed(self, as_of_seq: Optional[int] = None) -> Dict[str, dict]:
+        """Latest-wins replay; ``as_of_seq`` stops the replay at that
+        manifest sequence number — TIME TRAVEL over the append-only log
+        (every record carries its ``seq``; retired shard outputs are
+        archived, not deleted, so any historical snapshot stays
+        readable)."""
+        done: Dict[str, dict] = {}
+        for rec in self._records():
+            if as_of_seq is not None and rec["seq"] > as_of_seq:
+                break
+            if rec.get("retracted"):
+                done.pop(rec["shard"], None)
+            else:
+                done[rec["shard"]] = rec
         return done
 
-    def record(self, shard: str, **metrics) -> None:
-        rec = {"shard": shard, **metrics}
+    def last_seq(self) -> int:
+        recs = self._records()
+        return recs[-1]["seq"] if recs else -1
+
+    def record(self, shard: str, **metrics) -> int:
+        seq = len(self._records())
+        rec = {"shard": shard, "seq": seq, **metrics}
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        return seq
+
+    def resolve_dirs(self, as_of_seq: Optional[int] = None) -> List[str]:
+        """Shard data directories for the snapshot at ``as_of_seq``
+        (default: latest). A version that is still live resolves to its
+        ``shard=NAME`` directory; a retired version resolves to its
+        archive directory ``_archive/shard=NAME/v<creation seq>``."""
+        snap = self.completed(as_of_seq)
+        latest = self.completed()
+        dirs = []
+        for shard, rec in sorted(snap.items()):
+            live = latest.get(shard)
+            if live is not None and live["seq"] == rec["seq"]:
+                dirs.append(os.path.join(self.out_dir, f"shard={shard}"))
+            else:
+                dirs.append(self.archive_dir(shard, rec["seq"]))
+        return dirs
+
+    def archive_dir(self, shard: str, creation_seq: int) -> str:
+        # SIBLING directory, not a subdirectory: the live out_dir keeps
+        # its original contract (a naive recursive parquet read of it
+        # sees exactly the current snapshot, never historical bytes)
+        return os.path.join(self.out_dir.rstrip("/") + ".archive",
+                            f"shard={shard}", f"v{creation_seq}")
+
+
+def read_snapshot(out_dir: str, as_of_seq: Optional[int] = None):
+    """Dataset over a checkpoint store's snapshot (latest by default,
+    any historical manifest seq otherwise) — the time-travel read a
+    reproducible training-data pipeline needs: the exact bytes a past
+    run trained on stay addressable after appends, updates and deletes."""
+    from ..sources.io import clean_rd
+
+    dirs = CheckpointManifest(out_dir).resolve_dirs(as_of_seq)
+    files = [os.path.join(d, f)
+             for d in dirs for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+    if not files:
+        return None
+    return clean_rd.read_parquet(files)
 
 
 def run_sharded(
@@ -66,11 +125,22 @@ def run_sharded(
     manifest = CheckpointManifest(out_dir)
     done = manifest.completed()
     versions = versions or {}
+    def _retire(shard: str, prev_rec: dict) -> None:
+        # retired versions ARCHIVE (time travel), never delete: the dir
+        # moves under _archive keyed by the version's creation seq
+        src = os.path.join(out_dir, f"shard={shard}")
+        if not os.path.exists(src):
+            return
+        dst = manifest.archive_dir(shard, prev_rec["seq"])
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(src, dst)
+
     if retract_missing:
         live = set(shards)
         for shard in list(done):
             if shard not in live:
-                shutil.rmtree(os.path.join(out_dir, f"shard={shard}"), ignore_errors=True)
+                _retire(shard, done[shard])
                 manifest.record(shard, retracted=True)
                 done.pop(shard)
     for shard in shards:
@@ -83,17 +153,20 @@ def run_sharded(
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
         if os.path.exists(final_dir):
-            # uncommitted leftovers from a crash, or the stale output of a
-            # changed-version shard being updated
-            shutil.rmtree(final_dir)
+            if prev is not None:
+                _retire(shard, prev)  # changed-version update: archive
+            else:
+                # uncommitted leftovers from a crash: never recorded, so
+                # nothing historical to preserve
+                shutil.rmtree(final_dir)
         t0 = time.time()
         metrics = run_shard(shard, tmp_dir) or {}
         os.replace(tmp_dir, final_dir)
         metrics.update({"wall_ms": int((time.time() - t0) * 1000)})
         if ver is not None:
             metrics["version"] = ver
-        manifest.record(shard, **metrics)
-        done[shard] = {"shard": shard, **metrics}
+        seq = manifest.record(shard, **metrics)
+        done[shard] = {"shard": shard, "seq": seq, **metrics}
     return manifest.completed()
 
 

@@ -114,3 +114,52 @@ def test_quantiles_cont_single_value_group(ray_session, tmp_path):
     got = q_value_quantiles_cont(str(tmp_path)).take_all()
     assert got == [{"event_type": "x", "p25": 3.25, "p50": 3.25,
                     "p75": 3.25}]
+
+
+def test_checkpoint_time_travel(ray_session, sf_dir, tmp_path):
+    """Append -> update -> delete, then read THREE snapshots: the latest
+    sees the update and not the deleted shard; the pre-update snapshot
+    reads the ARCHIVED original bytes; the pre-delete snapshot still
+    sees the deleted shard."""
+    from odinson_ray.state.checkpoint import (CheckpointManifest,
+                                              fragment_content_version,
+                                              kg_run_fragments,
+                                              read_snapshot)
+
+    out = str(tmp_path / "kg_tt")
+    v0 = fragment_content_version(sf_dir, 0, 30)
+    kg_run_fragments(sf_dir, out, [("f0", 0, 30, v0), ("f1", 30, 60, "v1")],
+                     concurrency=2)
+    m = CheckpointManifest(out)
+    seq_initial = m.last_seq()
+    rows_initial = read_snapshot(out).count()
+    f0_docs_initial = set(
+        r["doc_id"] for r in read_snapshot(out).take_all()
+        if r["doc_id"] < "doc-000030")
+
+    # UPDATE f0 with a different doc range under a new version tag
+    kg_run_fragments(sf_dir, out, [("f0", 0, 15, "v2"), ("f1", 30, 60, "v1")],
+                     concurrency=2)
+    seq_after_update = m.last_seq()
+
+    # DELETE f1
+    kg_run_fragments(sf_dir, out, [("f0", 0, 15, "v2")], concurrency=2,
+                     retract_missing=True)
+
+    latest = read_snapshot(out)
+    latest_docs = set(r["doc_id"] for r in latest.take_all())
+    assert all(d < "doc-000015" for d in latest_docs)  # update applied,
+    # f1 gone
+
+    # pre-update snapshot: original f0 (0..30) + f1, from the archive
+    snap0 = read_snapshot(out, as_of_seq=seq_initial)
+    assert snap0.count() == rows_initial
+    snap0_f0 = set(r["doc_id"] for r in snap0.take_all()
+                   if r["doc_id"] < "doc-000030")
+    assert snap0_f0 == f0_docs_initial
+
+    # pre-delete snapshot: updated f0 + f1 still present
+    snap1 = read_snapshot(out, as_of_seq=seq_after_update)
+    docs1 = set(r["doc_id"] for r in snap1.take_all())
+    assert any(d >= "doc-000030" for d in docs1)  # f1 rows
+    assert all(d < "doc-000015" or d >= "doc-000030" for d in docs1)
