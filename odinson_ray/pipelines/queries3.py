@@ -164,8 +164,9 @@ def record_high_counts(ds, order: str, value: str, group: str,
         b = t["bkt"].take(o).to_numpy(zero_copy_only=False)
         m = t["m"].take(o).to_numpy(zero_copy_only=False).copy()
         carry = np.empty(len(m), dtype=np.float64)
-        carry[0] = NEG
-        carry[1:] = np.maximum.accumulate(m[:-1])
+        if len(m):
+            carry[0] = NEG
+            carry[1:] = np.maximum.accumulate(m[:-1])
         # sentinel rows: order -inf-like (min int) so they sort first
         return pa.table({
             "bkt": pa.array(b, pa.int64()),

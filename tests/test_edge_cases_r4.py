@@ -163,3 +163,22 @@ def test_checkpoint_time_travel(ray_session, sf_dir, tmp_path):
     docs1 = set(r["doc_id"] for r in snap1.take_all())
     assert any(d >= "doc-000030" for d in docs1)  # f1 rows
     assert all(d < "doc-000015" or d >= "doc-000030" for d in docs1)
+
+
+def test_record_highs_empty_input(ray_session):
+    from odinson_ray.pipelines.queries3 import record_high_counts
+
+    t = pa.table({"o": pa.array([], pa.int64()),
+                  "x": pa.array([], pa.float64()),
+                  "g": pa.array([], pa.string())})
+    assert record_high_counts(_ds(t), "o", "x", "g").take_all() == []
+
+
+def test_session_spans_empty_input(ray_session):
+    from odinson_ray.stages.window import session_spans
+
+    t = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array(np.array([], np.int64), pa.timestamp("us")),
+    })
+    assert session_spans(_ds(t), key="user_id", ts="ts").take_all() == []
