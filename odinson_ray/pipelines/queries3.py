@@ -558,7 +558,15 @@ def q_kg_negative_samples(sf_dir: str):
     the bucket-representative table; slight non-uniformity documented),
     reproducible at any parallelism. Validity = an anti join against the
     positive set keyed on the corrupted triple; the first 2 valid
-    attempts per positive survive via grouped_topk."""
+    attempts per positive survive via grouped_topk.
+
+    On the per-row md5 loop in ``attempts``: md5 is the one hash BOTH
+    sides of the correctness gate can compute (hashlib here, md5() in
+    the DuckDB oracle) — the same trade the fingerprint/doc-split ops
+    make. A production run without the oracle constraint would switch
+    the attempt hash to the vectorized _splitmix64 over integer triple
+    ids (one line; the plan shape — two hash joins + one anti join —
+    is unchanged)."""
     import hashlib
 
     from ray.data.aggregate import Count, Min
