@@ -7073,3 +7073,5 @@ QUERIES["odinson_kwic"] = q_odinson_kwic
 ORACLES["odinson_kwic"] = ORACLE_ODINSON_KWIC
 
 _q3._register_batch_v(QUERIES, ORACLES, _KG_TRIPLES_BODY)
+
+_q3._register_batch_w(QUERIES, ORACLES)

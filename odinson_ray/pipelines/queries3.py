@@ -1374,3 +1374,106 @@ ORDER BY out_degree DESC, entity ASC LIMIT 10
 def _register_batch_v(queries: dict, oracles: dict, kg_body: str) -> None:
     queries["kg_adjacency_topdeg"] = q_kg_adjacency_topdeg
     oracles["kg_adjacency_topdeg"] = _adj_oracle(kg_body)
+
+
+# ===================================== T5-style span corruption
+
+_SC_RATE = 15  # percent of tokens masked
+
+
+def q_span_corruption(sf_dir: str):
+    """Self-supervised span-corruption pair generation (T5/UL2 style):
+    deterministically mask ~15% of tokens, collapse each masked RUN to a
+    sentinel <Xk> in the input, and emit the masked spans prefixed by
+    their sentinels as the target. Pure per-doc map — embarrassingly
+    parallel, zero shuffle; reproducible at any parallelism/retry
+    because the mask is a pure function of (doc_id, position). The
+    per-token md5 is the oracle-shared-hash trade (see
+    q_kg_negative_samples); run/sentinel assembly is numpy over the
+    mask array."""
+    import hashlib
+
+    rd = _rd()
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        dids, inputs, targets = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = txt.split(" ")
+            n = len(toks)
+            msk = np.fromiter(
+                (int(hashlib.md5(f"{did}|{p}".encode()).hexdigest()[:8], 16)
+                 % 100 < _SC_RATE for p in range(1, n + 1)),
+                dtype=bool, count=n)
+            prev = np.concatenate(([False], msk[:-1]))
+            run_start = msk & ~prev
+            sid = np.cumsum(run_start) - 1  # sentinel id at each position
+            inp, tgt = [], []
+            for i in range(n):
+                if run_start[i]:
+                    inp.append(f"<X{sid[i]}>")
+                    tgt.append(f"<X{sid[i]}> {toks[i]}")
+                elif msk[i]:
+                    tgt.append(toks[i])
+                else:
+                    inp.append(toks[i])
+            dids.append(did)
+            inputs.append(" ".join(inp))
+            targets.append(" ".join(tgt))
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "input": pa.array(inputs, pa.string()),
+            "target": pa.array(targets, pa.string()),
+        })
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(corrupt, batch_format="pyarrow"))
+
+
+ORACLE_SPAN_CORRUPTION = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+),
+m AS (
+  SELECT doc_id, tok, p,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                  || CAST(p AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 100 < 15 AS msk
+  FROM toks
+),
+rs AS (
+  SELECT *, msk AND NOT COALESCE(
+      lag(msk) OVER (PARTITION BY doc_id ORDER BY p), FALSE) AS run_start
+  FROM m
+),
+r AS (
+  SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY p
+            ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM rs
+),
+inp AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN NOT msk THEN tok
+                         ELSE '<X' || CAST(sid AS VARCHAR) || '>' END,
+                    ' ' ORDER BY p) AS input
+  FROM r WHERE (NOT msk) OR run_start GROUP BY doc_id
+),
+tgt AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN run_start
+                         THEN '<X' || CAST(sid AS VARCHAR) || '> ' || tok
+                         ELSE tok END,
+                    ' ' ORDER BY p) AS target
+  FROM r WHERE msk GROUP BY doc_id
+)
+SELECT i.doc_id, i.input, COALESCE(t.target, '') AS target
+FROM inp i LEFT JOIN tgt t ON t.doc_id = i.doc_id
+"""
+
+
+def _register_batch_w(queries: dict, oracles: dict) -> None:
+    queries["span_corruption"] = q_span_corruption
+    oracles["span_corruption"] = ORACLE_SPAN_CORRUPTION
