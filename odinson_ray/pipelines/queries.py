@@ -7075,3 +7075,7 @@ ORACLES["odinson_kwic"] = ORACLE_ODINSON_KWIC
 _q3._register_batch_v(QUERIES, ORACLES, _KG_TRIPLES_BODY)
 
 _q3._register_batch_w(QUERIES, ORACLES)
+
+_q3._register_batch_x(QUERIES, ORACLES)
+
+_q3._register_batch_y(QUERIES, ORACLES, _KG_TRIPLES_BODY)

@@ -1477,3 +1477,223 @@ FROM inp i LEFT JOIN tgt t ON t.doc_id = i.doc_id
 def _register_batch_w(queries: dict, oracles: dict) -> None:
     queries["span_corruption"] = q_span_corruption
     oracles["span_corruption"] = ORACLE_SPAN_CORRUPTION
+
+
+# ===================================== distribution drift (PSI)
+
+_PSI_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z
+_PSI_BINS = 10
+_PSI_WIDTH = 50.0  # value range [0, 500)
+
+
+def q_value_drift_psi(sf_dir: str):
+    """Population Stability Index per event_type between the reference
+    period (first half of January) and the current period — the standard
+    training-serving drift monitor. One pass: per-batch (type, period,
+    bin) count combiner -> one groupby -> per-type vectorized PSI with
+    +1 Laplace smoothing (defined even when a bin empties). Bins are
+    FIXED-width over the column's documented range, so no quantile pass
+    and no driver artifact."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        period = pc.if_else(pc.less(us, pa.scalar(_PSI_SPLIT_US)),
+                            pa.scalar("ref"), pa.scalar("cur"))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.clip((v / _PSI_WIDTH).astype(np.int64), 0, _PSI_BINS - 1)
+        base = pa.table({"event_type": t["event_type"], "period": period,
+                         "bin": pa.array(b, pa.int64())})
+        g = pa.TableGroupBy(base, ["event_type", "period", "bin"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(g, ["event_type", "period", "bin"],
+                          ["event_type", "period", "bin", "pn"])
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "period", "bin"])
+        .aggregate(Sum("pn", alias_name="c"))
+    )
+
+    def psi(g: pa.Table) -> pa.Table:
+        per = np.asarray(g["period"].to_pylist(), dtype=object)
+        b = g["bin"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        ref = np.ones(_PSI_BINS, dtype=np.float64)  # +1 smoothing
+        cur = np.ones(_PSI_BINS, dtype=np.float64)
+        ref[b[per == "ref"]] += c[per == "ref"]
+        cur[b[per == "cur"]] += c[per == "cur"]
+        p = ref / ref.sum()
+        q = cur / cur.sum()
+        val = float(np.sum((q - p) * np.log(q / p)))
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()],
+                                   pa.string()),
+            "psi": pa.array([round(val, 6)], pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(psi,
+                                                   batch_format="pyarrow")
+
+
+ORACLE_VALUE_DRIFT_PSI = """
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN 'ref' ELSE 'cur' END AS period,
+         least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin
+  FROM events
+),
+c AS (
+  SELECT event_type, period, bin, count(*) AS c
+  FROM binned GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT DISTINCT b.event_type, p.period, g.bin
+  FROM (SELECT DISTINCT event_type FROM binned) b,
+       (SELECT unnest(['ref', 'cur']) AS period) p,
+       (SELECT unnest(generate_series(0, 9)) AS bin) g
+),
+sm AS (
+  SELECT g.event_type, g.period, g.bin,
+         COALESCE(c.c, 0) + 1.0 AS c
+  FROM grid g LEFT JOIN c
+    ON c.event_type = g.event_type AND c.period = g.period
+   AND c.bin = g.bin
+),
+norm AS (
+  SELECT event_type, period, bin,
+         c / sum(c) OVER (PARTITION BY event_type, period) AS p
+  FROM sm
+)
+SELECT r.event_type,
+       round(sum((q.p - r.p) * ln(q.p / r.p)), 6) AS psi
+FROM norm r JOIN norm q
+  ON q.event_type = r.event_type AND q.bin = r.bin
+WHERE r.period = 'ref' AND q.period = 'cur'
+GROUP BY r.event_type
+"""
+
+
+def _register_batch_x(queries: dict, oracles: dict) -> None:
+    queries["value_drift_psi"] = q_value_drift_psi
+    oracles["value_drift_psi"] = ORACLE_VALUE_DRIFT_PSI
+
+
+# ===================================== KG -> QA instruction pairs
+
+def q_kg_qa_pairs(sf_dir: str):
+    """Instruction-tuning pair synthesis from the graph: one templated
+    question per canonical triple, the true object as the answer, and
+    up to two HARD distractors from the deterministic negative sampler
+    (q_kg_negative_samples) — the KG-to-training-data composition a
+    QA-data pipeline runs after construction. One extra hash join over
+    the negative-sample stream; everything upstream is shared."""
+    from ray.data.aggregate import Count, Min
+
+    from odinson_ray.stages.shuffle import hash_join
+
+    from .kg import triples_dataset
+
+    SEP = "\x1f"
+    str_t = pa.string()
+
+    def to_pos(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"s": t["subj_canon"], "r": t["pred"],
+                      "o": t["obj_canon"]}),
+            ["s", "r", "o"]).aggregate([])
+        return g
+
+    pos = (triples_dataset(sf_dir)
+           .map_batches(to_pos, batch_format="pyarrow")
+           .groupby(["s", "r", "o"]).aggregate(Count(alias_name="_c"))
+           .drop_columns(["_c"]))
+
+    negs = q_kg_negative_samples(sf_dir)
+
+    def neg_wide_partial(t: pa.Table) -> pa.Table:
+        # key the <=2-row-per-triple negative stream; the wide pivot runs
+        # in the (tiny-group-by-construction) groupby below
+        tk = pc.binary_join_element_wise(
+            t["subj_canon"], t["pred"], t["obj_canon"], SEP)
+        return pa.table({"tk": tk, "attempt": t["attempt"],
+                         "neg_obj": t["neg_obj"]})
+
+    keyed = negs.map_batches(neg_wide_partial, batch_format="pyarrow")
+
+    def pivot(g: pa.Table) -> pa.Table:
+        o = pc.sort_indices(g, sort_keys=[("attempt", "ascending")])
+        g = g.take(o)
+        n = g.num_rows
+        d1 = g["neg_obj"][0].as_py() if n >= 1 else ""
+        d2 = g["neg_obj"][1].as_py() if n >= 2 else ""
+        return pa.table({"tk": pa.array([g["tk"][0].as_py()], str_t),
+                         "d1": pa.array([d1], str_t),
+                         "d2": pa.array([d2], str_t)})
+
+    wide = keyed.groupby("tk").map_groups(pivot, batch_format="pyarrow")
+
+    def keyed_pos(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tk": pc.binary_join_element_wise(t["s"], t["r"], t["o"], SEP),
+            "s": t["s"], "r": t["r"], "o": t["o"],
+        })
+
+    joined = hash_join(
+        pos.map_batches(keyed_pos, batch_format="pyarrow"), wide,
+        on="tk", how="left_outer",
+        left_schema=pa.schema([("tk", str_t), ("s", str_t), ("r", str_t),
+                               ("o", str_t)]),
+        right_schema=pa.schema([("tk", str_t), ("d1", str_t),
+                                ("d2", str_t)]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        q = pc.binary_join_element_wise(
+            pa.array(["what does"] * t.num_rows, str_t),
+            t["s"], t["r"], pa.array(["?"] * t.num_rows, str_t), " ")
+        return pa.table({
+            "question": q,
+            "answer": t["o"],
+            "distractor1": pc.fill_null(t["d1"], ""),
+            "distractor2": pc.fill_null(t["d2"], ""),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _qa_oracle(body: str) -> str:
+    neg = _neg_samples_oracle(body).strip()
+    return f"""
+WITH negs AS ({neg}),
+trip AS ({body}),
+pos AS (SELECT DISTINCT subj_canon AS s, pred AS r, obj_canon AS o
+        FROM trip),
+ranked AS (
+  SELECT subj_canon, pred, obj_canon, neg_obj,
+         row_number() OVER (PARTITION BY subj_canon, pred, obj_canon
+                            ORDER BY attempt) AS rn
+  FROM negs
+),
+wide AS (
+  SELECT subj_canon, pred, obj_canon,
+         COALESCE(max(CASE WHEN rn = 1 THEN neg_obj END), '') AS d1,
+         COALESCE(max(CASE WHEN rn = 2 THEN neg_obj END), '') AS d2
+  FROM ranked GROUP BY 1, 2, 3
+)
+SELECT 'what does ' || p.s || ' ' || p.r || ' ?' AS question,
+       p.o AS answer,
+       COALESCE(w.d1, '') AS distractor1,
+       COALESCE(w.d2, '') AS distractor2
+FROM pos p LEFT JOIN wide w
+  ON w.subj_canon = p.s AND w.pred = p.r AND w.obj_canon = p.o
+"""
+
+
+def _register_batch_y(queries: dict, oracles: dict, kg_body: str) -> None:
+    queries["kg_qa_pairs"] = q_kg_qa_pairs
+    oracles["kg_qa_pairs"] = _qa_oracle(kg_body)
