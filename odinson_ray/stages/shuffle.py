@@ -380,15 +380,25 @@ def global_topk(ds, cols, descending, k: int):
     return pruned.sort(cols, descending=descending).limit(k)
 
 
-def grouped_topk(ds, by: str, cols, descending, k: int, schema=None):
+def grouped_topk(ds, by: str, cols, descending, k: int, schema=None,
+                 partitions: int = 512):
     """Per-group top-k with a per-batch combiner: each batch keeps at most
     k rows per key (exact for the same subset reason as global_topk), so
-    the groupby shuffle moves <= k x num_batches rows per key and no hot
-    key can pin a reducer with its full row set."""
+    the shuffle moves <= k x num_batches rows per key and no hot key can
+    pin a reducer with its full row set.
 
-    def prune(t: pa.Table) -> pa.Table:
+    EXECUTION SHAPE (tiny-group rule): the final selection shuffles on
+    ``hash(by) % partitions`` — COARSE partitions, not per-key groups —
+    and every key run in a partition is resolved by ONE sort + the same
+    segmented rank arithmetic as the combiner. The per-key ``map_groups``
+    this replaced paid ~2 ms dispatch per group, which dominates once
+    key counts reach millions (the asof/sessionize lesson)."""
+
+    def _rank_filter(t: pa.Table) -> pa.Table:
         if t.schema.metadata:
             t = t.replace_schema_metadata(None)  # keep schemas hashable
+        if t.num_rows == 0:
+            return t
         idx = pc.sort_indices(
             t, sort_keys=[(by, "ascending")] + _sort_keys(cols, descending))
         t = t.take(idx)
@@ -397,12 +407,27 @@ def grouped_topk(ds, by: str, cols, descending, k: int, schema=None):
         rank = np.arange(len(keys)) - np.repeat(starts, np.diff(np.append(starts, len(keys))))
         return t.filter(pa.array(rank < k))
 
-    def top(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=_sort_keys(cols, descending))
-        return g.take(idx[:k])
+    def add_part(t: pa.Table) -> pa.Table:
+        from .sketch import _splitmix64
 
-    pruned = ds.map_batches(prune, batch_format="pyarrow")
-    return pruned.groupby(by).map_groups(top, batch_format="pyarrow")
+        col = t[by]
+        if pa.types.is_integer(col.type):
+            h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            import zlib
+
+            h = np.array([zlib.crc32(str(x).encode())
+                          for x in col.to_pylist()], dtype=np.uint64)
+        p = (_splitmix64(h) % np.uint64(partitions)).astype(np.int64)
+        return t.append_column("_gtp", pa.array(p, pa.int64()))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        return _rank_filter(g.drop_columns(["_gtp"]))
+
+    pruned = ds.map_batches(_rank_filter, batch_format="pyarrow")
+    return (pruned.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_gtp")
+            .map_groups(resolve, batch_format="pyarrow"))
 
 
 def add_salt(batch: pa.Table, key: str, salt: int) -> pa.Table:
