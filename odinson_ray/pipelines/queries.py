@@ -2827,19 +2827,36 @@ ORACLES["user_event_history"] = ORACLE_USER_EVENT_HISTORY
 
 def q_event_gaps(sf_dir: str):
     """LAG window class: per event, microseconds since the user's
-    previous event ((ts, event_id) order; first event = -1). Per-group
-    vectorized diff under the sessionize skew bound."""
-    rd = _rd()
-    import numpy as np
+    previous event ((ts, event_id) order; first event = -1). Segmented
+    over coarse hash(user) partitions (tiny-group rule): ONE sort per
+    partition, one vectorized diff with a reset mask at user changes —
+    per-user map_groups would pay ~2 ms dispatch per user."""
+    from odinson_ray.stages.sketch import _splitmix64
 
-    def gaps(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+    rd = _rd()
+    PARTS = 512
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(u) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def gaps_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending"),
                                             ("event_id", "ascending")])
         g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64())})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
         ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        gap = np.empty(len(ts), dtype=np.int64)
+        gap = np.empty(n, dtype=np.int64)
         gap[0] = -1
-        gap[1:] = ts[1:] - ts[:-1]
+        gap[1:] = np.where(u[1:] == u[:-1], ts[1:] - ts[:-1], -1)
         return pa.table({
             "event_id": g["event_id"],
             "user_id": g["user_id"],
@@ -2849,8 +2866,10 @@ def q_event_gaps(sf_dir: str):
     return (
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["user_id", "ts", "event_id"])
-        .groupby("user_id")
-        .map_groups(gaps, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda g: gaps_partition(g.drop_columns(["_p"])),
+                    batch_format="pyarrow")
     )
 
 

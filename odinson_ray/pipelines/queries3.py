@@ -259,32 +259,61 @@ GROUP BY event_type
 def q_twap_value(sf_dir: str):
     """Time-weighted average of value per user (each value weighted by
     the duration until the user's next event; the last event carries no
-    weight) — the LEAD window class, per-group vectorized under the
-    sessionize skew bound."""
-    rd = _rd()
+    weight) — the LEAD window class, segmented over coarse hash(user)
+    partitions (tiny-group rule): one sort per partition, per-user
+    num/den via np.add.reduceat, boundary contributions masked to zero.
+    A user whose events all share one instant has zero total weight and
+    is emitted with a NULL twap (DuckDB's 0/0)."""
+    from odinson_ray.stages.sketch import _splitmix64
 
-    def twap(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+    rd = _rd()
+    PARTS = 512
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(u) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def twap_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending"),
                                             ("event_id", "ascending")])
         g = g.take(idx)
+        n = g.num_rows
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "twap": pa.array([], pa.float64())})
+        if n == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
         ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         v = g["value"].to_numpy(zero_copy_only=False)
-        if len(ts) < 2:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "twap": pa.array([], pa.float64())})
-        dt = (ts[1:] - ts[:-1]).astype(np.float64)
-        num = float(np.dot(v[:-1], dt))
-        den = float(dt.sum())
+        same = np.zeros(n, dtype=bool)
+        same[:-1] = u[1:] == u[:-1]  # row i pairs with its successor
+        dt = np.zeros(n, dtype=np.float64)
+        dt[:-1] = (ts[1:] - ts[:-1]).astype(np.float64)
+        dt[~same] = 0.0
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        num = np.add.reduceat(v * dt, starts)
+        den = np.add.reduceat(dt, starts)
+        # users with >= 2 events keep a row; zero total weight -> NULL
+        keep = np.append(starts[1:], n) - starts > 1
+        users = u[starts][keep]
+        num, den = num[keep], den[keep]
+        twap = [round(a / b, 6) if b > 0 else None
+                for a, b in zip(num, den)]
         return pa.table({
-            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-            "twap": pa.array([round(num / den, 6)], pa.float64()),
+            "user_id": pa.array(users, pa.int64()),
+            "twap": pa.array(twap, pa.float64()),
         })
 
     return (
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["user_id", "ts", "event_id", "value"])
-        .groupby("user_id")
-        .map_groups(twap, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda g: twap_partition(g.drop_columns(["_p"])),
+                    batch_format="pyarrow")
     )
 
 
