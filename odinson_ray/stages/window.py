@@ -230,9 +230,14 @@ def running_total(ds, key: str = "user_id", ts: str = "ts",
     that were already co-located. Integer keys use an int64 composite
     join key (key * 2^22 + day-index) instead of a "key|bucket" string:
     the union shuffle sorts 8-byte ints, not strings.
-    """
-    from .shuffle import hash_join
 
+    r4 continuation: BOTH per-group stages went segmented — offsets via
+    coarse hash(key) partitions, and the seeded cumsum via a tagged
+    union (offset rows sort first in their (key, bucket) run) + ONE
+    coarse hash(jk) shuffle + run-reset cumsum. The per-(key,bucket)
+    merge_post join this replaced dispatched one merge call per
+    composite key (~1.5M at 2M rows / 50k keys: 29.5 s -> 5.7 s).
+    """
     key_t = as_arrow_schema(ds.schema()).field(key).type
     int_key = pa.types.is_integer(key_t)
     # day-index < 2^22 covers timestamps to year ~13000; the int
@@ -267,47 +272,142 @@ def running_total(ds, key: str = "user_id", ts: str = "ts",
         from .shuffle import rename_agg
         return rename_agg(g, [key, "_bucket"], [key, "_bucket", "_ps"])
 
-    def offsets(g: pa.Table) -> pa.Table:
+    from .sketch import _splitmix64
+
+    PARTS = 512
+
+    def _jk_part(jk: pa.ChunkedArray) -> pa.Array:
+        if jk_type == pa.int64():
+            h = jk.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            import zlib
+
+            h = np.array([zlib.crc32(x.encode())
+                          for x in jk.to_pylist()], dtype=np.uint64)
+        return pa.array((_splitmix64(h) % np.uint64(PARTS)).astype(np.int64))
+
+    # offsets: per-batch partials -> coarse hash(key) partitions -> one
+    # sort + segmented exclusive prefix per partition (tiny-group rule:
+    # a per-key map_groups here would pay dispatch per key)
+    def part_by_key(t: pa.Table) -> pa.Table:
+        if int_key:
+            h = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            import zlib
+
+            h = np.array([zlib.crc32(str(x).encode())
+                          for x in t[key].to_pylist()], dtype=np.uint64)
+        p = (_splitmix64(h) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def offsets_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        o = pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                          ("_bucket", "ascending")])
+        g = g.take(o)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"_jk": pa.array([], jk_type),
+                             "_offset": pa.array([], pa.float64())})
+        k = g[key].to_numpy(zero_copy_only=False)
         b = g["_bucket"].to_numpy(zero_copy_only=False)
-        s = g["_ps"].to_numpy(zero_copy_only=False)
-        ub, inv = np.unique(b, return_inverse=True)
-        sums = np.zeros(len(ub))
-        np.add.at(sums, inv, s)
-        off = np.concatenate([[0.0], np.cumsum(sums)[:-1]])
-        keys = pa.array([g[key][0].as_py()] * len(ub), type=g.schema.field(key).type)
-        jk = _jk_of(keys, pa.array(ub, pa.int64()))
-        return pa.table({"_jk": jk, "_offset": pa.array(off, pa.float64())})
+        s = g["_ps"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # collapse duplicate (key, bucket) partial rows
+        newkb = np.ones(n, dtype=bool)
+        newkb[1:] = (k[1:] != k[:-1]) | (b[1:] != b[:-1])
+        kb = np.flatnonzero(newkb)
+        sums = np.add.reduceat(s, kb)
+        kk, bb = k[kb], b[kb]
+        # exclusive prefix per key run
+        newk = np.ones(len(kb), dtype=bool)
+        newk[1:] = kk[1:] != kk[:-1]
+        ks = np.flatnonzero(newk)
+        cs = np.cumsum(sums)
+        counts = np.diff(np.append(ks, len(kb)))
+        base = np.repeat(cs[ks] - sums[ks], counts)
+        off = cs - sums - base
+        jk = _jk_of(g[key].take(pa.array(kb, pa.int64())),
+                    pa.array(bb, pa.int64()))
+        return pa.table({"_jk": jk,
+                         "_offset": pa.array(off, pa.float64())})
 
     offs = (
         ds.map_batches(batch_bsums, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(offsets, batch_format="pyarrow")
+        .map_batches(part_by_key, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda g: offsets_partition(g.drop_columns(["_p"])),
+                    batch_format="pyarrow")
     )
 
-    # event path: join each event's bucket offset on the fine-grained
-    # (key, bucket) composite key; the seeded within-bucket cumsum runs in
-    # the join reducer (merge_post) — no task ever holds more than one
-    # bucket of one key, and the joined rows are never re-shuffled.
-    ev = ds.map_batches(add_jk, batch_format="pyarrow").map_batches(
-        lambda t: t.select([order, key, ts, value, "_jk"]), batch_format="pyarrow")
+    # seeded cumsum WITHOUT a per-group join: offset rows union into the
+    # event stream tagged to sort FIRST within their (key, bucket) run,
+    # ONE coarse hash(_jk) shuffle co-locates each run, and a segmented
+    # run-reset cumsum (seeded by the offset row) resolves every run in
+    # a partition from one sort — the merge_post per-(key,bucket) join
+    # this replaced dispatched one task-side call per composite key
+    i8 = pa.int8()
 
-    def seeded(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[(ts, "ascending"), (order, "ascending")])
-        g = g.take(idx)
-        vals = g[value].to_numpy(zero_copy_only=False)
-        off = g["_offset"].to_numpy(zero_copy_only=False)
-        run = np.round(np.cumsum(vals) + off, ndigits)
-        return pa.table({order: g[order], key: g[key],
-                         out: pa.array(run, pa.float64())})
+    def ev_rows(t: pa.Table) -> pa.Table:
+        t = add_jk(t)
+        return pa.table({
+            "_jk": t["_jk"],
+            "_tag": pa.array(np.ones(t.num_rows, dtype=np.int8), i8),
+            order: t[order],
+            key: t[key],
+            ts: pc.cast(t[ts], pa.timestamp("us")),
+            "_x": pc.cast(t[value], pa.float64()),
+        })
 
-    return hash_join(
-        ev, offs, on="_jk",
-        left_schema=pa.schema([(order, pa.int64()), (key, key_t),
-                               (ts, pa.timestamp("us")), (value, pa.float64()),
-                               ("_jk", jk_type)]),
-        right_schema=pa.schema([("_jk", jk_type), ("_offset", pa.float64())]),
-        merge_post=seeded,
-    )
+    def off_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "_jk": t["_jk"],
+            "_tag": pa.array(np.zeros(n, dtype=np.int8), i8),
+            order: pa.nulls(n, pa.int64()),
+            key: pa.nulls(n, key_t),
+            ts: pa.nulls(n, pa.timestamp("us")),
+            "_x": t["_offset"],
+        })
+
+    unioned = (ds.map_batches(ev_rows, batch_format="pyarrow")
+               .union(offs.map_batches(off_rows, batch_format="pyarrow")))
+
+    def add_jkp(t: pa.Table) -> pa.Table:
+        return t.append_column("_p", _jk_part(t["_jk"]))
+
+    def resolve_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        o = pc.sort_indices(g, sort_keys=[("_jk", "ascending"),
+                                          ("_tag", "ascending"),
+                                          (ts, "ascending"),
+                                          (order, "ascending")])
+        g = g.take(o)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({order: pa.array([], pa.int64()),
+                             key: pa.array([], key_t),
+                             out: pa.array([], pa.float64())})
+        jk = g["_jk"].to_numpy(zero_copy_only=False)
+        x = g["_x"].to_numpy(zero_copy_only=False)
+        newr = np.ones(n, dtype=bool)
+        newr[1:] = jk[1:] != jk[:-1]
+        starts = np.flatnonzero(newr)
+        cs = np.cumsum(x)
+        counts = np.diff(np.append(starts, n))
+        base = np.repeat(cs[starts] - x[starts], counts)
+        run = np.round(cs - base, ndigits)
+        ev_mask = g["_tag"].to_numpy(zero_copy_only=False) == 1
+        sel = pa.array(np.flatnonzero(ev_mask), pa.int64())
+        return pa.table({
+            order: g[order].take(sel),
+            key: g[key].take(sel),
+            out: pa.array(run[ev_mask], pa.float64()),
+        })
+
+    return (unioned.map_batches(add_jkp, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(lambda g: resolve_partition(g.drop_columns(["_p"])),
+                        batch_format="pyarrow"))
 
 
 def running_drawdown(ds, key: str = "user_id", ts: str = "ts",
