@@ -429,8 +429,10 @@ def running_drawdown(ds, key: str = "user_id", ts: str = "ts",
     seeded within-bucket cummax runs inside the join reducer
     (``merge_post``), so no task holds more than one bucket of one key.
     Max is associative and idempotent, so per-batch partial maxes merge
-    exactly regardless of how batches split a bucket."""
-    from .shuffle import hash_join, rename_agg
+    exactly regardless of how batches split a bucket. r4 continuation:
+    same tagged-union segmented shape as running_total (no per-group
+    join; carries segmented over coarse key partitions)."""
+    from .shuffle import rename_agg
 
     key_t = as_arrow_schema(ds.schema()).field(key).type
     int_key = pa.types.is_integer(key_t)
@@ -459,47 +461,144 @@ def running_drawdown(ds, key: str = "user_id", ts: str = "ts",
         )
         return rename_agg(g, [key, "_bucket"], [key, "_bucket", "_mx"])
 
-    def carries(g: pa.Table) -> pa.Table:
+    from .sketch import _splitmix64
+
+    PARTS = 512
+
+    def part_by_key(t: pa.Table) -> pa.Table:
+        if int_key:
+            h = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            import zlib
+
+            h = np.array([zlib.crc32(str(x).encode())
+                          for x in t[key].to_pylist()], dtype=np.uint64)
+        p = (_splitmix64(h) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    # carries: coarse hash(key) partitions, segmented exclusive prefix
+    # max per key run (tiny-group rule — a per-key map_groups here paid
+    # dispatch per key)
+    def carries_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        o = pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                          ("_bucket", "ascending")])
+        g = g.take(o)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"_jk": pa.array([], jk_type),
+                             "_carry": pa.array([], pa.float64())})
+        k = g[key].to_numpy(zero_copy_only=False)
         b = g["_bucket"].to_numpy(zero_copy_only=False)
-        m = g["_mx"].to_numpy(zero_copy_only=False)
-        ub, inv = np.unique(b, return_inverse=True)
-        mx = np.full(len(ub), -np.inf)
-        np.maximum.at(mx, inv, m)
-        carry = np.concatenate([[-np.inf], np.maximum.accumulate(mx)[:-1]])
-        keys = pa.array([g[key][0].as_py()] * len(ub),
-                        type=g.schema.field(key).type)
-        jk = _jk_of(keys, pa.array(ub, pa.int64()))
+        m = g["_mx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        newkb = np.ones(n, dtype=bool)
+        newkb[1:] = (k[1:] != k[:-1]) | (b[1:] != b[:-1])
+        kb = np.flatnonzero(newkb)
+        mx = np.maximum.reduceat(m, kb)
+        kk, bb = k[kb], b[kb]
+        newk = np.ones(len(kb), dtype=bool)
+        newk[1:] = kk[1:] != kk[:-1]
+        carry = np.empty(len(kb), dtype=np.float64)
+        # segmented exclusive prefix max: per key run (runs per
+        # partition amortize the slice loop; each slice is numpy C)
+        ks = np.flatnonzero(newk)
+        bounds = np.append(ks, len(kb))
+        for i in range(len(ks)):
+            lo, hi = bounds[i], bounds[i + 1]
+            carry[lo] = -np.inf
+            if hi - lo > 1:
+                carry[lo + 1:hi] = np.maximum.accumulate(mx[lo:hi - 1])
+        jk = _jk_of(g[key].take(pa.array(kb, pa.int64())),
+                    pa.array(bb, pa.int64()))
         return pa.table({"_jk": jk, "_carry": pa.array(carry, pa.float64())})
 
     carry_ds = (
         ds.map_batches(batch_bmax, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(carries, batch_format="pyarrow")
+        .map_batches(part_by_key, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda g: carries_partition(g.drop_columns(["_p"])),
+                    batch_format="pyarrow")
     )
 
-    ev = ds.map_batches(add_jk, batch_format="pyarrow").map_batches(
-        lambda t: t.select([order, key, ts, value, "_jk"]),
-        batch_format="pyarrow")
+    # seeded cummax without a per-group join: carry rows union into the
+    # event stream (tag 0 sorts first in each (key,bucket) run), one
+    # coarse hash(jk) shuffle, per-run cummax seeded by the carry
+    i8 = pa.int8()
 
-    def seeded(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[(ts, "ascending"), (order, "ascending")])
-        g = g.take(idx)
-        vals = g[value].to_numpy(zero_copy_only=False)
-        hwm = np.maximum(np.maximum.accumulate(vals),
-                         g["_carry"][0].as_py())
-        dd = np.round(hwm - vals, ndigits)
-        return pa.table({order: g[order], key: g[key],
-                         out: pa.array(dd, pa.float64())})
+    def ev_rows(t: pa.Table) -> pa.Table:
+        t = add_jk(t)
+        return pa.table({
+            "_jk": t["_jk"],
+            "_tag": pa.array(np.ones(t.num_rows, dtype=np.int8), i8),
+            order: t[order],
+            key: t[key],
+            ts: pc.cast(t[ts], pa.timestamp("us")),
+            "_x": pc.cast(t[value], pa.float64()),
+        })
 
-    return hash_join(
-        ev, carry_ds, on="_jk",
-        left_schema=pa.schema([(order, pa.int64()), (key, key_t),
-                               (ts, pa.timestamp("us")),
-                               (value, pa.float64()), ("_jk", jk_type)]),
-        right_schema=pa.schema([("_jk", jk_type), ("_carry", pa.float64())]),
-        merge_post=seeded,
-    )
+    def carry_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "_jk": t["_jk"],
+            "_tag": pa.array(np.zeros(n, dtype=np.int8), i8),
+            order: pa.nulls(n, pa.int64()),
+            key: pa.nulls(n, key_t),
+            ts: pa.nulls(n, pa.timestamp("us")),
+            "_x": t["_carry"],
+        })
+
+    unioned = (ds.map_batches(ev_rows, batch_format="pyarrow")
+               .union(carry_ds.map_batches(carry_rows,
+                                           batch_format="pyarrow")))
+
+    def _jk_part(jk: pa.ChunkedArray) -> pa.Array:
+        if jk_type == pa.int64():
+            h = jk.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            import zlib
+
+            h = np.array([zlib.crc32(x.encode())
+                          for x in jk.to_pylist()], dtype=np.uint64)
+        return pa.array((_splitmix64(h) % np.uint64(PARTS)).astype(np.int64))
+
+    def add_jkp(t: pa.Table) -> pa.Table:
+        return t.append_column("_p", _jk_part(t["_jk"]))
+
+    def resolve_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        o = pc.sort_indices(g, sort_keys=[("_jk", "ascending"),
+                                          ("_tag", "ascending"),
+                                          (ts, "ascending"),
+                                          (order, "ascending")])
+        g = g.take(o)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({order: pa.array([], pa.int64()),
+                             key: pa.array([], key_t),
+                             out: pa.array([], pa.float64())})
+        jk = g["_jk"].to_numpy(zero_copy_only=False)
+        x = g["_x"].to_numpy(zero_copy_only=False)
+        newr = np.ones(n, dtype=bool)
+        newr[1:] = jk[1:] != jk[:-1]
+        starts = np.flatnonzero(newr)
+        bounds = np.append(starts, n)
+        hwm = np.empty(n, dtype=np.float64)
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            hwm[lo:hi] = np.maximum.accumulate(x[lo:hi])
+        dd = np.round(hwm - x, ndigits)
+        ev_mask = g["_tag"].to_numpy(zero_copy_only=False) == 1
+        sel = pa.array(np.flatnonzero(ev_mask), pa.int64())
+        return pa.table({
+            order: g[order].take(sel),
+            key: g[key].take(sel),
+            out: pa.array(dd[ev_mask], pa.float64()),
+        })
+
+    return (unioned.map_batches(add_jkp, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(lambda g: resolve_partition(g.drop_columns(["_p"])),
+                        batch_format="pyarrow"))
 
 
 def asof_join_latest(events, orders, key: str = "user_id", ts: str = "ts",
