@@ -422,24 +422,33 @@ ORACLE_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: first doc per distinct content hash (hash-partitioned
-    groupby-first; the content hash keeps the shuffle key small)."""
+    """Exact dedup: first doc per distinct content hash. Pure-aggregate
+    decomposition (r4 continuation — the per-fp ``map_groups`` this
+    replaced dispatched ONE TASK PER DISTINCT DOCUMENT, the tiny-group
+    pathology at its worst): a per-batch (fp, min doc, count) combiner,
+    then one groupby with Min/Sum aggregates — no group task ever
+    forms."""
+    from ray.data.aggregate import Min, Sum
+
     rd = _rd()
 
-    def keyed(t: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
-        return pa.Table.from_pydict({"doc_id": t["doc_id"], "fp": pa.array(fps, pa.string())})
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"fp": [g["fp"].iloc[0]], "doc_id": [int(g["doc_id"].min())], "n_copies": [len(g)]}
-        )
+    def keyed_partial(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(x.encode("utf-8")).hexdigest()
+               for x in t["text"].to_pylist()]
+        base = pa.table({"fp": pa.array(fps, pa.string()),
+                         "doc_id": t["doc_id"]})
+        g = pa.TableGroupBy(base, ["fp"]).aggregate(
+            [("doc_id", "min"), ([], "count_all")])
+        return pa.table({"fp": g["fp"], "pd": g["doc_id_min"],
+                         "pn": g["count_all"]})
 
     return (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(keyed, batch_format="pyarrow")
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .map_batches(keyed_partial, batch_format="pyarrow")
         .groupby("fp")
-        .map_groups(first, batch_format="pandas")
+        .aggregate(Min("pd", alias_name="doc_id"),
+                   Sum("pn", alias_name="n_copies"))
     )
 
 
