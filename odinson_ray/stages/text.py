@@ -290,5 +290,11 @@ def tfidf_top_term(sf_dir: str, min_df: int = 1,
     joined = hash_join(tf_ds, df_ds, on="tok", how="inner",
                        left_schema=tf_schema, right_schema=df_schema,
                        merge_post=score_group)
-    partial = joined.map_batches(_pick_top, batch_format="pyarrow")
-    return partial.groupby("doc_id").map_groups(_pick_top, batch_format="pyarrow")
+    # final per-doc argmax via grouped_topk k=1 — segmented coarse
+    # partitions, never one task per document (the map_groups this
+    # replaced dispatched corpus-many tiny groups)
+    from .shuffle import grouped_topk
+
+    return grouped_topk(joined, by="doc_id",
+                        cols=["score", "top_term"],
+                        descending=[True, False], k=1)
