@@ -25,6 +25,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 N_HASHES = 128
 N_BANDS = 32
@@ -145,6 +146,73 @@ def _bucket_pairs(g: pa.Table) -> pa.Table:
                      "b_id": pa.array(ids[ib], pa.int64())})
 
 
+def segmented_band_pairs(bands, parts: int = 512):
+    """Candidate pairs from (band_id, band_hash, doc_id) rows — the
+    coarse-partition segmented form of ``groupby(bucket).map_groups``
+    (tiny-group rule): LSH banding yields one MOSTLY-SINGLETON group per
+    band hash, so per-group dispatch IS the cost at corpus scale. One
+    hash(bucket) shuffle co-locates each bucket; a partition resolves
+    every bucket run from one sort (dup (bucket, doc) rows collapse in
+    the same pass); the per-run triu loop touches only runs with >= 2
+    distinct docs."""
+    import zlib
+
+    from .sketch import _splitmix64
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = np.array([zlib.crc32(x.encode())
+                       for x in t["band_hash"].to_pylist()], dtype=np.uint64)
+        p = (_splitmix64(bid * GOLD + bh) % np.uint64(parts)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def pair_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        o = pc.sort_indices(g, sort_keys=[("band_id", "ascending"),
+                                          ("band_hash", "ascending"),
+                                          ("doc_id", "ascending")])
+        g = g.take(o)
+        n = g.num_rows
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        bid = g["band_id"].to_numpy(zero_copy_only=False)
+        bh = np.asarray(g["band_hash"].to_pylist(), dtype=object)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        newb = np.ones(n, dtype=bool)
+        newb[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (~newb[1:]) & (did[1:] == did[:-1])
+        keep = ~dup
+        did = did[keep]
+        newb = newb[keep]
+        starts = np.flatnonzero(newb)
+        bounds = np.append(starts, len(did))
+        ia_all, ib_all = [], []
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            m = hi - lo
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            ia_all.append(did[lo + ia])
+            ib_all.append(did[lo + ib])
+        if not ia_all:
+            return empty
+        return pa.table({
+            "a_id": pa.array(np.concatenate(ia_all), pa.int64()),
+            "b_id": pa.array(np.concatenate(ib_all), pa.int64()),
+        })
+
+    return (bands.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(lambda g: pair_partition(g.drop_columns(["_p"])),
+                        batch_format="pyarrow"))
+
+
 def jaccard(a: str, b: str, n: int = 3) -> float:
     sa, sb = set(shingles(a, n)), set(shingles(b, n))
     if not sa and not sb:
@@ -176,10 +244,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.9,
     docs_path = f"{sf_dir}/documents.parquet"
     docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
     bands = docs.map_batches(minhash_bands_batch, batch_format="pyarrow")
-    candidates = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
-    )
+    candidates = segmented_band_pairs(bands)
     # distributed candidate dedup (a pair may collide in many bands)
     candidates = (
         candidates.groupby(["a_id", "b_id"]).aggregate(Count(alias_name="_n"))
