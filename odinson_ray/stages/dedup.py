@@ -441,9 +441,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rows = docs.map_batches(simhash_block_rows, batch_format="pyarrow")
-    pairs = rows.groupby(["blk", "sub"]).map_groups(
-        lambda g: _hamming_pairs_group(g, max_hamming), batch_format="pandas"
-    )
+    pairs = segmented_hamming_pairs(rows, max_hamming)
     # a pair may collide in several blocks; Hamming distance is identical in
     # each, so Min is a pure distributed dedup
     return pairs.groupby(["a_id", "b_id"]).aggregate(Min("hamming", alias_name="hamming"))
@@ -613,8 +611,7 @@ def shared_passage_pairs(sf_dir: str, window: int = 8,
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(lambda t: passage_window_rows(t, window), batch_format="pyarrow")
     )
-    pairs = rows.groupby("w").map_groups(
-        lambda g: _window_pairs(g, max_window_docs), batch_format="pyarrow")
+    pairs = segmented_window_pairs(rows, max_window_docs)
     # a pair sharing many windows collides in many buckets: dedup
     return (
         pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
@@ -718,3 +715,146 @@ def prefix_jaccard_pairs(sf_dir: str, threshold: float = 0.7,
     )
     return verify_pairs_exact(candidates, docs, token_jaccard, threshold,
                               broadcast_docs_threshold)
+
+
+# -------------------------------------------- segmented bucket machinery
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64)
+
+
+def segmented_hamming_pairs(rows, max_hamming: int, parts: int = 512):
+    """(blk, sub, doc_id, h) rows -> candidate (a_id, b_id, hamming)
+    pairs with hamming <= max_hamming, segmented (tiny-group rule: a
+    Hamming block bucket is mostly singleton, like an LSH band bucket)."""
+    from .sketch import _splitmix64
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        blk = t["blk"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sub = t["sub"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(blk * GOLD + sub) % np.uint64(parts)).astype(
+            np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def pair_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        o = pc.sort_indices(g, sort_keys=[("blk", "ascending"),
+                                          ("sub", "ascending"),
+                                          ("doc_id", "ascending")])
+        g = g.take(o)
+        n = g.num_rows
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        blk = g["blk"].to_numpy(zero_copy_only=False)
+        sub = g["sub"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        newb = np.ones(n, dtype=bool)
+        newb[1:] = (blk[1:] != blk[:-1]) | (sub[1:] != sub[:-1])
+        starts = np.flatnonzero(newb)
+        bounds = np.append(starts, n)
+        a_all, b_all, d_all = [], [], []
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            m = hi - lo
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            d = _popcount64(h[lo + ia] ^ h[lo + ib])
+            ok = d <= max_hamming
+            if ok.any():
+                a_all.append(did[lo + ia][ok])
+                b_all.append(did[lo + ib][ok])
+                d_all.append(d[ok])
+        if not a_all:
+            return empty
+        return pa.table({
+            "a_id": pa.array(np.concatenate(a_all), pa.int64()),
+            "b_id": pa.array(np.concatenate(b_all), pa.int64()),
+            "hamming": pa.array(np.concatenate(d_all), pa.int64()),
+        })
+
+    return (rows.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(lambda g: pair_partition(g.drop_columns(["_p"])),
+                        batch_format="pyarrow"))
+
+
+def segmented_window_pairs(rows, max_window_docs: int | None,
+                           parts: int = 512):
+    """(w, doc_id) window-fingerprint rows -> doc pairs sharing a window,
+    segmented; hot windows (> max_window_docs distinct docs) drop LOUDLY
+    inside the same pass (VERDICT r03 #3), so a boilerplate window's
+    k^2/2 pair matrix never forms."""
+    import logging
+    import zlib
+
+    from .sketch import _splitmix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = np.array([zlib.crc32(x.encode())
+                      for x in t["w"].to_pylist()], dtype=np.uint64)
+        p = (_splitmix64(h) % np.uint64(parts)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def pair_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        o = pc.sort_indices(g, sort_keys=[("w", "ascending"),
+                                          ("doc_id", "ascending")])
+        g = g.take(o)
+        n = g.num_rows
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        w = np.asarray(g["w"].to_pylist(), dtype=object)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        neww = np.ones(n, dtype=bool)
+        neww[1:] = w[1:] != w[:-1]
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (~neww[1:]) & (did[1:] == did[:-1])
+        keep = ~dup
+        did, w_k, neww = did[keep], w[keep], neww[keep]
+        starts = np.flatnonzero(neww)
+        bounds = np.append(starts, len(did))
+        a_all, b_all = [], []
+        dropped = 0
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            m = hi - lo
+            if m < 2:
+                continue
+            if max_window_docs is not None and m > max_window_docs:
+                dropped += 1
+                logging.getLogger(__name__).warning(
+                    "shared_passage_pairs: dropping hot window %s shared "
+                    "by %d docs (> max_window_docs=%d); these docs pair "
+                    "via their other windows", w_k[lo], m, max_window_docs)
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            a_all.append(did[lo + ia])
+            b_all.append(did[lo + ib])
+        if not a_all:
+            return empty
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(a_all), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_all), pa.int64()),
+        })
+
+    return (rows.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(lambda g: pair_partition(g.drop_columns(["_p"])),
+                        batch_format="pyarrow"))
