@@ -685,31 +685,93 @@ def prefix_jaccard_pairs(sf_dir: str, threshold: float = 0.7,
     with_df = hash_join(dt, dfreq, on="tok",
                         left_schema=dt_schema, right_schema=df_schema)
 
-    def prefix(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("df", "ascending"),
-                                            ("tok", "ascending")])
-        n = int(g["n"][0].as_py())
-        alpha = int(np.ceil(threshold * n - 1e-9))
-        p = max(n - alpha + 1, 1)
-        g = g.take(idx[:p])
-        return g.select(["tok", "doc_id", "n"])
+    # both group stages run segmented over coarse hash partitions (the
+    # tiny-group rule: one task per DOCUMENT / per TOKEN otherwise)
+    from .sketch import _splitmix64
 
-    pref = with_df.groupby("doc_id").map_groups(prefix, batch_format="pyarrow")
+    PARTS = 512
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
+    def part_by_doc(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(d) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def prefix_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        o = pc.sort_indices(g, sort_keys=[("doc_id", "ascending"),
+                                          ("df", "ascending"),
+                                          ("tok", "ascending")])
+        g = g.take(o)
+        nrow = g.num_rows
+        if nrow == 0:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        nn = g["n"].to_numpy(zero_copy_only=False)
+        newd = np.ones(nrow, dtype=bool)
+        newd[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(newd)
+        rank = np.arange(nrow) - np.repeat(
+            starts, np.diff(np.append(starts, nrow)))
+        alpha = np.ceil(threshold * nn - 1e-9).astype(np.int64)
+        plen = np.maximum(nn - alpha + 1, 1)
+        keep = rank < plen
+        return g.filter(pa.array(keep)).select(["tok", "doc_id", "n"])
+
+    pref = (with_df.map_batches(part_by_doc, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(lambda g: prefix_partition(g.drop_columns(["_p"])),
+                        batch_format="pyarrow"))
+
+    def part_by_tok(t: pa.Table) -> pa.Table:
+        import zlib
+
+        h = np.array([zlib.crc32(x.encode())
+                      for x in t["tok"].to_pylist()], dtype=np.uint64)
+        p = (_splitmix64(h) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def pairs_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        o = pc.sort_indices(g, sort_keys=[("tok", "ascending"),
+                                          ("doc_id", "ascending")])
+        g = g.take(o)
+        nrow = g.num_rows
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if nrow == 0:
+            return empty
+        tk = np.asarray(g["tok"].to_pylist(), dtype=object)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
         ns = g["n"].to_numpy(zero_copy_only=False)
-        o = np.argsort(ids)
-        ids, ns = ids[o], ns[o]
-        iu, ju = np.triu_indices(len(ids), k=1)
-        lo = np.minimum(ns[iu], ns[ju]).astype(np.float64)
-        hi = np.maximum(ns[iu], ns[ju]).astype(np.float64)
-        keep = threshold * hi <= lo  # length filter
-        return pa.table({"a_id": pa.array(ids[iu][keep], pa.int64()),
-                         "b_id": pa.array(ids[ju][keep], pa.int64())})
+        newt = np.ones(nrow, dtype=bool)
+        newt[1:] = tk[1:] != tk[:-1]
+        starts = np.flatnonzero(newt)
+        bounds = np.append(starts, nrow)
+        a_all, b_all = [], []
+        for i in range(len(starts)):
+            s_, e_ = bounds[i], bounds[i + 1]
+            m = e_ - s_
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            lo = np.minimum(ns[s_ + iu], ns[s_ + ju]).astype(np.float64)
+            hi = np.maximum(ns[s_ + iu], ns[s_ + ju]).astype(np.float64)
+            keep = threshold * hi <= lo  # length filter
+            if keep.any():
+                a_all.append(ids[s_ + iu][keep])
+                b_all.append(ids[s_ + ju][keep])
+        if not a_all:
+            return empty
+        return pa.table({"a_id": pa.array(np.concatenate(a_all), pa.int64()),
+                         "b_id": pa.array(np.concatenate(b_all), pa.int64())})
 
     candidates = (
-        pref.groupby("tok").map_groups(bucket_pairs, batch_format="pyarrow")
+        pref.map_batches(part_by_tok, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda g: pairs_partition(g.drop_columns(["_p"])),
+                    batch_format="pyarrow")
         .groupby(["a_id", "b_id"]).aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
