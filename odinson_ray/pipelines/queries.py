@@ -7107,3 +7107,5 @@ _q3._register_batch_w(QUERIES, ORACLES)
 _q3._register_batch_x(QUERIES, ORACLES)
 
 _q3._register_batch_y(QUERIES, ORACLES, _KG_TRIPLES_BODY)
+
+_q3._register_batch_z(QUERIES, ORACLES)

@@ -1726,3 +1726,72 @@ FROM pos p LEFT JOIN wide w
 def _register_batch_y(queries: dict, oracles: dict, kg_body: str) -> None:
     queries["kg_qa_pairs"] = q_kg_qa_pairs
     oracles["kg_qa_pairs"] = _qa_oracle(kg_body)
+
+
+# ===================================== fill-in-the-middle (FIM)
+
+def q_fim_transform(sf_dir: str):
+    """Fill-in-the-middle training transform (PSM format): two
+    deterministic cut points split each doc into prefix/middle/suffix,
+    emitted as '<PRE> prefix <SUF> suffix <MID> middle' — the code-LM
+    data prep that teaches infilling. Pure per-doc map, zero shuffle,
+    cut points a pure function of doc_id (retry/parallelism-invariant;
+    md5 is the oracle-shared hash)."""
+    import hashlib
+
+    rd = _rd()
+
+    def fim(t: pa.Table) -> pa.Table:
+        dids, outs = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = txt.split(" ")
+            n = len(toks)
+            h1 = int(hashlib.md5(f"{did}|c1".encode()).hexdigest()[:8],
+                     16) % (n + 1)
+            h2 = int(hashlib.md5(f"{did}|c2".encode()).hexdigest()[:8],
+                     16) % (n + 1)
+            lo, hi = min(h1, h2), max(h1, h2)
+            pre = " ".join(toks[:lo])
+            mid = " ".join(toks[lo:hi])
+            suf = " ".join(toks[hi:])
+            dids.append(did)
+            outs.append(f"<PRE> {pre} <SUF> {suf} <MID> {mid}")
+        return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                         "fim": pa.array(outs, pa.string())})
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(fim, batch_format="pyarrow"))
+
+
+ORACLE_FIM_TRANSFORM = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+cuts AS (
+  SELECT doc_id, ts, n,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|c1'), 1, 8))
+              AS UBIGINT) % (n + 1) AS h1,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|c2'), 1, 8))
+              AS UBIGINT) % (n + 1) AS h2
+  FROM d
+),
+seg AS (
+  SELECT doc_id, ts, n,
+         least(h1, h2) AS lo, greatest(h1, h2) AS hi
+  FROM cuts
+)
+SELECT doc_id,
+       '<PRE> ' || COALESCE(array_to_string(ts[1:lo], ' '), '')
+       || ' <SUF> ' || COALESCE(array_to_string(ts[hi + 1:n], ' '), '')
+       || ' <MID> ' || COALESCE(array_to_string(ts[lo + 1:hi], ' '), '')
+         AS fim
+FROM seg
+"""
+
+
+def _register_batch_z(queries: dict, oracles: dict) -> None:
+    queries["fim_transform"] = q_fim_transform
+    oracles["fim_transform"] = ORACLE_FIM_TRANSFORM
