@@ -6866,6 +6866,10 @@ _q3._register_batch_t(QUERIES, ORACLES)
 
 _q3._register_batch_u(QUERIES, ORACLES, _KG_TRIPLES_BODY)
 
+from . import queries4 as _q4  # noqa: E402
+
+_q4.register(QUERIES, ORACLES)
+
 
 # ===================================== triple provenance (audit layer)
 
