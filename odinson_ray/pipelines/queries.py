@@ -6868,7 +6868,7 @@ _q3._register_batch_u(QUERIES, ORACLES, _KG_TRIPLES_BODY)
 
 from . import queries4 as _q4  # noqa: E402
 
-_q4.register(QUERIES, ORACLES)
+_q4.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
 
 
 # ===================================== triple provenance (audit layer)

@@ -341,10 +341,385 @@ ORDER BY rev_cents DESC, o_orderkey LIMIT 10
 """
 
 
-def register(QUERIES: dict, ORACLES: dict) -> None:
+# ===================================== HITS link analysis
+
+def q_kg_hits(sf_dir: str, iters: int = 2):
+    """HITS hubs & authorities over the DIRECTED canonical triple graph
+    (subj → obj), ``iters`` synchronized iterations with L1
+    normalization: auth(v) = Σ hub(u) over in-edges, hub(v) = Σ auth(w)
+    over out-edges, each vector divided by its sum. Same execution
+    discipline as q_pagerank_entities: edges/scores stay Datasets, each
+    propagation is one hash_join + a map-side-combined groupby; the only
+    driver values are the normalization scalars (one float per step).
+    Scores rounded to 6dp (normalized ratios of double sums — the gnn/
+    pagerank comparison idiom)."""
+    from ray.data.aggregate import Count, Sum
+
+    from odinson_ray.stages.shuffle import hash_join
+
+    from .kg import triples_dataset
+
+    str_t, f64 = pa.string(), pa.float64()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        e = pa.table({"s": t["subj_canon"], "o": t["obj_canon"]})
+        e = e.filter(pc.not_equal(e["s"], e["o"]))
+        return pa.TableGroupBy(e, ["s", "o"]).aggregate([])
+
+    edges = (triples_dataset(sf_dir)
+             .map_batches(to_edges, batch_format="pyarrow")
+             .groupby(["s", "o"]).aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"])).materialize()  # consumed 2x/iter
+    e_schema = pa.schema([("s", str_t), ("o", str_t)])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays([t["s"].combine_chunks(),
+                              t["o"].combine_chunks()])
+        return pa.TableGroupBy(pa.table({"v": v}), ["v"]).aggregate([])
+
+    nodes = (edges.map_batches(endpoints, batch_format="pyarrow")
+             .groupby("v").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"])).materialize()
+    x_schema = pa.schema([("v", str_t), ("x", f64)])
+
+    def normalize(raw):
+        raw = raw.materialize()
+        total = raw.sum("x")  # driver scalar: the L1 norm
+        full = hash_join(nodes, raw, on="v", how="left_outer",
+                         left_schema=pa.schema([("v", str_t)]),
+                         right_schema=x_schema, right_suffix="_r")
+        return full.map_batches(
+            lambda t, tot=total: pa.table({
+                "v": t["v"],
+                "x": pc.divide(pc.fill_null(t["x"], 0.0),
+                               pa.scalar(float(tot)))}),
+            batch_format="pyarrow").materialize()
+
+    def propagate(feature, join_on, group_to):
+        # Σ feature over neighbors: edge ⋈ feature on one endpoint,
+        # combiner-sum keyed by the other
+        j = hash_join(edges, feature, on=join_on, right_on="v",
+                      left_schema=e_schema, right_schema=x_schema)
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(pa.table({"v": t[group_to], "x": t["x"]}),
+                                ["v"]).aggregate([("x", "sum")])
+            return rename_agg(g, ["v"], ["v", "px"])
+
+        return (j.map_batches(partial, batch_format="pyarrow")
+                .groupby("v").aggregate(Sum("px", alias_name="x")))
+
+    hub = nodes.map_batches(
+        lambda t: t.append_column("x", pa.array([1.0] * t.num_rows, f64)),
+        batch_format="pyarrow")
+    auth = None
+    for _ in range(iters):
+        auth = normalize(propagate(hub, join_on="s", group_to="o"))
+        hub = normalize(propagate(auth, join_on="o", group_to="s"))
+
+    out = hash_join(auth, hub, on="v",
+                    left_schema=x_schema, right_schema=x_schema)
+    return out.map_batches(
+        lambda t: pa.table({"entity": t["v"],
+                            "auth": pc.round(t["x"], 6),
+                            "hub": pc.round(t["x_r"], 6)}),
+        batch_format="pyarrow")
+
+
+def _hits_oracle(body: str) -> str:
+    return f"""
+WITH trip AS ({body}),
+e AS (SELECT DISTINCT subj_canon AS s, obj_canon AS o FROM trip
+      WHERE subj_canon != obj_canon),
+v AS (SELECT s AS v FROM e UNION SELECT o FROM e),
+a1r AS (SELECT o AS v, CAST(count(*) AS DOUBLE) AS x FROM e GROUP BY o),
+a1 AS (SELECT v.v, coalesce(a1r.x, 0) / (SELECT sum(x) FROM a1r) AS x
+       FROM v LEFT JOIN a1r USING (v)),
+h1r AS (SELECT e.s AS v, sum(a1.x) AS x FROM e JOIN a1 ON a1.v = e.o
+        GROUP BY e.s),
+h1 AS (SELECT v.v, coalesce(h1r.x, 0) / (SELECT sum(x) FROM h1r) AS x
+       FROM v LEFT JOIN h1r USING (v)),
+a2r AS (SELECT e.o AS v, sum(h1.x) AS x FROM e JOIN h1 ON h1.v = e.s
+        GROUP BY e.o),
+a2 AS (SELECT v.v, coalesce(a2r.x, 0) / (SELECT sum(x) FROM a2r) AS x
+       FROM v LEFT JOIN a2r USING (v)),
+h2r AS (SELECT e.s AS v, sum(a2.x) AS x FROM e JOIN a2 ON a2.v = e.o
+        GROUP BY e.s),
+h2 AS (SELECT v.v, coalesce(h2r.x, 0) / (SELECT sum(x) FROM h2r) AS x
+       FROM v LEFT JOIN h2r USING (v))
+SELECT a2.v AS entity, round(a2.x, 6) AS auth, round(h2.x, 6) AS hub
+FROM a2 JOIN h2 ON h2.v = a2.v
+"""
+
+
+# ===================================== DeepWalk-style random walks
+
+def q_kg_random_walks(sf_dir: str, steps: int = 3):
+    """One deterministic random walk of length ``steps`` from every
+    entity of the (undirected) canonical KG — the DeepWalk/node2vec
+    corpus-generation step that feeds graph-embedding training. The
+    "random" choice at (cur, step) is argmin over neighbors of
+    md5(cur|step|neighbor): reproducible at any parallelism/retry AND
+    reproducible by the SQL oracle (the repo's md5-shared-with-oracle
+    trade, as in kg_negative_samples — md5 is per-row Python here;
+    corpus-scale walks would swap a vectorized splitmix on dictionary
+    codes and drop the SQL oracle). Each step is one hash_join
+    (frontier ⋈ adjacency) + a grouped_topk(k=1) argmin — no per-key
+    task, no driver state."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    from odinson_ray.stages.shuffle import grouped_topk, hash_join
+
+    from .queries2 import _kg_edges
+
+    str_t = pa.string()
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.concat_arrays([t["lo"].combine_chunks(),
+                                   t["hi"].combine_chunks()]),
+            "b": pa.concat_arrays([t["hi"].combine_chunks(),
+                                   t["lo"].combine_chunks()]),
+        })
+
+    adj = _kg_edges(sf_dir).map_batches(
+        both, batch_format="pyarrow").materialize()  # consumed per step
+    adj_schema = pa.schema([("a", str_t), ("b", str_t)])
+
+    def verts(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(pa.table({"start": t["a"]}),
+                               ["start"]).aggregate([])
+
+    frontier = (adj.map_batches(verts, batch_format="pyarrow")
+                .groupby("start").aggregate(Count(alias_name="_c"))
+                .drop_columns(["_c"]))
+    frontier = frontier.map_batches(
+        lambda t: t.append_column("cur", t["start"]),
+        batch_format="pyarrow")
+    walk_cols: list[str] = []
+
+    for step in range(1, steps + 1):
+        f_schema = pa.schema([("start", str_t)]
+                             + [(c, str_t) for c in walk_cols]
+                             + [("cur", str_t)])
+        cand = hash_join(frontier, adj, on="cur", right_on="a",
+                         left_schema=f_schema, right_schema=adj_schema)
+
+        def score(t: pa.Table, s=step) -> pa.Table:
+            cur = t["cur"].to_pylist()
+            nbr = t["b"].to_pylist()
+            key = [hashlib.md5(f"{c}|{s}|{n}".encode()).hexdigest()
+                   for c, n in zip(cur, nbr)]
+            return t.append_column("_k", pa.array(key, str_t))
+
+        picked = grouped_topk(cand.map_batches(score,
+                                               batch_format="pyarrow"),
+                              by="start", cols=["_k", "b"],
+                              descending=[False, False], k=1)
+        col = f"v{step}"
+        walk_cols.append(col)
+
+        def advance(t: pa.Table, col=col, keep=list(walk_cols[:-1])) \
+                -> pa.Table:
+            cols = {"start": t["start"]}
+            for c in keep:
+                cols[c] = t[c]
+            cols[col] = t["b"]
+            cols["cur"] = t["b"]
+            return pa.table(cols)
+
+        frontier = picked.map_batches(advance, batch_format="pyarrow")
+
+    return frontier.map_batches(
+        lambda t: t.drop_columns(["cur"]), batch_format="pyarrow")
+
+
+def _walks_oracle(body: str) -> str:
+    return f"""
+WITH trip AS ({body}),
+e0 AS (SELECT DISTINCT least(subj_canon, obj_canon) AS lo,
+              greatest(subj_canon, obj_canon) AS hi
+       FROM trip WHERE subj_canon != obj_canon),
+adj AS (SELECT lo AS a, hi AS b FROM e0 UNION ALL SELECT hi, lo FROM e0),
+v AS (SELECT DISTINCT a AS v FROM adj),
+s1 AS (SELECT v.v AS start, adj.b,
+       row_number() OVER (PARTITION BY v.v
+         ORDER BY md5(adj.a || '|1|' || adj.b), adj.b) AS rn
+       FROM v JOIN adj ON adj.a = v.v),
+w1 AS (SELECT start, b AS v1 FROM s1 WHERE rn = 1),
+s2 AS (SELECT w1.start, w1.v1, adj.b,
+       row_number() OVER (PARTITION BY w1.start
+         ORDER BY md5(adj.a || '|2|' || adj.b), adj.b) AS rn
+       FROM w1 JOIN adj ON adj.a = w1.v1),
+w2 AS (SELECT start, v1, b AS v2 FROM s2 WHERE rn = 1),
+s3 AS (SELECT w2.start, w2.v1, w2.v2, adj.b,
+       row_number() OVER (PARTITION BY w2.start
+         ORDER BY md5(adj.a || '|3|' || adj.b), adj.b) AS rn
+       FROM w2 JOIN adj ON adj.a = w2.v2)
+SELECT start, v1, v2, b AS v3 FROM s3 WHERE rn = 1
+"""
+
+
+# ===================================== word2vec skip-gram pairs
+
+def q_skipgram_pairs(sf_dir: str, window: int = 2, k: int = 50):
+    """Skip-gram (center, context) pair counts with |offset| ≤ window,
+    top-k by count — the word2vec/GloVe co-occurrence extraction pass.
+    Fully vectorized: each batch splits to a flat token array + doc run
+    index, pairs at each offset are two aligned slices (no per-token
+    loop), counts combine per batch before ONE global groupby, and the
+    top-k is the pruned global_topk. The shuffle carries distinct
+    (center, context) partials, never positional pairs."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import global_topk
+
+    rd = _rd()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = toks.values
+        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        n = len(doc_idx)
+        centers, contexts = [], []
+        for d in range(1, window + 1):
+            if n <= d:
+                continue
+            same = doc_idx[:-d] == doc_idx[d:]
+            idx = np.flatnonzero(same)
+            lo = flat.take(pa.array(idx))
+            hi = flat.take(pa.array(idx + d))
+            centers.extend([lo, hi])
+            contexts.extend([hi, lo])
+        if not centers:
+            return pa.table({"center": pa.array([], pa.string()),
+                             "context": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64())})
+        tab = pa.table({
+            "center": pa.concat_arrays([a.combine_chunks()
+                                        if isinstance(a, pa.ChunkedArray)
+                                        else a for a in centers]),
+            "context": pa.concat_arrays([a.combine_chunks()
+                                         if isinstance(a, pa.ChunkedArray)
+                                         else a for a in contexts]),
+        })
+        g = pa.TableGroupBy(tab, ["center", "context"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(g, ["center", "context"],
+                          ["center", "context", "pn"])
+
+    counts = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["text"])
+              .map_batches(pair_partial, batch_format="pyarrow")
+              .groupby(["center", "context"])
+              .aggregate(Sum("pn", alias_name="n")))
+    return global_topk(counts, ["n", "center", "context"],
+                       [True, False, False], k)
+
+
+ORACLE_SKIPGRAM_PAIRS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+)
+SELECT a.tok AS center, b.tok AS context, CAST(count(*) AS BIGINT) AS n
+FROM tok a JOIN tok b
+  ON a.doc_id = b.doc_id AND b.p != a.p AND abs(b.p - a.p) <= 2
+GROUP BY a.tok, b.tok
+ORDER BY n DESC, center, context LIMIT 50
+"""
+
+
+# ===================================== equi-depth histogram
+
+def q_equidepth_histogram(sf_dir: str, buckets: int = 8):
+    """Equi-depth histogram of events.value: boundaries are exact
+    quantile_disc order statistics from the distinct-value histogram
+    (the value_quantiles machinery — the shuffle carries distinct
+    (value, count) rows, never raw rows), then a second vectorized pass
+    buckets every row against the 7 broadcast boundary floats. The
+    equal-WIDTH twin is value_histogram; equi-depth is what query
+    optimizers and drift monitors actually store."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    src = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["value"]), ["value"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(g, ["value"], ["value", "pn"])
+
+    hist = (src.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("value").aggregate(Sum("pn", alias_name="c")))
+
+    def boundaries(g: pa.Table) -> pa.Table:
+        o = pc.sort_indices(g["value"])
+        v = g["value"].take(o).to_numpy(zero_copy_only=False)
+        c = np.cumsum(g["c"].take(o).to_numpy(zero_copy_only=False))
+        n = int(c[-1])
+        qs = [float(v[np.searchsorted(c, max(1, math.ceil(q * n)))])
+              for q in (i / buckets for i in range(1, buckets))]
+        return pa.table({"q": pa.array(qs, pa.float64())})
+
+    const = hist.map_batches(
+        lambda t: t.append_column("_g", pa.array(
+            np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    bounds = (const.groupby("_g")
+              .map_groups(lambda t: boundaries(t.drop_columns(["_g"])),
+                          batch_format="pyarrow"))
+    qs = sorted(r["q"] for r in bounds.take_all())  # buckets-1 floats
+    q_arr = np.array(qs, dtype=np.float64)
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        # searchsorted-left = count of boundaries strictly below v,
+        # exactly SQL's Σ CAST(value > q_j AS INT) (ties → lower bucket)
+        b = np.searchsorted(q_arr, v, side="left")
+        g = pa.TableGroupBy(pa.table({"bucket": pa.array(b, pa.int64())}),
+                            ["bucket"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["bucket"], ["bucket", "pn"])
+
+    return (src.map_batches(bucket_partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("pn", alias_name="n")))
+
+
+ORACLE_EQUIDEPTH_HISTOGRAM = """
+WITH q AS (
+  SELECT quantile_disc(value, 0.125) AS q1, quantile_disc(value, 0.25) AS q2,
+         quantile_disc(value, 0.375) AS q3, quantile_disc(value, 0.5) AS q4,
+         quantile_disc(value, 0.625) AS q5, quantile_disc(value, 0.75) AS q6,
+         quantile_disc(value, 0.875) AS q7
+  FROM events
+)
+SELECT CAST(value > q1 AS INT) + CAST(value > q2 AS INT)
+     + CAST(value > q3 AS INT) + CAST(value > q4 AS INT)
+     + CAST(value > q5 AS INT) + CAST(value > q6 AS INT)
+     + CAST(value > q7 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events, q GROUP BY bucket
+"""
+
+
+def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
     QUERIES["merge_upsert"] = q_merge_upsert
     ORACLES["merge_upsert"] = ORACLE_MERGE_UPSERT
     QUERIES["scd2_intervals"] = q_scd2_intervals
     ORACLES["scd2_intervals"] = ORACLE_SCD2_INTERVALS
     QUERIES["tpch_q3"] = q_tpch_q3
     ORACLES["tpch_q3"] = ORACLE_TPCH_Q3
+    QUERIES["kg_hits"] = q_kg_hits
+    ORACLES["kg_hits"] = _hits_oracle(kg_body)
+    QUERIES["kg_random_walks"] = q_kg_random_walks
+    ORACLES["kg_random_walks"] = _walks_oracle(kg_body)
+    QUERIES["skipgram_pairs"] = q_skipgram_pairs
+    ORACLES["skipgram_pairs"] = ORACLE_SKIPGRAM_PAIRS
+    QUERIES["equidepth_histogram"] = q_equidepth_histogram
+    ORACLES["equidepth_histogram"] = ORACLE_EQUIDEPTH_HISTOGRAM
