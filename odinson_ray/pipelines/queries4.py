@@ -708,6 +708,65 @@ FROM events, q GROUP BY bucket
 """
 
 
+# ===================================== z-order clustered 2-D skipping
+
+def q_zorder_range_agg(sf_dir: str):
+    """Rectangle-predicate aggregate (customer-key range x order-date
+    range) over a Z-ORDER-clustered layout of orders: the scan opens
+    only the files whose 2-D zone box intersects the predicate (a 1-D
+    sort can skip on one dimension only; the Morton curve skips on
+    both), then applies the exact residual filter and a map-side-
+    combined count/sum. Build pays one distributed sort, amortized
+    across every later rectangle scan — the OPTIMIZE ZORDER pattern."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.layout import zorder_layout, zorder_scan
+
+    X_LO, X_HI = 100, 400
+    Y_LO = np.datetime64("1995-01-01T00:00:00", "us").astype(np.int64)
+    Y_HI = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+
+    root = zorder_layout(
+        f"{sf_dir}/orders.parquet", "o_custkey", "o_orderdate",
+        ["o_custkey", "o_orderdate", "o_totalprice"], n_shards=32)
+    ds, n_read, n_total = zorder_scan(root, X_LO, X_HI, int(Y_LO),
+                                      int(Y_HI))
+    if ds is None:
+        return pa.table({"n": pa.array([0], pa.int64()),
+                         "cents": pa.array([0], pa.int64())})
+
+    def residual(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        d = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ck >= X_LO) & (ck < X_HI) & (d >= Y_LO) & (d < Y_HI)
+        t = t.filter(pa.array(keep))
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64())
+        return pa.table({
+            "_g": pa.array([0] * 1, pa.int64()),
+            "pn": pa.array([t.num_rows], pa.int64()),
+            "pc_": pa.array([int(pc.sum(cents).as_py() or 0)], pa.int64()),
+        })
+
+    agg = (ds.map_batches(residual, batch_format="pyarrow")
+           .groupby("_g").aggregate(Sum("pn", alias_name="n"),
+                                    Sum("pc_", alias_name="cents")))
+    return agg.map_batches(lambda t: t.drop_columns(["_g"]),
+                           batch_format="pyarrow")
+
+
+ORACLE_ZORDER_RANGE_AGG = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+WHERE o_custkey >= 100 AND o_custkey < 400
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+"""
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
     QUERIES["merge_upsert"] = q_merge_upsert
     ORACLES["merge_upsert"] = ORACLE_MERGE_UPSERT
@@ -723,3 +782,5 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
     ORACLES["skipgram_pairs"] = ORACLE_SKIPGRAM_PAIRS
     QUERIES["equidepth_histogram"] = q_equidepth_histogram
     ORACLES["equidepth_histogram"] = ORACLE_EQUIDEPTH_HISTOGRAM
+    QUERIES["zorder_range_agg"] = q_zorder_range_agg
+    ORACLES["zorder_range_agg"] = ORACLE_ZORDER_RANGE_AGG

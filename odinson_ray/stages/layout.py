@@ -288,3 +288,178 @@ def bucketed_join(root_a: str, root_b: str, key: str,
     # one bucket per task: per-task memory is one bucket pair, and all
     # n_buckets tasks run independently
     return ids.map_batches(join_bucket, batch_format="pyarrow", batch_size=1)
+
+
+# ============================================================== z-order
+
+def _spread16(v: np.ndarray) -> np.ndarray:
+    """Interleave-ready bit spread: 16-bit values -> even bit positions
+    of a 32-bit word (classic Morton-code magic masks), vectorized."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def _col_i64(t: pa.Table, col: str) -> np.ndarray:
+    c = t[col]
+    if pa.types.is_timestamp(c.type):
+        # normalize to MICROSECONDS regardless of source unit, so scan
+        # bounds and manifest boxes always compare in the same unit
+        c = c.cast(pa.timestamp("us")).cast(pa.int64())
+    return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def zorder_layout(src_parquet: str, col_x: str, col_y: str, columns,
+                  n_shards: int = 32) -> str:
+    """Write a table CLUSTERED BY the Morton (z-order) interleave of two
+    columns, with a per-file 2-D zone map (min/max of BOTH columns) in
+    the manifest — the Delta/Iceberg OPTIMIZE ZORDER idea. A 1-D sort
+    gives perfect skipping on one column and none on the other; the
+    z-curve gives ~sqrt skipping on each, so rectangle predicates
+    (key range x time range) open only the files whose 2-D box
+    intersects. Build cost is ONE global sort on the 32-bit z key
+    (Ray's distributed sort — the same all-to-all any clustering pays);
+    timestamps are cast to int64 us. Values are normalized to a 16-bit
+    grid from global min/max (one metadata-sized aggregate); ties in
+    the grid are harmless (they only cost skipping precision, never
+    correctness — scans apply the exact residual filter).
+    Idempotent per corpus version; atomic publish."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Max, Min
+
+    from ..sources.io import clean_rd as rd
+
+    out = _layout_dir(src_parquet, f"{col_x}|{col_y}", n_shards,
+                      "zorder:" + ",".join(sorted(columns)))
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    _require_shared_root()
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".tmp.",
+                           dir=_CACHE_ROOT)
+
+    ds = rd.read_parquet(src_parquet, columns=list(columns))
+    stats = ds.map_batches(
+        lambda t: pa.table({"x": pa.array(_col_i64(t, col_x)),
+                            "y": pa.array(_col_i64(t, col_y))}),
+        batch_format="pyarrow").aggregate(
+        Min("x"), Max("x"), Min("y"), Max("y"))
+    x0, x1 = stats["min(x)"], stats["max(x)"]
+    y0, y1 = stats["min(y)"], stats["max(y)"]
+    xs = max(x1 - x0, 1)
+    ys = max(y1 - y0, 1)
+
+    def add_z(t: pa.Table) -> pa.Table:
+        x = _col_i64(t, col_x)
+        y = _col_i64(t, col_y)
+        xi = ((x - x0).astype(np.float64) * 65535.0 / xs).astype(np.uint64)
+        yi = ((y - y0).astype(np.float64) * 65535.0 / ys).astype(np.uint64)
+        z = _spread16(xi) | (_spread16(yi) << np.uint64(1))
+        return t.append_column("_z", pa.array(z.astype(np.int64)))
+
+    (ds.map_batches(add_z, batch_format="pyarrow")
+     .sort("_z")
+     .map_batches(lambda t: t.drop_columns(["_z"]),
+                  batch_format="pyarrow")
+     .repartition(n_shards)
+     .write_parquet(tmp))
+
+    files = []
+    for f in sorted(os.listdir(tmp)):
+        if not f.endswith(".parquet"):
+            continue
+        tab = pq.read_table(os.path.join(tmp, f), columns=[col_x, col_y])
+        if tab.num_rows == 0:
+            continue
+        fx = _col_i64(tab, col_x)
+        fy = _col_i64(tab, col_y)
+        files.append({"file": f,
+                      "x_min": int(fx.min()), "x_max": int(fx.max()),
+                      "y_min": int(fy.min()), "y_max": int(fy.max())})
+    with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+        json.dump({"col_x": col_x, "col_y": col_y, "files": files}, fh)
+    return _atomic_publish(tmp, out)
+
+
+def zorder_scan(root: str, x_lo: int, x_hi: int, y_lo: int, y_hi: int):
+    """Dataset over only the files whose 2-D zone box intersects the
+    half-open rectangle [x_lo, x_hi) x [y_lo, y_hi). The caller applies
+    the exact residual filter. Returns (dataset_or_None, n_read,
+    n_total)."""
+    from ..sources.io import clean_rd as rd
+
+    with open(os.path.join(root, "_meta.json")) as fh:
+        meta = json.load(fh)
+    keep = [f["file"] for f in meta["files"]
+            if f["x_min"] < x_hi and f["x_max"] >= x_lo
+            and f["y_min"] < y_hi and f["y_max"] >= y_lo]
+    total = len(meta["files"])
+    if not keep:
+        return None, 0, total
+    ds = rd.read_parquet([os.path.join(root, f) for f in keep])
+    return ds, len(keep), total
+
+
+# ============================================================ compaction
+
+def compact_layout(root: str) -> str:
+    """Small-file compaction of a bucketed layout: rewrite every bucket
+    with >1 file into ONE file (one task per bucket — compaction
+    parallelism is bucket parallelism), publish as a NEW layout root
+    with a fresh manifest; the old root stays valid for in-flight
+    readers (the Iceberg rewrite-manifest discipline). Buckets already
+    in one file are hard-linked, not rewritten. Idempotent: compacting
+    an already-compact layout returns a new root with identical
+    content."""
+    import ray
+
+    with open(os.path.join(root, "_meta.json")) as fh:
+        meta = json.load(fh)
+    _require_shared_root()
+    out = os.path.join(
+        _CACHE_ROOT,
+        hashlib.md5(f"compact:{os.path.abspath(root)}:v1".encode())
+        .hexdigest()[:16])
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".tmp.",
+                           dir=_CACHE_ROOT)
+
+    def compact_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        done = []
+        for b in batch["b"].to_pylist():
+            files = meta["buckets"].get(str(b), [])
+            if not files:
+                done.append((b, 0, ""))
+                continue
+            bdir = os.path.join(tmp, f"_bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            rel = f"_bucket={b}/part-0.parquet"
+            if len(files) == 1:
+                os.link(os.path.join(root, files[0]),
+                        os.path.join(tmp, rel))
+            else:
+                t = pa.concat_tables(
+                    [pq.read_table(os.path.join(root, f)) for f in files])
+                pq.write_table(t, os.path.join(tmp, rel))
+            done.append((b, len(files), rel))
+        return pa.table({
+            "b": pa.array([d[0] for d in done], pa.int64()),
+            "n_in": pa.array([d[1] for d in done], pa.int64()),
+            "rel": pa.array([d[2] for d in done], pa.string()),
+        })
+
+    n = meta["n_buckets"]
+    ids = ray.data.from_arrow(pa.table({"b": pa.array(range(n), pa.int64())}))
+    rows = ids.map_batches(compact_bucket, batch_format="pyarrow",
+                           batch_size=1).take_all()  # n_buckets rows
+    buckets = {str(r["b"]): [r["rel"]] for r in rows if r["n_in"]}
+    with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+        json.dump({"key": meta["key"], "n_buckets": n, "buckets": buckets},
+                  fh)
+    return _atomic_publish(tmp, out)
