@@ -767,7 +767,23 @@ WHERE o_custkey >= 100 AND o_custkey < 400
 """
 
 
+# ===================================== Misra-Gries heavy hitters
+
+def q_mg_heavy_hitters(sf_dir: str):
+    """Deterministic bounded-memory corpus heavy hitters (Misra-Gries,
+    k=64) over document tokens. Approximate BY DESIGN — no SQL oracle
+    (DuckDB has no MG); tests/test_sketch_mg.py pins the classic
+    deterministic bound (est ≤ true, true − est ≤ n/(k+1), every token
+    above n/(k+1) present) against exact counts."""
+    from odinson_ray.stages.sketch import mg_heavy_hitters
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return mg_heavy_hitters(ds, "text", k=64)
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
+    QUERIES["mg_heavy_hitters"] = q_mg_heavy_hitters  # no oracle BY DESIGN
     QUERIES["merge_upsert"] = q_merge_upsert
     ORACLES["merge_upsert"] = ORACLE_MERGE_UPSERT
     QUERIES["scd2_intervals"] = q_scd2_intervals

@@ -272,3 +272,77 @@ def approx_quantiles(ds, value: str, qs=(0.5, 0.9, 0.99),
     discrete columns)."""
     vals = approx_quantile_values(ds, value, qs, summary, fanin)
     return {f"p{int(q * 100)}": float(x) for q, x in zip(qs, vals)}
+
+
+# --------------------------------------------------- Misra-Gries summary
+
+def _mg_trim(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """Reduce a (token, count) frequency table to ≤ k counters by the
+    Misra-Gries rule: subtract the (k+1)-th largest count from every
+    counter and drop the non-positive ones. Each such decrement charges
+    at most 1 per unit of stream mass to any single token, so after any
+    sequence of trims/merges est(t) ∈ [true(t) - n/(k+1), true(t)]."""
+    if len(tokens) <= k:
+        return tokens, counts
+    order = np.argsort(-counts, kind="stable")
+    thresh = counts[order[k]]
+    keep = counts > thresh
+    return tokens[keep], counts[keep] - thresh
+
+
+def mg_heavy_hitters(ds, text_col: str = "text", k: int = 64):
+    """Exact-memory-bound corpus heavy hitters: each batch reduces its
+    token counts to a ≤ k-counter Misra-Gries summary, summaries sum
+    through ONE small groupby (shuffle volume ≤ k rows per batch, the
+    deterministic counterpart of cms_token_counts' sketch+candidates),
+    and a single root task applies the final trim. Deterministic
+    one-sided bound: every token with true count > n_total/(k+1) is
+    present, with est ≤ true and true - est ≤ n_total/(k+1).
+    Approximate BY DESIGN (no SQL oracle — DuckDB has no MG); the
+    pytest pins the bound against exact counts. Returns (token, est_n,
+    n_total)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        vals, counts = np.unique(np.asarray(toks), return_counts=True)
+        n_batch = int(counts.sum()) if len(counts) else 0
+        vals, counts = _mg_trim(vals, counts.astype(np.int64), k)
+        # stream mass rides a dedicated pn=0 row (a uniform batch can
+        # trim to zero counters, so no real row is guaranteed to exist
+        # to carry it). The carrier token value is irrelevant: mass
+        # lives in its own column, pn=0 adds nothing to a colliding
+        # token's count, and zero-count tokens are dropped at the root.
+        # (Not None: Ray's sort-based groupby can't order null string
+        # keys.)
+        return pa.table({
+            "token": pa.array(vals.tolist() + [""], pa.string()),
+            "pn": pa.array(np.append(counts, 0), pa.int64()),
+            "pm": pa.array([0] * len(vals) + [n_batch], pa.int64()),
+        })
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("pn", alias_name="c"),
+                                          Sum("pm", alias_name="m")))
+
+    def root_trim(g: pa.Table) -> pa.Table:
+        n_total = int(g["m"].to_numpy(zero_copy_only=False).sum())
+        g = g.filter(pc.greater(g["c"], 0))  # drop pure mass-carrier rows
+        toks = np.asarray(g["token"].to_pylist())
+        counts = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks, counts = _mg_trim(toks, counts, k)
+        order = np.lexsort((toks, -counts))
+        return pa.table({
+            "token": pa.array(toks[order].tolist(), pa.string()),
+            "est_n": pa.array(counts[order], pa.int64()),
+            "n_total": pa.array([n_total] * len(order), pa.int64()),
+        })
+
+    const = summed.map_batches(
+        lambda t: t.append_column(
+            "_g", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    return const.groupby("_g").map_groups(
+        lambda t: root_trim(t.drop_columns(["_g"])),
+        batch_format="pyarrow")
