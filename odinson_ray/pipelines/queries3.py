@@ -117,7 +117,8 @@ FROM h1 JOIN h2 ON h2.v = h1.v
 # ===================================== global high-water-mark detection
 
 def record_high_counts(ds, order: str, value: str, group: str,
-                       bucket_width: int = 4096, parts: int = 64):
+                       bucket_width: int = 4096, parts: int = 64,
+                       mode: str = "record", lateness: float = 0.0):
     """Rows whose ``value`` strictly exceeds every earlier row's value in
     global ``order`` — the sequential-dependency class (running max over
     the WHOLE stream, not per key). Two-stage decomposition: per-bucket
@@ -218,7 +219,13 @@ def record_high_counts(ds, order: str, value: str, group: str,
             prev[s] = -np.inf  # the carry row itself (dropped below)
             prev[s + 1:e] = cm[:e - s - 1]
         # carry rows have g == null -> excluded by is_valid
-        is_rec = (x > prev) & np.asarray(pc.is_valid(g))
+        if mode == "late":
+            # watermark semantics: row i is LATE when it arrives after
+            # the running max has advanced more than `lateness` past it
+            # (prev == -inf on the stream head: never late)
+            is_rec = (x < prev - lateness) & np.asarray(pc.is_valid(g))
+        else:
+            is_rec = (x > prev) & np.asarray(pc.is_valid(g))
         kept = pa.table({"g": g.filter(pa.array(is_rec))})
         agg = pa.TableGroupBy(kept, ["g"]).aggregate([([], "count_all")])
         return pa.table({"g": agg["g"], "pn": agg["count_all"]})

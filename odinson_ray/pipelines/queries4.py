@@ -767,6 +767,102 @@ WHERE o_custkey >= 100 AND o_custkey < 400
 """
 
 
+# ===================================== watermark late-data detection
+
+def q_late_events(sf_dir: str, lateness_h: int = 1):
+    """Streaming late-data accounting: an event is LATE when, at its
+    ARRIVAL position (event_id order), the running max event-time
+    (the watermark source) has already advanced more than ``lateness_h``
+    hours past its timestamp — exactly what a streaming engine counts
+    before dropping/side-outputting a late record. Rides the
+    record_highs two-stage machinery (per-bucket maxima → one
+    #buckets-sized exclusive-prefix-max task → carries re-enter the
+    bucketed stream), so no global sort and no task holds more than one
+    bucket. Returns late counts per event_type.
+
+    The synthetic events table is perfectly time-ordered, so arrival
+    disorder is SIMULATED with a deterministic integer-hash jitter of
+    up to 2 h subtracted from each event time — pure int64 arithmetic
+    reproduced verbatim in the SQL oracle (no md5 loop needed)."""
+    from .queries3 import record_high_counts
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+
+    def project(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        jit_s = ((eid % 1_000_003) * 99_991) % 7200
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts_us": pa.array(ts - jit_s * 1_000_000, pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    out = record_high_counts(
+        ds.map_batches(project, batch_format="pyarrow"),
+        order="event_id", value="ts_us", group="event_type",
+        mode="late", lateness=lateness_h * 3_600_000_000.0)
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t["g"],
+                            "n_late": t["n_records"]}),
+        batch_format="pyarrow")
+
+
+ORACLE_LATE_EVENTS = """
+WITH jit AS (
+  SELECT event_type, event_id,
+         ts - to_microseconds(((event_id % 1000003) * 99991) % 7200
+                              * 1000000) AS et
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_late FROM (
+  SELECT event_type, et,
+         max(et) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM jit) t
+WHERE wm IS NOT NULL AND et < wm - INTERVAL 1 HOUR
+GROUP BY event_type
+"""
+
+
+# ===================================== neighborhood-Jaccard similarity
+
+def q_node_similarity(sf_dir: str):
+    """Node-similarity (neighborhood Jaccard) over the canonical KG:
+    J(n1,n2) = |N∩| / (deg1 + deg2 − |N∩|) for pairs with ≥1 common
+    neighbor — the entity-resolution / link-prediction score graph
+    databases ship as nodeSimilarity. Wedge self-join through the
+    center with the Adamic-Adar hub cap (mirrored in the oracle), two
+    degree joins for the denominator."""
+    from odinson_ray.stages.graph import jaccard_pairs
+
+    from .queries2 import _kg_edges
+
+    return jaccard_pairs(_kg_edges(sf_dir), max_center_degree=1000)
+
+
+def _node_sim_oracle(body: str) -> str:
+    return f"""
+WITH trip AS ({body}),
+e0 AS (SELECT DISTINCT least(subj_canon, obj_canon) AS lo,
+              greatest(subj_canon, obj_canon) AS hi
+       FROM trip WHERE subj_canon != obj_canon),
+adj AS (SELECT lo AS v, hi AS n FROM e0 UNION ALL SELECT hi, lo FROM e0),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+centers AS (SELECT adj.v, adj.n FROM adj JOIN deg USING (v)
+            WHERE d >= 2 AND d <= 1000),
+pairs AS (SELECT a.n AS n1, b.n AS n2, CAST(count(*) AS BIGINT) AS common
+          FROM centers a JOIN centers b ON a.v = b.v AND a.n < b.n
+          GROUP BY a.n, b.n)
+SELECT n1, n2, common,
+       round(CAST(common AS DOUBLE) / (d1.d + d2.d - common), 6) AS jaccard
+FROM pairs JOIN deg d1 ON d1.v = n1 JOIN deg d2 ON d2.v = n2
+"""
+
+
 # ===================================== Misra-Gries heavy hitters
 
 def q_mg_heavy_hitters(sf_dir: str):
@@ -784,6 +880,10 @@ def q_mg_heavy_hitters(sf_dir: str):
 
 def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
     QUERIES["mg_heavy_hitters"] = q_mg_heavy_hitters  # no oracle BY DESIGN
+    QUERIES["late_events"] = q_late_events
+    ORACLES["late_events"] = ORACLE_LATE_EVENTS
+    QUERIES["node_similarity"] = q_node_similarity
+    ORACLES["node_similarity"] = _node_sim_oracle(kg_body)
     QUERIES["merge_upsert"] = q_merge_upsert
     ORACLES["merge_upsert"] = ORACLE_MERGE_UPSERT
     QUERIES["scd2_intervals"] = q_scd2_intervals

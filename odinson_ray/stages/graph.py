@@ -396,3 +396,80 @@ def kcore_edges(edges, k: int = 2, rounds: int | None = None,
             raise RuntimeError(
                 f"k-core did not converge within {max_rounds} rounds")
     return cur
+
+
+def jaccard_pairs(edges, max_center_degree: int = 1000):
+    """Neighborhood-Jaccard node similarity over an undirected (lo, hi)
+    edge Dataset: for every vertex pair sharing >= 1 common neighbor,
+    J(n1, n2) = |N(n1) ∩ N(n2)| / (deg(n1) + deg(n2) - |∩|). The
+    unweighted twin of adamic_adar_pairs (same wedge self-join through
+    the center, same >= 2 / hub-cap center filter — the cap must be
+    mirrored by any oracle), plus two degree joins for the denominator.
+    Returns (n1, n2, common, jaccard) with n1 < n2."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from .shuffle import hash_join
+
+    degs = vertex_degrees(edges).materialize()  # consumed 3x below
+
+    def both_directions(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pa.chunked_array(t["lo"].chunks + t["hi"].chunks),
+            "n": pa.chunked_array(t["hi"].chunks + t["lo"].chunks),
+        })
+
+    adj = edges.map_batches(both_directions, batch_format="pyarrow")
+    adj_schema = pa.schema([("v", _STR), ("n", _STR)])
+    deg_schema = pa.schema([("v", _STR), ("deg", pa.int64())])
+    with_deg = hash_join(adj, degs, on="v",
+                         left_schema=adj_schema, right_schema=deg_schema)
+
+    def center_filter(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((d >= 2) & (d <= max_center_degree)))
+        return t.select(["v", "n"])
+
+    cadj = with_deg.map_batches(center_filter,
+                                batch_format="pyarrow").materialize()
+    left = cadj.map_batches(
+        lambda t: pa.table({"v": t["v"], "n1": t["n"]}),
+        batch_format="pyarrow")
+    right = cadj.map_batches(
+        lambda t: pa.table({"v": t["v"], "n2": t["n"]}),
+        batch_format="pyarrow")
+
+    def keep_ordered(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["n1"], t["n2"])).select(["n1", "n2"])
+        return t.append_column("c", pa.array([1] * t.num_rows, pa.int64()))
+
+    pairs = hash_join(
+        left, right, on="v",
+        left_schema=pa.schema([("v", _STR), ("n1", _STR)]),
+        right_schema=pa.schema([("v", _STR), ("n2", _STR)]),
+        merge_post=keep_ordered)
+    common = pairs.groupby(["n1", "n2"]).aggregate(
+        Sum("c", alias_name="common"))
+
+    p_schema = pa.schema([("n1", _STR), ("n2", _STR),
+                          ("common", pa.int64())])
+    j1 = hash_join(common, degs, on="n1", right_on="v",
+                   left_schema=p_schema, right_schema=deg_schema)
+    j2 = hash_join(
+        j1, degs, on="n2", right_on="v",
+        left_schema=pa.schema([("n1", _STR), ("n2", _STR),
+                               ("common", pa.int64()),
+                               ("deg", pa.int64())]),
+        right_schema=deg_schema, right_suffix="_2")
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d1 = t["deg"].to_numpy(zero_copy_only=False)
+        d2 = t["deg_2"].to_numpy(zero_copy_only=False)
+        j = c / (d1 + d2 - c)
+        return pa.table({"n1": t["n1"], "n2": t["n2"],
+                         "common": t["common"],
+                         "jaccard": pc.round(pa.array(j, pa.float64()), 6)})
+
+    return j2.map_batches(score, batch_format="pyarrow")
