@@ -863,6 +863,308 @@ FROM pairs JOIN deg d1 ON d1.v = n1 JOIN deg d2 ON d2.v = n2
 """
 
 
+# ===================================== per-edge triangle support
+
+def q_kg_edge_support(sf_dir: str):
+    """Per-edge triangle support |N(lo) ∩ N(hi)| over the canonical KG —
+    the quantity k-truss peeling and community-pruning pipelines
+    consume. Rides the degree-oriented O(m^1.5) wedge enumeration of
+    triangle_count (each closed wedge is ONE triangle, found at its
+    lowest-rank vertex), explodes each to its 3 edges in (lo, hi) form,
+    sums with a map-side combiner, and left-joins onto the edge list so
+    triangle-free edges report 0."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.graph import orient_by_degree
+    from odinson_ray.stages.shuffle import hash_join
+
+    from .queries2 import _kg_edges
+
+    str_t = pa.string()
+    edges = _kg_edges(sf_dir).materialize()  # orientation + final join
+    oriented = orient_by_degree(edges).materialize()
+
+    ab = oriented.map_batches(
+        lambda t: pa.table({"src": t["src"], "b": t["dst"], "db": t["dd"]}),
+        batch_format="pyarrow")
+    ac = oriented.map_batches(
+        lambda t: pa.table({"src": t["src"], "c": t["dst"], "dc": t["dd"]}),
+        batch_format="pyarrow")
+
+    def keep_ranked(t: pa.Table) -> pa.Table:
+        mask = pc.or_(
+            pc.less(t["db"], t["dc"]),
+            pc.and_(pc.equal(t["db"], t["dc"]), pc.less(t["b"], t["c"])))
+        t = t.filter(mask)
+        return pa.table({
+            "k": pc.binary_join_element_wise(t["b"], t["c"], "\x1f"),
+            "a": t["src"], "b": t["b"], "c": t["c"],
+        })
+
+    wedges = hash_join(
+        ab, ac, on="src",
+        left_schema=pa.schema([("src", str_t), ("b", str_t),
+                               ("db", pa.int64())]),
+        right_schema=pa.schema([("src", str_t), ("c", str_t),
+                                ("dc", pa.int64())]),
+        merge_post=keep_ranked)
+
+    closed = hash_join(
+        wedges,
+        oriented.map_batches(
+            lambda t: pa.table({"k": pc.binary_join_element_wise(
+                t["src"], t["dst"], "\x1f")}),
+            batch_format="pyarrow"),
+        on="k", how="semi",
+        left_schema=pa.schema([("k", str_t), ("a", str_t), ("b", str_t),
+                               ("c", str_t)]),
+        right_schema=pa.schema([("k", str_t)]))
+
+    def explode_edges(t: pa.Table) -> pa.Table:
+        a, b, c = (t[col].combine_chunks() for col in ("a", "b", "c"))
+        e1_lo, e1_hi = pc.min_element_wise(a, b), pc.max_element_wise(a, b)
+        e2_lo, e2_hi = pc.min_element_wise(a, c), pc.max_element_wise(a, c)
+        e3_lo, e3_hi = pc.min_element_wise(b, c), pc.max_element_wise(b, c)
+        tab = pa.table({
+            "lo": pa.concat_arrays([x.combine_chunks()
+                                    if isinstance(x, pa.ChunkedArray)
+                                    else x for x in (e1_lo, e2_lo, e3_lo)]),
+            "hi": pa.concat_arrays([x.combine_chunks()
+                                    if isinstance(x, pa.ChunkedArray)
+                                    else x for x in (e1_hi, e2_hi, e3_hi)]),
+        })
+        g = pa.TableGroupBy(tab, ["lo", "hi"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["lo", "hi"], ["lo", "hi", "pn"])
+
+    support = (closed.map_batches(explode_edges, batch_format="pyarrow")
+               .groupby(["lo", "hi"]).aggregate(Sum("pn", alias_name="s")))
+
+    def edge_jk(t: pa.Table) -> pa.Table:
+        return t.append_column("jk", pc.binary_join_element_wise(
+            t["lo"], t["hi"], "\x1f"))
+
+    joined = hash_join(
+        edges.map_batches(edge_jk, batch_format="pyarrow"),
+        support.map_batches(
+            lambda t: pa.table({"jk": pc.binary_join_element_wise(
+                t["lo"], t["hi"], "\x1f"), "s": t["s"]}),
+            batch_format="pyarrow"),
+        on="jk", how="left_outer",
+        left_schema=pa.schema([("lo", str_t), ("hi", str_t),
+                               ("jk", str_t)]),
+        right_schema=pa.schema([("jk", str_t), ("s", pa.int64())]))
+    return joined.map_batches(
+        lambda t: pa.table({"lo": t["lo"], "hi": t["hi"],
+                            "support": pc.fill_null(t["s"], 0)}),
+        batch_format="pyarrow")
+
+
+def _edge_support_oracle(body: str) -> str:
+    return f"""
+WITH trip AS ({body}),
+e0 AS (SELECT DISTINCT least(subj_canon, obj_canon) AS lo,
+              greatest(subj_canon, obj_canon) AS hi
+       FROM trip WHERE subj_canon != obj_canon),
+adj AS (SELECT lo AS a, hi AS b FROM e0 UNION ALL SELECT hi, lo FROM e0),
+sup AS (
+  SELECT e.lo, e.hi, CAST(count(*) AS BIGINT) AS s
+  FROM e0 e
+  JOIN adj x ON x.a = e.lo
+  JOIN adj y ON y.a = e.hi AND y.b = x.b
+  GROUP BY e.lo, e.hi
+)
+SELECT e0.lo, e0.hi, coalesce(sup.s, 0) AS support
+FROM e0 LEFT JOIN sup ON sup.lo = e0.lo AND sup.hi = e0.hi
+"""
+
+
+# ===================================== log-likelihood collocations
+
+def q_collocations_llr(sf_dir: str, min_count: int = 5):
+    """Dunning log-likelihood-ratio collocation scores for every bigram
+    with count ≥ ``min_count`` — the classic corpus-linguistics
+    significance test (stronger than raw PMI on rare pairs). All four
+    contingency cells come from THREE count aggregates (bigram, left-
+    marginal, right-marginal — each map-side combined); the LLR itself
+    is two hash joins + one vectorized xlogx evaluation. Selection is
+    by the INTEGER count threshold, never by the float score, so the
+    result set is engine-independent; scores round to 6dp."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import hash_join
+
+    rd = _rd()
+    str_t, f64 = pa.string(), pa.float64()
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ").combine_chunks()
+        flat = toks.values
+        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        n = len(doc_idx)
+        if n < 2:
+            return pa.table({"w1": pa.array([], str_t),
+                             "w2": pa.array([], str_t),
+                             "pn": pa.array([], pa.int64())})
+        same = doc_idx[:-1] == doc_idx[1:]
+        idx = np.flatnonzero(same)
+        tab = pa.table({"w1": flat.take(pa.array(idx)),
+                        "w2": flat.take(pa.array(idx + 1))})
+        g = pa.TableGroupBy(tab, ["w1", "w2"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["w1", "w2"], ["w1", "w2", "pn"])
+
+    bigrams = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+               .map_batches(bigram_partial, batch_format="pyarrow")
+               .groupby(["w1", "w2"])
+               .aggregate(Sum("pn", alias_name="k11"))).materialize()
+
+    def left_marg(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"w": t["w1"], "c": t["k11"]}),
+                            ["w"]).aggregate([("c", "sum")])
+        return rename_agg(g, ["w"], ["w", "pn"])
+
+    def right_marg(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"w": t["w2"], "c": t["k11"]}),
+                            ["w"]).aggregate([("c", "sum")])
+        return rename_agg(g, ["w"], ["w", "pn"])
+
+    n1 = (bigrams.map_batches(left_marg, batch_format="pyarrow")
+          .groupby("w").aggregate(Sum("pn", alias_name="n1")))
+    n2 = (bigrams.map_batches(right_marg, batch_format="pyarrow")
+          .groupby("w").aggregate(Sum("pn", alias_name="n2")))
+    n_total = int(bigrams.sum("k11"))  # driver scalar
+
+    freq = bigrams.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["k11"], min_count)),
+        batch_format="pyarrow")
+    j1 = hash_join(freq, n1, on="w1", right_on="w",
+                   left_schema=pa.schema([("w1", str_t), ("w2", str_t),
+                                          ("k11", pa.int64())]),
+                   right_schema=pa.schema([("w", str_t),
+                                           ("n1", pa.int64())]))
+    j2 = hash_join(j1, n2, on="w2", right_on="w",
+                   left_schema=pa.schema([("w1", str_t), ("w2", str_t),
+                                          ("k11", pa.int64()),
+                                          ("n1", pa.int64())]),
+                   right_schema=pa.schema([("w", str_t),
+                                           ("n2", pa.int64())]))
+
+    def llr(t: pa.Table) -> pa.Table:
+        k11 = t["k11"].to_numpy(zero_copy_only=False).astype(np.float64)
+        r1 = t["n1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t["n2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        N = float(n_total)
+        k12 = r1 - k11
+        k21 = c1 - k11
+        k22 = N - r1 - c1 + k11
+
+        def s(x):
+            return np.where(x > 0, x * np.log(np.maximum(x, 1.0)), 0.0)
+
+        ll = 2.0 * (s(k11) + s(k12) + s(k21) + s(k22)
+                    - s(r1) - s(N - r1) - s(c1) - s(N - c1) + s(N))
+        return pa.table({
+            "w1": t["w1"], "w2": t["w2"], "n": t["k11"],
+            "llr": pc.round(pa.array(ll, f64), 6)})
+
+    return j2.map_batches(llr, batch_format="pyarrow")
+
+
+ORACLE_COLLOCATIONS_LLR = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+),
+big AS (
+  SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS k11
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  GROUP BY a.tok, b.tok
+),
+m1 AS (SELECT w1 AS w, sum(k11) AS n1 FROM big GROUP BY w1),
+m2 AS (SELECT w2 AS w, sum(k11) AS n2 FROM big GROUP BY w2),
+tot AS (SELECT CAST(sum(k11) AS DOUBLE) AS N FROM big)
+SELECT w1, w2, k11 AS n,
+  round(2 * (
+    (CASE WHEN k11 > 0 THEN k11 * ln(k11) ELSE 0 END)
+  + (CASE WHEN n1 - k11 > 0 THEN (n1 - k11) * ln(n1 - k11) ELSE 0 END)
+  + (CASE WHEN n2 - k11 > 0 THEN (n2 - k11) * ln(n2 - k11) ELSE 0 END)
+  + (CASE WHEN N - n1 - n2 + k11 > 0
+     THEN (N - n1 - n2 + k11) * ln(N - n1 - n2 + k11) ELSE 0 END)
+  - n1 * ln(n1) - (N - n1) * ln(N - n1)
+  - n2 * ln(n2) - (N - n2) * ln(N - n2)
+  + N * ln(N)), 6) AS llr
+FROM big JOIN m1 ON m1.w = w1 JOIN m2 ON m2.w = w2, tot
+WHERE k11 >= 5
+"""
+
+
+# ===================================== distributed PCA (top component)
+
+def q_pca_topcomp(sf_dir: str):
+    """Top principal component of the embedding column: the covariance
+    comes from the same fixed-size sufficient-statistics reduce as
+    embedding_cov (vectors NEVER shuffle; each batch contributes one
+    (n, Σx, ΣxxT) row, salted tree merge), then the d×d eigenproblem —
+    metadata-sized at any corpus size — solves on the driver. Sign
+    normalized (first nonzero loading positive). Iterative linear
+    algebra: no SQL oracle BY DESIGN; the pytest checks the loading
+    vector against exact numpy PCA of the full table."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        s = x.sum(axis=0)
+        ss = np.einsum("ni,nj->ij", x, x)
+        salt = int.from_bytes(_hl.md5(s.tobytes()).digest()[:4],
+                              "little") % 64
+        return pa.table({
+            "_g": pa.array([salt], pa.int32()),
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+            "ss": pa.array([ss.ravel().tolist()], pa.list_(pa.float64())),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g["n"]).as_py())
+        s = np.asarray(g["s"].to_pylist(), dtype=np.float64).sum(axis=0)
+        ss = np.asarray(g["ss"].to_pylist(), dtype=np.float64).sum(axis=0)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+            "ss": pa.array([ss.tolist()], pa.list_(pa.float64())),
+        })
+
+    parts = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("_g").map_groups(
+                 lambda t: merge(t.drop_columns(["_g"])),
+                 batch_format="pyarrow")
+             .to_pandas())
+    n = int(parts["n"].sum())
+    s = np.asarray(parts["s"].tolist(), dtype=np.float64).sum(axis=0)
+    ss = np.asarray(parts["ss"].tolist(), dtype=np.float64).sum(axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, -1]
+    nz = np.flatnonzero(np.abs(top) > 1e-12)
+    if len(nz) and top[nz[0]] < 0:
+        top = -top
+    return pd.DataFrame({
+        "dim": np.arange(1, d + 1, dtype=np.int64),
+        "loading": np.round(top, 6),
+        "eigenvalue": np.round(np.full(d, w[-1]), 6),
+    })
+
+
 # ===================================== Misra-Gries heavy hitters
 
 def q_mg_heavy_hitters(sf_dir: str):
@@ -884,6 +1186,11 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
     ORACLES["late_events"] = ORACLE_LATE_EVENTS
     QUERIES["node_similarity"] = q_node_similarity
     ORACLES["node_similarity"] = _node_sim_oracle(kg_body)
+    QUERIES["kg_edge_support"] = q_kg_edge_support
+    ORACLES["kg_edge_support"] = _edge_support_oracle(kg_body)
+    QUERIES["collocations_llr"] = q_collocations_llr
+    ORACLES["collocations_llr"] = ORACLE_COLLOCATIONS_LLR
+    QUERIES["pca_topcomp"] = q_pca_topcomp  # no oracle BY DESIGN
     QUERIES["merge_upsert"] = q_merge_upsert
     ORACLES["merge_upsert"] = ORACLE_MERGE_UPSERT
     QUERIES["scd2_intervals"] = q_scd2_intervals
