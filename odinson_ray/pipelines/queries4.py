@@ -863,6 +863,151 @@ FROM pairs JOIN deg d1 ON d1.v = n1 JOIN deg d2 ON d2.v = n2
 """
 
 
+# ===================================== interval-union active time
+
+def q_user_active_time(sf_dir: str, window_s: int = 300, parts: int = 512):
+    """Per-user ACTIVE TIME: the measure of the union of [ts, ts+300 s)
+    intervals over the user's events — the engagement metric that,
+    unlike a raw count, doesn't double-count bursts. With a fixed
+    interval length the union has the closed form Σ min(Δi, L) + L over
+    consecutive gaps, so it rides the segmented LAG shape (one coarse
+    hash(user) shuffle, one sort per partition, vectorized diff with
+    reset masks — a user's rows are co-located by the hash, so the
+    per-user sum is complete within its partition)."""
+    from odinson_ray.stages.sketch import _splitmix64
+
+    rd = _rd()
+    L = window_s * 1_000_000
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(u) % np.uint64(parts)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def active_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending"),
+                                            ("event_id", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "active_us": pa.array([], pa.int64())})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)  # normalize any source unit to us
+        # per-row contribution: min(next_ts - ts, L) within a user run,
+        # L on each run's last row
+        contrib = np.full(n, L, dtype=np.int64)
+        same = u[1:] == u[:-1]
+        contrib[:-1] = np.where(same, np.minimum(ts[1:] - ts[:-1], L), L)
+        starts = np.concatenate(([0], np.flatnonzero(~same) + 1))
+        sums = np.add.reduceat(contrib, starts)
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "active_us": pa.array(sums, pa.int64()),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda g: active_partition(g.drop_columns(["_p"])),
+                    batch_format="pyarrow")
+    )
+
+
+ORACLE_USER_ACTIVE_TIME = """
+WITH g AS (
+  SELECT user_id, ts, lead(ts) OVER w AS nxt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN nxt IS NULL THEN 300000000
+                     ELSE least(epoch_us(nxt - ts), 300000000) END)
+            AS BIGINT) AS active_us
+FROM g GROUP BY user_id
+"""
+
+
+# ===================================== training-mix diversity report
+
+def q_source_token_share(sf_dir: str):
+    """Per-source token share of the corpus plus its entropy
+    contribution — the diversity report a training-mix pipeline reads
+    before setting sampling weights (domain_mix's measurement twin).
+    One map-side-combined groupby(source) over per-batch token counts;
+    the share/entropy math runs on the #sources-sized result."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        g = pa.TableGroupBy(
+            pa.table({"source": t["source"],
+                      "n": pc.cast(n_tok, pa.int64())}),
+            ["source"]).aggregate([("n", "sum")])
+        return rename_agg(g, ["source"], ["source", "pn"])
+
+    counts = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["source", "text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("source").aggregate(Sum("pn", alias_name="n_tokens"))
+              ).materialize()
+    total = int(counts.sum("n_tokens"))  # driver scalar
+
+    def report(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        share = n / float(total)
+        ent = np.where(share > 0, -share * np.log2(share), 0.0)
+        return pa.table({
+            "source": t["source"],
+            "n_tokens": t["n_tokens"],
+            "share": pc.round(pa.array(share, pa.float64()), 6),
+            "entropy_bits": pc.round(pa.array(ent, pa.float64()), 6),
+        })
+
+    return counts.map_batches(report, batch_format="pyarrow")
+
+
+ORACLE_SOURCE_TOKEN_SHARE = """
+WITH c AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS N FROM c)
+SELECT source, n_tokens,
+       round(n_tokens / N, 6) AS share,
+       round(CASE WHEN n_tokens > 0
+             THEN -(n_tokens / N) * log2(n_tokens / N) ELSE 0 END, 6)
+         AS entropy_bits
+FROM c, tot
+"""
+
+
+# ===================================== HLL set algebra (user overlap)
+
+def q_approx_user_overlap(sf_dir: str):
+    """Approximate overlap of the 'click' and 'purchase' user sets by
+    HyperLogLog set algebra (union = elementwise register max, exact
+    over sketches; intersection by inclusion-exclusion). The audience-
+    overlap question at 100 TB without shuffling a single user id —
+    only 4-KiB register blobs move. Approximate BY DESIGN (error
+    compounds through inclusion-exclusion); tests pin tolerance vs the
+    exact overlap."""
+    from odinson_ray.stages.sketch import hll_overlap
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return hll_overlap(ds, "event_type", "user_id", "click", "purchase")
+
+
 # ===================================== per-edge triangle support
 
 def q_kg_edge_support(sf_dir: str):
@@ -1191,6 +1336,11 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
     QUERIES["collocations_llr"] = q_collocations_llr
     ORACLES["collocations_llr"] = ORACLE_COLLOCATIONS_LLR
     QUERIES["pca_topcomp"] = q_pca_topcomp  # no oracle BY DESIGN
+    QUERIES["user_active_time"] = q_user_active_time
+    ORACLES["user_active_time"] = ORACLE_USER_ACTIVE_TIME
+    QUERIES["source_token_share"] = q_source_token_share
+    ORACLES["source_token_share"] = ORACLE_SOURCE_TOKEN_SHARE
+    QUERIES["approx_user_overlap"] = q_approx_user_overlap  # no oracle BY DESIGN
     QUERIES["merge_upsert"] = q_merge_upsert
     ORACLES["merge_upsert"] = ORACLE_MERGE_UPSERT
     QUERIES["scd2_intervals"] = q_scd2_intervals

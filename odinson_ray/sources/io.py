@@ -131,3 +131,47 @@ def documents_path(sf_dir: str) -> str:
     if os.path.exists(lance_path):
         return lance_path
     return os.path.join(sf_dir, "documents.parquet")
+
+
+def read_parquet_evolved(paths, target_schema=None, columns=None):
+    """Read parquet files whose schemas EVOLVED over time (columns added
+    or dropped between writes — routine for any long-lived ingest) into
+    one Dataset with a single unified schema: missing columns are
+    null-filled WITH THE TARGET TYPE, extra columns are dropped, and
+    column order is normalized. ``target_schema`` defaults to the union
+    of all footer schemas (first-seen type wins; footers only, no data
+    scan). Plain ``read_parquet`` fails the block unification instead.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, str):
+        paths = [paths]
+    if target_schema is None:
+        fields: dict[str, pa.Field] = {}
+        for p in paths:
+            for f in pq.read_schema(p):
+                fields.setdefault(f.name, f)
+        target_schema = pa.schema(list(fields.values()))
+    if columns is not None:
+        target_schema = pa.schema([target_schema.field(c) for c in columns])
+
+    def conform(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in target_schema:
+            if f.name in t.column_names:
+                cols.append(t[f.name].cast(f.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.table(dict(zip(target_schema.names, cols)))
+
+    # one read per schema-compatible file; conform per batch (cheap:
+    # null columns are lazily allocated, casts are usually no-ops)
+    datasets = [
+        read_parquet_clean(p).map_batches(conform, batch_format="pyarrow")
+        for p in paths
+    ]
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.union(d)
+    return out

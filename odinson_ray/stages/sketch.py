@@ -346,3 +346,51 @@ def mg_heavy_hitters(ds, text_col: str = "text", k: int = 64):
     return const.groupby("_g").map_groups(
         lambda t: root_trim(t.drop_columns(["_g"])),
         batch_format="pyarrow")
+
+
+def hll_overlap(ds, group: str, value: str, a, b):
+    """Approximate |A ∩ B| / |A ∪ B| of two groups' DISTINCT value sets
+    by HLL set algebra: union registers are the elementwise max of the
+    two groups' merged registers (HLL union is EXACT over sketches),
+    intersection comes from inclusion-exclusion |A|+|B|-|A∪B|. Error
+    compounds vs a plain cardinality (the classic caveat: rse ~1.6% per
+    term, so small true overlaps can even go negative — clamped at 0);
+    approximate BY DESIGN, pytest pins tolerance vs exact. Returns a
+    1-row table (a, b, est_a, est_b, est_union, est_inter, jaccard)."""
+
+    def merge(g: pa.Table) -> pa.Table:
+        regs = np.zeros(_M, dtype=np.uint8)
+        for blob in g["_regs"].to_pylist():
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8), out=regs)
+        return pa.table({
+            group: g[group].slice(0, 1),
+            "_regs": pa.array([regs.tobytes()], pa.binary()),
+        })
+
+    import pyarrow.compute as pc
+
+    filtered = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[group], pa.array([a, b]))),
+        batch_format="pyarrow")
+    partials = filtered.map_batches(
+        lambda t: hll_partial_batch(t, group, value),
+        batch_format="pyarrow")
+    merged = partials.groupby(group).map_groups(
+        merge, batch_format="pyarrow").take_all()  # exactly 2 rows
+    blobs = {r[group]: np.frombuffer(r["_regs"], dtype=np.uint8)
+             for r in merged}
+    ra = blobs.get(a, np.zeros(_M, np.uint8))
+    rb = blobs.get(b, np.zeros(_M, np.uint8))
+    ea, eb = _estimate(ra), _estimate(rb)
+    eu = _estimate(np.maximum(ra, rb))
+    ei = max(0, ea + eb - eu)
+    return pa.table({
+        "a": pa.array([a], pa.string()),
+        "b": pa.array([b], pa.string()),
+        "est_a": pa.array([ea], pa.int64()),
+        "est_b": pa.array([eb], pa.int64()),
+        "est_union": pa.array([eu], pa.int64()),
+        "est_inter": pa.array([ei], pa.int64()),
+        "jaccard": pa.array([round(ei / eu, 6) if eu else 0.0],
+                            pa.float64()),
+    })
