@@ -73,6 +73,12 @@ BENCH_QUERIES = [
     "record_highs",
     "session_spans",
     "apriori_pairs",
+    # round-4 continuation additions
+    "tpch_q3",
+    "merge_upsert",
+    "skipgram_pairs",
+    "user_active_time",
+    "kg_edge_support",
 ]
 
 
