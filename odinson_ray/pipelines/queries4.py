@@ -990,6 +990,101 @@ FROM c, tot
 """
 
 
+# ===================================== conversion-window funnel
+
+def q_funnel_window(sf_dir: str, a: str = "view", b: str = "purchase",
+                    window_h: int = 24, parts: int = 512):
+    """Users who convert WITHIN A WINDOW: a '{b}' event in
+    (first_{a}, first_{a} + window]. Unlike funnel_users' min/max
+    combiner (order only), window membership needs the user's events
+    together — ONE coarse hash(user) shuffle, then per partition a
+    single sort + segmented numpy: first-A per user run via masked
+    minimum.reduceat, B-in-window via one vectorized mask, per-run any()
+    via reduceat. No per-user task, no event leaves its partition."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.sketch import _splitmix64
+
+    rd = _rd()
+    W = window_h * 3_600_000_000
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], pa.array([a, b])))
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(u) % np.uint64(parts)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def converted_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_p"]).combine_chunks()
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"pn": pa.array([0], pa.int64())})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        is_a = np.asarray(pc.equal(g["event_type"], a))
+        starts = np.concatenate(
+            ([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        seg_id = np.repeat(np.arange(len(starts)),
+                           np.diff(np.append(starts, n)))
+        BIG = np.iinfo(np.int64).max
+        ts_a = np.where(is_a, ts, BIG)
+        first_a = np.minimum.reduceat(ts_a, starts)
+        fa_row = first_a[seg_id]
+        hit = (~is_a) & (fa_row != BIG) & (ts > fa_row) & (ts <= fa_row + W)
+        n_conv = int(np.add.reduceat(hit, starts).astype(bool).sum())
+        return pa.table({"pn": pa.array([n_conv], pa.int64())})
+
+    out = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_type"])
+           .map_batches(add_part, batch_format="pyarrow")
+           .groupby("_p")
+           .map_groups(converted_partition, batch_format="pyarrow"))
+    return (out.map_batches(
+        lambda t: t.append_column("_g", pa.array([0] * t.num_rows,
+                                                 pa.int64())),
+        batch_format="pyarrow")
+        .groupby("_g").aggregate(Sum("pn", alias_name="n_users"))
+        .map_batches(lambda t: t.drop_columns(["_g"]),
+                     batch_format="pyarrow"))
+
+
+ORACLE_FUNNEL_WINDOW = """
+WITH fa AS (
+  SELECT user_id, min(ts) AS ts_a FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+)
+SELECT CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN fa ON fa.user_id = e.user_id
+WHERE e.event_type = 'purchase'
+  AND e.ts > fa.ts_a AND e.ts <= fa.ts_a + INTERVAL 24 HOUR
+"""
+
+
+# ===================================== CMS join-size estimation
+
+def q_cms_join_size(sf_dir: str):
+    """Estimated |orders ⋈ events| on user key via CountMin inner
+    product — the optimizer's broadcast-vs-shuffle decision input,
+    computed without moving a single key (two 128-KiB sketch streams).
+    Approximate BY DESIGN (one-sided: never underestimates); pytest
+    pins the bound against the exact join size."""
+    import pandas as pd
+
+    from odinson_ray.stages.sketch import cms_join_size
+
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+    r = cms_join_size(orders, events, "o_custkey", "user_id")
+    return pd.DataFrame([r])
+
+
 # ===================================== HLL set algebra (user overlap)
 
 def q_approx_user_overlap(sf_dir: str):
@@ -1341,6 +1436,9 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
     QUERIES["source_token_share"] = q_source_token_share
     ORACLES["source_token_share"] = ORACLE_SOURCE_TOKEN_SHARE
     QUERIES["approx_user_overlap"] = q_approx_user_overlap  # no oracle BY DESIGN
+    QUERIES["funnel_window"] = q_funnel_window
+    ORACLES["funnel_window"] = ORACLE_FUNNEL_WINDOW
+    QUERIES["cms_join_size"] = q_cms_join_size  # no oracle BY DESIGN
     QUERIES["merge_upsert"] = q_merge_upsert
     ORACLES["merge_upsert"] = ORACLE_MERGE_UPSERT
     QUERIES["scd2_intervals"] = q_scd2_intervals

@@ -394,3 +394,41 @@ def hll_overlap(ds, group: str, value: str, a, b):
         "jaccard": pa.array([round(ei / eu, 6) if eu else 0.0],
                             pa.float64()),
     })
+
+
+def cms_join_size(left, right, left_on: str, right_on: str) -> dict:
+    """Approximate |left ⋈ right| on an equality key WITHOUT running the
+    join — the inner product of the two sides' CountMin sketches (for
+    each CMS row, Σ_cell l[cell]·r[cell]; take the MIN over rows). The
+    cardinality-estimation primitive a distributed optimizer consults
+    before choosing broadcast vs shuffle. Never underestimates
+    (one-sided, like CMS point queries); expected overestimate ≤
+    |L|·|R|/w per row. Each side streams once into 128-KiB mergeable
+    partials; nothing key-sized moves. Approximate BY DESIGN — pytest
+    pins the one-sided bound and tolerance vs the exact join size."""
+
+    def side_sketch(ds, col) -> np.ndarray:
+        def partial(t: pa.Table) -> pa.Table:
+            h = _hash_values(t[col])
+            return pa.table({
+                "_s": pa.array([int(h[0] % 16) if len(h) else 0],
+                               pa.int64()),
+                "_cms": pa.array([cms_partial_batch(h)], pa.binary()),
+            })
+
+        def merge_level(g: pa.Table) -> pa.Table:
+            sk = cms_merge(g["_cms"].to_pylist())
+            return pa.table({"_s": pa.array([0], pa.int64()),
+                             "_cms": pa.array([sk.tobytes()], pa.binary())})
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("_s").map_groups(merge_level,
+                                          batch_format="pyarrow")
+                .take_all())  # <= 16 blobs
+        return cms_merge(r["_cms"] for r in rows)
+
+    sl = side_sketch(left, left_on)
+    sr = side_sketch(right, right_on)
+    per_row = (sl * sr).sum(axis=1)
+    return {"est_join_rows": int(per_row.min()),
+            "n_left": int(sl[0].sum()), "n_right": int(sr[0].sum())}
