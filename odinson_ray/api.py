@@ -178,3 +178,44 @@ class OdinsonEngine:
             batch_size=batch_size,
             num_cpus=1,
         )
+
+
+def explain(pattern: str, event: bool = False) -> str:
+    """Render a pattern's compiled AST as an indented tree — the query-
+    debugging affordance of the reference's compiler (QueryCompiler
+    exposes its compiled Lucene query via toString; here the parse tree
+    itself is the executable plan, so we print that). Generic over the
+    frozen-dataclass AST: node name, scalar fields inline, child
+    patterns indented."""
+    import dataclasses
+
+    from .core.matcher import ALL_TOKEN_FIELDS, DEFAULT_TOKEN_FIELD
+    from .lang.parser import QueryParser
+
+    parser = QueryParser(ALL_TOKEN_FIELDS, DEFAULT_TOKEN_FIELD)
+    node = (parser.parse_event_query(pattern) if event
+            else parser.parse_basic_query(pattern))
+
+    def render(n, indent: int) -> list:
+        pad = "  " * indent
+        if dataclasses.is_dataclass(n) and not isinstance(n, type):
+            scalars, children = [], []
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                if dataclasses.is_dataclass(v) and not isinstance(v, type):
+                    children.append((f.name, [v]))
+                elif isinstance(v, tuple) and any(
+                        dataclasses.is_dataclass(x) for x in v):
+                    children.append((f.name, list(v)))
+                else:
+                    scalars.append(f"{f.name}={v!r}")
+            lines = [f"{pad}{type(n).__name__}"
+                     + (f" ({', '.join(scalars)})" if scalars else "")]
+            for name, kids in children:
+                lines.append(f"{pad}  .{name}:")
+                for k in kids:
+                    lines.extend(render(k, indent + 2))
+            return lines
+        return [f"{pad}{n!r}"]
+
+    return "\n".join(render(node, 0))

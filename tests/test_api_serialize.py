@@ -104,3 +104,24 @@ def test_add_metadata_broadcast(ray_session, sf_dir):
     assert "metadata" in out.columns
     row = out.iloc[0]
     assert row["metadata"]["venue"] == f"v{int(row['doc_id'][4:]) % 3}"
+
+
+def test_explain_renders_ast():
+    from odinson_ray.api import explain
+
+    out = explain("[lemma=eat] >dobj []")
+    assert "GraphTraversalPattern" in out
+    assert "FieldConstraint (name='lemma')" in out
+    assert "OutgoingTraversal" in out
+
+    ev = explain("trigger = ate\nsubject = >nsubj []", event=True)
+    assert ev.startswith("EventPattern")
+    assert "ArgumentPattern (name='subject'" in ev
+
+    # parse errors surface with position info, not a silent string
+    import pytest
+
+    from odinson_ray.lang.parser import OdinsonParseError
+
+    with pytest.raises(OdinsonParseError):
+        explain("a (")
