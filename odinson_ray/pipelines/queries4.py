@@ -252,27 +252,32 @@ FROM g
 def q_tpch_q3(sf_dir: str):
     """Shipping-priority revenue: customer ⋈ orders ⋈ lineitem with
     selective date predicates, grouped revenue, global top-10. The
-    canonical star-join: the customer side reduces to a distributed
-    semi-join (market-segment filter; at web scale a segment is NOT
-    small, so no driver collection — bloom_semi_join is the broadcast
-    alternative when the filtered side provably fits), the
-    orders×lineitem join is the big shuffle, revenue combines map-side
-    per (orderkey, orderdate) before the global groupby, and the top-k
-    is the pruned global_topk (per-batch k cap, never a full sort).
+    canonical star-join: the customer market-segment filter reduces
+    through the repo's ADAPTIVE broadcast-vs-shuffle gate (count the
+    filtered side first — a metadata aggregate; ≤ gate → ray.put the
+    sorted key array once and semi-filter orders with a vectorized
+    searchsorted, zero shuffle; above it → distributed semi hash join —
+    a web-scale segment is NOT driver-small, the same discipline as the
+    MinHash verify and tf-idf vocab gates), the orders×lineitem join is
+    the big shuffle, revenue combines map-side per (orderkey, orderdate)
+    before the global groupby, and the top-k is the pruned global_topk.
     Revenue in integer cents for bit-exact comparison."""
+    import ray
     from ray.data.aggregate import Sum
 
     from odinson_ray.stages.shuffle import global_topk, hash_join
 
     rd = _rd()
     CUT = np.datetime64("1995-03-15T00:00:00", "us").astype(np.int64)
+    BROADCAST_GATE = int(
+        __import__("os").environ.get("TPCH_Q3_BROADCAST_GATE", "5000000"))
 
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
             ["c_custkey"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()  # counted, then consumed
 
     def orders_filter(t: pa.Table) -> pa.Table:
         d = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -282,13 +287,32 @@ def q_tpch_q3(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         orders_filter, batch_format="pyarrow")
-    orders = hash_join(
-        orders, cust, on="o_custkey", right_on="c_custkey", how="semi",
-        left_schema=pa.schema([("o_orderkey", pa.int64()),
-                               ("o_custkey", pa.int64()),
-                               ("o_orderdate", pa.timestamp("us"))]),
-        right_schema=pa.schema([("c_custkey", pa.int64())]),
-    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    if cust.count() <= BROADCAST_GATE:
+        keys = np.sort(np.concatenate(
+            [b["c_custkey"].to_numpy(zero_copy_only=False)
+             for b in cust.iter_batches(batch_format="pyarrow",
+                                        batch_size=65536)] or
+            [np.array([], dtype=np.int64)]))
+        keys_ref = ray.put(keys)
+
+        def semi_filter(t: pa.Table) -> pa.Table:
+            k = ray.get(keys_ref)
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(k, ck)
+            hit = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == ck)
+            return t.filter(pa.array(hit)).select(
+                ["o_orderkey", "o_orderdate"])
+
+        orders = orders.map_batches(semi_filter, batch_format="pyarrow")
+    else:
+        orders = hash_join(
+            orders, cust, on="o_custkey", right_on="c_custkey", how="semi",
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64()),
+                                   ("o_orderdate", pa.timestamp("us"))]),
+            right_schema=pa.schema([("c_custkey", pa.int64())]),
+        ).select_columns(["o_orderkey", "o_orderdate"])
 
     def li_filter(t: pa.Table) -> pa.Table:
         d = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -1064,6 +1088,93 @@ WHERE e.event_type = 'purchase'
 """
 
 
+# ===================================== stream-stream windowed self-join
+
+def q_window_join_counts(sf_dir: str, window_h: int = 1, parts: int = 512):
+    """Stream-stream windowed join: for every ordered pair of events of
+    the same user with ts_b ∈ (ts_a, ts_a + 1 h] ((ts, event_id) order —
+    ties counted once, deterministically), the (type_a, type_b)
+    co-occurrence counts. The symmetric cousin of the as-of join: ONE
+    coarse hash(user) shuffle, per-partition sort, per-row window ends
+    from ONE vectorized searchsorted, pair explosion via run-position
+    index arithmetic (bounded by per-user activity within the window —
+    the quantity the join is ABOUT), per-batch type-pair count combiner.
+    No per-user task; no event row leaves its partition."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.sketch import _splitmix64
+
+    rd = _rd()
+    W = window_h * 3_600_000_000
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(u) % np.uint64(parts)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def pairs_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_p"]).combine_chunks()
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending"),
+                                            ("event_id", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        empty = pa.table({"ta": pa.array([], pa.string()),
+                          "tb": pa.array([], pa.string()),
+                          "pn": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        seg_ends = np.append(starts[1:], n)
+        # per-row window end within the user run: first index with
+        # ts > ts_i + W. ts is only PIECEWISE sorted (it resets at every
+        # user boundary), so searchsorted must run per run — vectorized
+        # within each run, one tiny call per user in the partition (the
+        # record_highs per-segment pattern; a global searchsorted over
+        # non-monotonic data would silently drop pairs)
+        ends = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, seg_ends):
+            ends[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + W,
+                                            side="right")
+        lens = ends - np.arange(n) - 1  # pairs start at i+1
+        lens = np.maximum(lens, 0)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), lens)
+        off = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        b_idx = a_idx + 1 + off
+        types = g["event_type"]
+        tab = pa.table({"ta": types.take(pa.array(a_idx)),
+                        "tb": types.take(pa.array(b_idx))})
+        agg = pa.TableGroupBy(tab, ["ta", "tb"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(agg, ["ta", "tb"], ["ta", "tb", "pn"])
+
+    return (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(pairs_partition, batch_format="pyarrow")
+            .groupby(["ta", "tb"]).aggregate(Sum("pn", alias_name="n")))
+
+
+ORACLE_WINDOW_JOIN_COUNTS = """
+SELECT a.event_type AS ta, b.event_type AS tb,
+       CAST(count(*) AS BIGINT) AS n
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.event_type, b.event_type
+"""
+
+
 # ===================================== CMS join-size estimation
 
 def q_cms_join_size(sf_dir: str):
@@ -1439,6 +1550,8 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
     QUERIES["funnel_window"] = q_funnel_window
     ORACLES["funnel_window"] = ORACLE_FUNNEL_WINDOW
     QUERIES["cms_join_size"] = q_cms_join_size  # no oracle BY DESIGN
+    QUERIES["window_join_counts"] = q_window_join_counts
+    ORACLES["window_join_counts"] = ORACLE_WINDOW_JOIN_COUNTS
     QUERIES["merge_upsert"] = q_merge_upsert
     ORACLES["merge_upsert"] = ORACLE_MERGE_UPSERT
     QUERIES["scd2_intervals"] = q_scd2_intervals

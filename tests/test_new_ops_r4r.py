@@ -58,3 +58,48 @@ def test_cms_join_size_bound():
     # overestimate bounded: expected excess <= |L||R|/w per row, min of 4
     w = 1 << 12
     assert est["est_join_rows"] - exact <= 4 * 20_000 * 8_000 / w
+
+
+def test_tpch_q3_gate_paths_identical(monkeypatch):
+    import pandas as pd
+
+    from odinson_ray.pipelines.queries4 import q_tpch_q3
+
+    sf = "/root/testdata/sf0.001"
+    a = q_tpch_q3(sf).to_pandas()
+    monkeypatch.setenv("TPCH_Q3_BROADCAST_GATE", "0")  # force semi join
+    b = q_tpch_q3(sf).to_pandas()
+    a = a.sort_values(list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(list(b.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_window_join_piecewise_sorted_ts(tmp_path):
+    # two users whose time ranges interleave: a global searchsorted over
+    # the concatenated (piecewise-sorted) ts array would corrupt window
+    # ends — this pins the per-run correctness
+    import pandas as pd
+    import pyarrow.parquet as pq2
+
+    from odinson_ray.pipelines.queries4 import q_window_join_counts
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 2 (sorts after user 1) has EARLIER timestamps
+        (1, 1, "a", base + pd.Timedelta(hours=10)),
+        (2, 1, "b", base + pd.Timedelta(hours=10, minutes=30)),
+        (3, 1, "b", base + pd.Timedelta(hours=12)),   # outside 1h window
+        (4, 2, "a", base),
+        (5, 2, "b", base + pd.Timedelta(minutes=59)),
+        (6, 2, "b", base + pd.Timedelta(minutes=61)), # outside
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq2.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    str(tmp_path / "events.parquet"))
+    out = q_window_join_counts(str(tmp_path), parts=1).to_pandas()
+    got = {(r.ta, r.tb): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("b", "b"): 1}
+    # ("b","b"): u2's rows 5,6 are 2min apart -> in-window pair
