@@ -1516,6 +1516,157 @@ def q_pca_topcomp(sf_dir: str):
     })
 
 
+# ===================================== personalized PageRank
+
+def q_kg_ppr(sf_dir: str, iters: int = 2, damping: float = 0.85):
+    """Personalized PageRank from a deterministic seed (the max-out-
+    degree entity, ties lexicographically — the kg_bfs_levels seed):
+    r_{t+1}(v) = (1−d)·1[v=seed] + d·Σ_{u→v} r_t(u)/outdeg(u). The
+    entity-relevance ranking a KG serves per query entity. Same Dataset
+    discipline as global PageRank (one hash join + map-side-combined
+    groupby per iteration; edges+degrees pinned once); the restart
+    vector is one indicator row, not a driver artifact. Bounded
+    iterations ⇒ unrolled SQL oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    from odinson_ray.stages.shuffle import global_topk, hash_join
+
+    from .kg import triples_dataset
+
+    str_t, f64 = pa.string(), pa.float64()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        e = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"]})
+        return pa.TableGroupBy(e, ["src", "dst"]).aggregate([])
+
+    edges = (triples_dataset(sf_dir)
+             .map_batches(to_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"])).materialize()
+    deg = edges.groupby("src").aggregate(Count(alias_name="d"))
+    seed_v = global_topk(deg, ["d", "src"], [True, False], 1) \
+        .to_pandas()["src"].iloc[0]
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays([t["src"].combine_chunks(),
+                              t["dst"].combine_chunks()])
+        return pa.TableGroupBy(pa.table({"v": v}), ["v"]).aggregate([])
+
+    nodes = (edges.map_batches(endpoints, batch_format="pyarrow")
+             .groupby("v").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"])).materialize()
+
+    e_schema = pa.schema([("src", str_t), ("dst", str_t)])
+    d_schema = pa.schema([("src", str_t), ("d", pa.int64())])
+    edges_d = hash_join(edges, deg, on="src",
+                        left_schema=e_schema,
+                        right_schema=d_schema).materialize()
+    ed_schema = pa.schema([("src", str_t), ("dst", str_t),
+                           ("d", pa.int64())])
+    r_schema = pa.schema([("v", str_t), ("r", f64)])
+
+    def seed_rank(t: pa.Table, w: float) -> pa.Array:
+        return pc.if_else(pc.equal(t["v"], seed_v),
+                          pa.scalar(w), pa.scalar(0.0))
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table({"v": t["v"], "r": seed_rank(t, 1.0)}),
+        batch_format="pyarrow")
+    for _ in range(iters):
+        contrib = hash_join(edges_d, ranks, on="src", right_on="v",
+                            left_schema=ed_schema, right_schema=r_schema)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = pc.divide(t["r"], pc.cast(t["d"], f64))
+            g = pa.TableGroupBy(pa.table({"dst": t["dst"], "c": c}),
+                                ["dst"]).aggregate([("c", "sum")])
+            return rename_agg(g, ["dst"], ["dst", "c"])
+
+        sums = (contrib.map_batches(partial, batch_format="pyarrow")
+                .groupby("dst").aggregate(Sum("c", alias_name="c")))
+        joined = hash_join(nodes, sums, on="v", right_on="dst",
+                           how="left_outer",
+                           left_schema=pa.schema([("v", str_t)]),
+                           right_schema=pa.schema([("dst", str_t),
+                                                   ("c", f64)]))
+        ranks = joined.map_batches(
+            lambda t: pa.table({
+                "v": t["v"],
+                "r": pc.add(seed_rank(t, 1.0 - damping),
+                            pc.multiply(pa.scalar(damping),
+                                        pc.fill_null(t["c"], 0.0)))}),
+            batch_format="pyarrow")
+    return ranks.map_batches(
+        lambda t: pa.table({"entity": t["v"],
+                            "ppr": pc.round(t["r"], 6)}),
+        batch_format="pyarrow")
+
+
+def _ppr_oracle(body: str, damping: float = 0.85) -> str:
+    d = damping
+    return f"""
+WITH trip AS ({body}),
+edges AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst FROM trip),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+seed AS (SELECT src AS v FROM deg ORDER BY d DESC, src LIMIT 1),
+v AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT v.v, CASE WHEN v.v = (SELECT v FROM seed)
+                        THEN 1.0 ELSE 0.0 END AS r FROM v),
+s1 AS (SELECT e.dst AS v, sum(r0.r / deg.d) AS c
+       FROM edges e JOIN r0 ON r0.v = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT v.v,
+       CASE WHEN v.v = (SELECT v FROM seed) THEN {1 - d} ELSE 0 END
+       + {d} * coalesce(s1.c, 0) AS r
+       FROM v LEFT JOIN s1 ON s1.v = v.v),
+s2 AS (SELECT e.dst AS v, sum(r1.r / deg.d) AS c
+       FROM edges e JOIN r1 ON r1.v = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT v.v,
+       CASE WHEN v.v = (SELECT v FROM seed) THEN {1 - d} ELSE 0 END
+       + {d} * coalesce(s2.c, 0) AS r
+       FROM v LEFT JOIN s2 ON s2.v = v.v)
+SELECT v AS entity, round(r, 6) AS ppr FROM r2
+"""
+
+
+# ===================================== deterministic corpus shuffle
+
+def q_corpus_shuffle_head(sf_dir: str, k: int = 100):
+    """Deterministic global training-order shuffle: every doc gets a
+    pure-function position key (md5 of its id — retry/parallelism-
+    invariant AND SQL-reproducible, the repo's md5-shared trade) and the
+    corpus is consumed in key order. The epoch-shuffling step of every
+    training-data pipeline, without a random_shuffle whose order would
+    differ per run. Output here: the first k docs of the shuffled order
+    (the pruned global_topk — a full epoch consumer would iterate the
+    sorted Dataset)."""
+    import hashlib
+
+    from odinson_ray.stages.shuffle import global_topk
+
+    rd = _rd()
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        ks = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({"doc_id": t["doc_id"],
+                         "shuffle_key": pa.array(ks, pa.string())})
+
+    keyed = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+             .map_batches(key, batch_format="pyarrow"))
+    return global_topk(keyed, ["shuffle_key", "doc_id"],
+                       [False, False], k)
+
+
+ORACLE_CORPUS_SHUFFLE_HEAD = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id LIMIT 100
+"""
+
+
 # ===================================== Misra-Gries heavy hitters
 
 def q_mg_heavy_hitters(sf_dir: str):
@@ -1552,6 +1703,10 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
     QUERIES["cms_join_size"] = q_cms_join_size  # no oracle BY DESIGN
     QUERIES["window_join_counts"] = q_window_join_counts
     ORACLES["window_join_counts"] = ORACLE_WINDOW_JOIN_COUNTS
+    QUERIES["kg_ppr"] = q_kg_ppr
+    ORACLES["kg_ppr"] = _ppr_oracle(kg_body)
+    QUERIES["corpus_shuffle_head"] = q_corpus_shuffle_head
+    ORACLES["corpus_shuffle_head"] = ORACLE_CORPUS_SHUFFLE_HEAD
     QUERIES["merge_upsert"] = q_merge_upsert
     ORACLES["merge_upsert"] = ORACLE_MERGE_UPSERT
     QUERIES["scd2_intervals"] = q_scd2_intervals
