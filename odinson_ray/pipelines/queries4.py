@@ -1630,6 +1630,97 @@ SELECT v AS entity, round(r, 6) AS ppr FROM r2
 """
 
 
+# ===================================== SCC of the seed entity
+
+def q_kg_scc_seed(sf_dir: str, max_rounds: int = 50):
+    """The strongly-connected component containing the seed entity
+    (max-out-degree, ties lexicographic — the kg_bfs_levels seed):
+    forward-reachable ∩ backward-reachable, each a BFS FIXPOINT
+    (frontier joins until empty, `max_rounds` runaway guard — the
+    label_propagation discipline). The forward-backward step is the
+    building block of distributed SCC (Fleischer-Hendrickson-Pinar);
+    full SCC decomposition recurses on the partition remainder. Oracle:
+    two recursive CTEs (DuckDB's UNION-distinct recursion terminates on
+    cycles) intersected."""
+    from ray.data.aggregate import Count
+
+    from odinson_ray.stages.shuffle import global_topk, hash_join
+
+    from .kg import triples_dataset
+
+    str_t = pa.string()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        e = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"]})
+        return pa.TableGroupBy(e, ["src", "dst"]).aggregate([])
+
+    edges = (triples_dataset(sf_dir)
+             .map_batches(to_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"])).materialize()
+    deg = edges.groupby("src").aggregate(Count(alias_name="d"))
+    seed_v = global_topk(deg, ["d", "src"], [True, False], 1) \
+        .to_pandas()["src"].iloc[0]
+
+    import ray.data as rdn
+
+    e_schema = pa.schema([("src", str_t), ("dst", str_t)])
+
+    def reach(direction: str):
+        frontier = rdn.from_arrow(pa.table({
+            "v": pa.array([seed_v], str_t)})).materialize()
+        visited = frontier
+        on, out = (("src", "dst") if direction == "fw" else ("dst", "src"))
+        for r in range(max_rounds):
+            nxt = hash_join(
+                frontier, edges, on="v", right_on=on,
+                left_schema=pa.schema([("v", str_t)]),
+                right_schema=e_schema)
+            nxt = nxt.map_batches(
+                lambda t, c=out: pa.TableGroupBy(
+                    pa.table({"v": t[c]}), ["v"]).aggregate([]),
+                batch_format="pyarrow")
+            nxt = (nxt.groupby("v").aggregate(Count(alias_name="_c"))
+                   .drop_columns(["_c"]))
+            fresh = hash_join(
+                nxt, visited, on="v", how="anti",
+                left_schema=pa.schema([("v", str_t)]),
+                right_schema=pa.schema([("v", str_t)])).materialize()
+            if fresh.count() == 0:
+                return visited
+            visited = visited.union(fresh).materialize()
+            frontier = fresh
+        raise RuntimeError(
+            f"reachability did not converge in {max_rounds} rounds")
+
+    fw, bw = reach("fw"), reach("bw")
+    scc = hash_join(fw, bw, on="v", how="semi",
+                    left_schema=pa.schema([("v", str_t)]),
+                    right_schema=pa.schema([("v", str_t)]))
+    return scc.map_batches(lambda t: pa.table({"entity": t["v"]}),
+                           batch_format="pyarrow")
+
+
+def _scc_oracle(body: str) -> str:
+    return f"""
+WITH RECURSIVE trip AS ({body}),
+edges AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst FROM trip),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+seed AS (SELECT src AS v FROM deg ORDER BY d DESC, src LIMIT 1),
+fw(v) AS (
+  SELECT v FROM seed
+  UNION
+  SELECT e.dst FROM fw JOIN edges e ON e.src = fw.v
+),
+bw(v) AS (
+  SELECT v FROM seed
+  UNION
+  SELECT e.src FROM bw JOIN edges e ON e.dst = bw.v
+)
+SELECT fw.v AS entity FROM fw JOIN bw ON bw.v = fw.v
+"""
+
+
 # ===================================== deterministic corpus shuffle
 
 def q_corpus_shuffle_head(sf_dir: str, k: int = 100):
@@ -1707,6 +1798,8 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
     ORACLES["kg_ppr"] = _ppr_oracle(kg_body)
     QUERIES["corpus_shuffle_head"] = q_corpus_shuffle_head
     ORACLES["corpus_shuffle_head"] = ORACLE_CORPUS_SHUFFLE_HEAD
+    QUERIES["kg_scc_seed"] = q_kg_scc_seed
+    ORACLES["kg_scc_seed"] = _scc_oracle(kg_body)
     QUERIES["merge_upsert"] = q_merge_upsert
     ORACLES["merge_upsert"] = ORACLE_MERGE_UPSERT
     QUERIES["scd2_intervals"] = q_scd2_intervals
