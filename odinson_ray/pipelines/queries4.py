@@ -982,7 +982,7 @@ def q_source_token_share(sf_dir: str):
               .map_batches(partial, batch_format="pyarrow")
               .groupby("source").aggregate(Sum("pn", alias_name="n_tokens"))
               ).materialize()
-    total = int(counts.sum("n_tokens"))  # driver scalar
+    total = int(counts.sum("n_tokens") or 0)  # None on an empty corpus
 
     def report(t: pa.Table) -> pa.Table:
         n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -1384,7 +1384,7 @@ def q_collocations_llr(sf_dir: str, min_count: int = 5):
           .groupby("w").aggregate(Sum("pn", alias_name="n1")))
     n2 = (bigrams.map_batches(right_marg, batch_format="pyarrow")
           .groupby("w").aggregate(Sum("pn", alias_name="n2")))
-    n_total = int(bigrams.sum("k11"))  # driver scalar
+    n_total = int(bigrams.sum("k11") or 0)  # driver scalar; None if empty
 
     freq = bigrams.map_batches(
         lambda t: t.filter(pc.greater_equal(t["k11"], min_count)),
@@ -1470,6 +1470,13 @@ def q_pca_topcomp(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        if x.size == 0:  # empty block: contribute nothing
+            return pa.table({
+                "_g": pa.array([], pa.int32()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.float64())),
+                "ss": pa.array([], pa.list_(pa.float64())),
+            })
         s = x.sum(axis=0)
         ss = np.einsum("ni,nj->ij", x, x)
         salt = int.from_bytes(_hl.md5(s.tobytes()).digest()[:4],
@@ -1498,6 +1505,10 @@ def q_pca_topcomp(sf_dir: str):
                  lambda t: merge(t.drop_columns(["_g"])),
                  batch_format="pyarrow")
              .to_pandas())
+    if len(parts) == 0:  # empty corpus: no components to report
+        return pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                             "loading": pd.Series([], dtype="float64"),
+                             "eigenvalue": pd.Series([], dtype="float64")})
     n = int(parts["n"].sum())
     s = np.asarray(parts["s"].tolist(), dtype=np.float64).sum(axis=0)
     ss = np.asarray(parts["ss"].tolist(), dtype=np.float64).sum(axis=0)
