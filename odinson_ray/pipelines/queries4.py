@@ -299,8 +299,11 @@ def q_tpch_q3(sf_dir: str):
         def semi_filter(t: pa.Table) -> pa.Table:
             k = ray.get(keys_ref)
             ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(k, ck)
-            hit = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == ck)
+            if len(k) == 0:  # empty segment: nothing survives the semi
+                hit = np.zeros(len(ck), dtype=bool)
+            else:
+                pos = np.searchsorted(k, ck)
+                hit = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == ck)
             return t.filter(pa.array(hit)).select(
                 ["o_orderkey", "o_orderdate"])
 
