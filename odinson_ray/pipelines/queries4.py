@@ -171,12 +171,13 @@ def q_scd2_intervals(sf_dir: str, parts: int = 256):
         d = g["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         p = g["o_orderpriority"].to_numpy(zero_copy_only=False)
         n = len(c)
-        if n == 0:
+        if n == 0:  # schema must match the live branch (incl. _same)
             return pa.table({
                 "o_custkey": pa.array([], pa.int64()),
                 "priority": pa.array([], pa.string()),
                 "valid_from": pa.array([], pa.timestamp("us")),
                 "valid_to": pa.array([], pa.timestamp("us")),
+                "_same": pa.array([], pa.bool_()),
                 "n_orders": pa.array([], pa.int64()),
             })
         new_key = np.empty(n, dtype=bool)
@@ -368,6 +369,53 @@ ORDER BY rev_cents DESC, o_orderkey LIMIT 10
 """
 
 
+# ---------------------------------- shared directed-KG helpers
+
+def _kg_directed_edges(sf_dir: str):
+    """Distinct DIRECTED (src, dst) edges of the canonical triple graph,
+    materialized — the shared front end of kg_hits/kg_ppr/kg_scc_seed
+    (the directed twin of queries2._kg_edges)."""
+    from ray.data.aggregate import Count
+
+    from .kg import triples_dataset
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        e = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"]})
+        return pa.TableGroupBy(e, ["src", "dst"]).aggregate([])
+
+    return (triples_dataset(sf_dir)
+            .map_batches(to_edges, batch_format="pyarrow")
+            .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"])).materialize()
+
+
+def _kg_seed(edges) -> str:
+    """Deterministic seed entity: max out-degree, ties lexicographic —
+    the ONE seed rule shared by kg_bfs_levels/kg_ppr/kg_scc_seed (and
+    mirrored by their oracles' ORDER BY d DESC, src LIMIT 1)."""
+    from ray.data.aggregate import Count
+
+    from odinson_ray.stages.shuffle import global_topk
+
+    deg = edges.groupby("src").aggregate(Count(alias_name="d"))
+    return global_topk(deg, ["d", "src"], [True, False], 1) \
+        .to_pandas()["src"].iloc[0]
+
+
+def _kg_vertices(edges):
+    """Distinct endpoint set (column v) of a (src, dst) edge Dataset."""
+    from ray.data.aggregate import Count
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays([t["src"].combine_chunks(),
+                              t["dst"].combine_chunks()])
+        return pa.TableGroupBy(pa.table({"v": v}), ["v"]).aggregate([])
+
+    return (edges.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("v").aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"])).materialize()
+
+
 # ===================================== HITS link analysis
 
 def q_kg_hits(sf_dir: str, iters: int = 2):
@@ -380,33 +428,21 @@ def q_kg_hits(sf_dir: str, iters: int = 2):
     driver values are the normalization scalars (one float per step).
     Scores rounded to 6dp (normalized ratios of double sums — the gnn/
     pagerank comparison idiom)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from odinson_ray.stages.shuffle import hash_join
 
-    from .kg import triples_dataset
-
     str_t, f64 = pa.string(), pa.float64()
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        e = pa.table({"s": t["subj_canon"], "o": t["obj_canon"]})
-        e = e.filter(pc.not_equal(e["s"], e["o"]))
-        return pa.TableGroupBy(e, ["s", "o"]).aggregate([])
-
-    edges = (triples_dataset(sf_dir)
-             .map_batches(to_edges, batch_format="pyarrow")
-             .groupby(["s", "o"]).aggregate(Count(alias_name="_c"))
-             .drop_columns(["_c"])).materialize()  # consumed 2x/iter
+    edges = _kg_directed_edges(sf_dir).map_batches(
+        lambda t: pa.table({"s": t["src"], "o": t["dst"]}).filter(
+            pc.not_equal(t["src"], t["dst"])),
+        batch_format="pyarrow").materialize()  # consumed 2x/iter
     e_schema = pa.schema([("s", str_t), ("o", str_t)])
 
-    def endpoints(t: pa.Table) -> pa.Table:
-        v = pa.concat_arrays([t["s"].combine_chunks(),
-                              t["o"].combine_chunks()])
-        return pa.TableGroupBy(pa.table({"v": v}), ["v"]).aggregate([])
-
-    nodes = (edges.map_batches(endpoints, batch_format="pyarrow")
-             .groupby("v").aggregate(Count(alias_name="_c"))
-             .drop_columns(["_c"])).materialize()
+    nodes = _kg_vertices(edges.map_batches(
+        lambda t: pa.table({"src": t["s"], "dst": t["o"]}),
+        batch_format="pyarrow"))
     x_schema = pa.schema([("v", str_t), ("x", f64)])
 
     def normalize(raw):
@@ -1229,7 +1265,7 @@ def q_kg_edge_support(sf_dir: str):
     triangle-free edges report 0."""
     from ray.data.aggregate import Sum
 
-    from odinson_ray.stages.graph import orient_by_degree
+    from odinson_ray.stages.graph import orient_by_degree, oriented_wedges
     from odinson_ray.stages.shuffle import hash_join
 
     from .queries2 import _kg_edges
@@ -1237,31 +1273,9 @@ def q_kg_edge_support(sf_dir: str):
     str_t = pa.string()
     edges = _kg_edges(sf_dir).materialize()  # orientation + final join
     oriented = orient_by_degree(edges).materialize()
-
-    ab = oriented.map_batches(
-        lambda t: pa.table({"src": t["src"], "b": t["dst"], "db": t["dd"]}),
-        batch_format="pyarrow")
-    ac = oriented.map_batches(
-        lambda t: pa.table({"src": t["src"], "c": t["dst"], "dc": t["dd"]}),
-        batch_format="pyarrow")
-
-    def keep_ranked(t: pa.Table) -> pa.Table:
-        mask = pc.or_(
-            pc.less(t["db"], t["dc"]),
-            pc.and_(pc.equal(t["db"], t["dc"]), pc.less(t["b"], t["c"])))
-        t = t.filter(mask)
-        return pa.table({
-            "k": pc.binary_join_element_wise(t["b"], t["c"], "\x1f"),
-            "a": t["src"], "b": t["b"], "c": t["c"],
-        })
-
-    wedges = hash_join(
-        ab, ac, on="src",
-        left_schema=pa.schema([("src", str_t), ("b", str_t),
-                               ("db", pa.int64())]),
-        right_schema=pa.schema([("src", str_t), ("c", str_t),
-                                ("dc", pa.int64())]),
-        merge_post=keep_ranked)
+    # centered wedges from the ONE shared enumerator (the rank tie-break
+    # invariant lives in stages/graph.oriented_wedges)
+    wedges = oriented_wedges(oriented, keep_center=True)
 
     closed = hash_join(
         wedges,
@@ -1543,32 +1557,14 @@ def q_kg_ppr(sf_dir: str, iters: int = 2, damping: float = 0.85):
     iterations ⇒ unrolled SQL oracle."""
     from ray.data.aggregate import Count, Sum
 
-    from odinson_ray.stages.shuffle import global_topk, hash_join
-
-    from .kg import triples_dataset
+    from odinson_ray.stages.shuffle import hash_join
 
     str_t, f64 = pa.string(), pa.float64()
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        e = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"]})
-        return pa.TableGroupBy(e, ["src", "dst"]).aggregate([])
-
-    edges = (triples_dataset(sf_dir)
-             .map_batches(to_edges, batch_format="pyarrow")
-             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-             .drop_columns(["_c"])).materialize()
+    edges = _kg_directed_edges(sf_dir)
     deg = edges.groupby("src").aggregate(Count(alias_name="d"))
-    seed_v = global_topk(deg, ["d", "src"], [True, False], 1) \
-        .to_pandas()["src"].iloc[0]
-
-    def endpoints(t: pa.Table) -> pa.Table:
-        v = pa.concat_arrays([t["src"].combine_chunks(),
-                              t["dst"].combine_chunks()])
-        return pa.TableGroupBy(pa.table({"v": v}), ["v"]).aggregate([])
-
-    nodes = (edges.map_batches(endpoints, batch_format="pyarrow")
-             .groupby("v").aggregate(Count(alias_name="_c"))
-             .drop_columns(["_c"])).materialize()
+    seed_v = _kg_seed(edges)
+    nodes = _kg_vertices(edges)
 
     e_schema = pa.schema([("src", str_t), ("dst", str_t)])
     d_schema = pa.schema([("src", str_t), ("d", pa.int64())])
@@ -1658,23 +1654,12 @@ def q_kg_scc_seed(sf_dir: str, max_rounds: int = 50):
     cycles) intersected."""
     from ray.data.aggregate import Count
 
-    from odinson_ray.stages.shuffle import global_topk, hash_join
-
-    from .kg import triples_dataset
+    from odinson_ray.stages.shuffle import hash_join
 
     str_t = pa.string()
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        e = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"]})
-        return pa.TableGroupBy(e, ["src", "dst"]).aggregate([])
-
-    edges = (triples_dataset(sf_dir)
-             .map_batches(to_edges, batch_format="pyarrow")
-             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-             .drop_columns(["_c"])).materialize()
-    deg = edges.groupby("src").aggregate(Count(alias_name="d"))
-    seed_v = global_topk(deg, ["d", "src"], [True, False], 1) \
-        .to_pandas()["src"].iloc[0]
+    edges = _kg_directed_edges(sf_dir)
+    seed_v = _kg_seed(edges)
 
     import ray.data as rdn
 

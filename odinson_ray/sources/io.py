@@ -166,11 +166,16 @@ def read_parquet_evolved(paths, target_schema=None, columns=None):
         return pa.table(dict(zip(target_schema.names, cols)))
 
     # one read per schema-compatible file; conform per batch (cheap:
-    # null columns are lazily allocated, casts are usually no-ops)
-    datasets = [
-        read_parquet_clean(p).map_batches(conform, batch_format="pyarrow")
-        for p in paths
-    ]
+    # null columns are lazily allocated, casts are usually no-ops).
+    # Project each read to the columns the file actually has ∩ the
+    # target — column pruning at the I/O layer, the point of parquet
+    datasets = []
+    for p in paths:
+        have = set(pq.read_schema(p).names)
+        cols = [c for c in target_schema.names if c in have]
+        datasets.append(
+            read_parquet_clean(p, columns=cols or None).map_batches(
+                conform, batch_format="pyarrow"))
     out = datasets[0]
     for d in datasets[1:]:
         out = out.union(d)

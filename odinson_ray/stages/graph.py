@@ -74,11 +74,17 @@ def orient_by_degree(edges, degrees=None):
     return e2.map_batches(orient, batch_format="pyarrow")
 
 
-def oriented_wedges(oriented):
-    """Wedge Dataset (b, c) from an oriented (src, dst, dd) Dataset: all
+def oriented_wedges(oriented, keep_center: bool = False):
+    """Wedge Dataset from an oriented (src, dst, dd) Dataset: all
     out-neighbor pairs of each vertex with rank(b) < rank(c). The rank
     filter runs INSIDE the join reducer (merge_post) so only the kept
-    half of each group's pair matrix leaves the task."""
+    half of each group's pair matrix leaves the task.
+
+    ``keep_center=False`` → columns (b, c); ``keep_center=True`` →
+    (k, a, b, c) with k = b+SEP+c ready for the closing semi-join —
+    the single source of the degree-then-name tie-break invariant
+    (must stay consistent with orient_by_degree's lo<=hi convention)
+    for triangle_count, triangles_per_vertex and edge-support callers."""
     from .shuffle import hash_join
 
     ab = oriented.map_batches(
@@ -92,7 +98,13 @@ def oriented_wedges(oriented):
         mask = pc.or_(
             pc.less(t["db"], t["dc"]),
             pc.and_(pc.equal(t["db"], t["dc"]), pc.less(t["b"], t["c"])))
-        return t.filter(mask).select(["b", "c"])
+        t = t.filter(mask)
+        if not keep_center:
+            return t.select(["b", "c"])
+        return pa.table({
+            "k": pc.binary_join_element_wise(t["b"], t["c"], "\x1f"),
+            "a": t["src"], "b": t["b"], "c": t["c"],
+        })
 
     return hash_join(
         ab, ac, on="src",
@@ -146,29 +158,7 @@ def triangles_per_vertex(edges):
     from .shuffle import hash_join
 
     oriented = orient_by_degree(edges).materialize()
-
-    ab = oriented.map_batches(
-        lambda t: pa.table({"src": t["src"], "b": t["dst"], "db": t["dd"]}),
-        batch_format="pyarrow")
-    ac = oriented.map_batches(
-        lambda t: pa.table({"src": t["src"], "c": t["dst"], "dc": t["dd"]}),
-        batch_format="pyarrow")
-
-    def keep_ranked(t: pa.Table) -> pa.Table:
-        mask = pc.or_(
-            pc.less(t["db"], t["dc"]),
-            pc.and_(pc.equal(t["db"], t["dc"]), pc.less(t["b"], t["c"])))
-        t = t.filter(mask)
-        return pa.table({
-            "k": pc.binary_join_element_wise(t["b"], t["c"], "\x1f"),
-            "a": t["src"], "b": t["b"], "c": t["c"],
-        })
-
-    wedges = hash_join(
-        ab, ac, on="src",
-        left_schema=pa.schema([("src", _STR), ("b", _STR), ("db", pa.int64())]),
-        right_schema=pa.schema([("src", _STR), ("c", _STR), ("dc", pa.int64())]),
-        merge_post=keep_ranked)
+    wedges = oriented_wedges(oriented, keep_center=True)
 
     def edge_key(t: pa.Table) -> pa.Table:
         return pa.table({"k": pc.binary_join_element_wise(t["src"], t["dst"], "\x1f")})

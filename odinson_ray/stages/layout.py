@@ -349,6 +349,10 @@ def zorder_layout(src_parquet: str, col_x: str, col_y: str, columns,
         Min("x"), Max("x"), Min("y"), Max("y"))
     x0, x1 = stats["min(x)"], stats["max(x)"]
     y0, y1 = stats["min(y)"], stats["max(y)"]
+    if x0 is None or y0 is None:  # empty source: publish an empty layout
+        with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+            json.dump({"col_x": col_x, "col_y": col_y, "files": []}, fh)
+        return _atomic_publish(tmp, out)
     xs = max(x1 - x0, 1)
     ys = max(y1 - y0, 1)
 

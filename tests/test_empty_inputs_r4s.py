@@ -59,3 +59,15 @@ def test_empty_corpus_yields_empty(empty_sf, qname):
         assert n <= 1  # a single zero-count row is acceptable
     else:
         assert n == 0
+
+
+def test_zorder_empty_source(empty_sf, monkeypatch, tmp_path):
+    monkeypatch.setenv("ODINSON_RAY_ANN_CACHE", str(tmp_path / "cache"))
+    import odinson_ray.stages.layout as layout
+
+    monkeypatch.setattr(layout, "_CACHE_ROOT", str(tmp_path / "cache"))
+    from odinson_ray.pipelines.queries4 import q_zorder_range_agg
+
+    r = q_zorder_range_agg(empty_sf)
+    df = r.to_pandas() if hasattr(r, "to_pandas") else r
+    assert int(df["n"].iloc[0]) == 0 and int(df["cents"].iloc[0]) == 0
