@@ -168,7 +168,8 @@ def q_scd2_intervals(sf_dir: str, parts: int = 256):
                                           ("o_orderkey", "ascending")])
         g = g.take(o)
         c = g["o_custkey"].to_numpy(zero_copy_only=False)
-        d = g["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = g["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)  # unit-normalized
         p = g["o_orderpriority"].to_numpy(zero_copy_only=False)
         n = len(c)
         if n == 0:  # schema must match the live branch (incl. _same)
@@ -281,7 +282,8 @@ def q_tpch_q3(sf_dir: str):
         batch_format="pyarrow").materialize()  # counted, then consumed
 
     def orders_filter(t: pa.Table) -> pa.Table:
-        d = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
         return t.filter(pa.array(d < CUT))
 
     orders = rd.read_parquet(
@@ -319,7 +321,8 @@ def q_tpch_q3(sf_dir: str):
         ).select_columns(["o_orderkey", "o_orderdate"])
 
     def li_filter(t: pa.Table) -> pa.Table:
-        d = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t["l_shipdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
         t = t.filter(pa.array(d > CUT))
         cents = pc.cast(pc.floor(pc.add(pc.multiply(pc.multiply(
             t["l_extendedprice"],
@@ -800,7 +803,8 @@ def q_zorder_range_agg(sf_dir: str):
 
     def residual(t: pa.Table) -> pa.Table:
         ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        d = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
         keep = (ck >= X_LO) & (ck < X_HI) & (d >= Y_LO) & (d < Y_HI)
         t = t.filter(pa.array(keep))
         cents = pc.cast(pc.floor(pc.add(pc.multiply(
@@ -856,7 +860,8 @@ def q_late_events(sf_dir: str, lateness_h: int = 1):
     def project(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy(zero_copy_only=False)
         jit_s = ((eid % 1_000_003) * 99_991) % 7200
-        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table({
             "event_id": t["event_id"],
             "ts_us": pa.array(ts - jit_s * 1_000_000, pa.int64()),
