@@ -1855,7 +1855,7 @@ def q_range_join_clicks(sf_dir: str):
     DELTA_US = 5 * 60 * 1_000_000
 
     def prep(t: pa.Table) -> pa.Table:
-        ts = t["ts"].cast(pa.int64())
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
         base = pa.table({
             "ts": ts,
             "event_id": t["event_id"],
@@ -2862,7 +2862,8 @@ def q_event_gaps(sf_dir: str):
                              "user_id": pa.array([], pa.int64()),
                              "gap_us": pa.array([], pa.int64())})
         u = g["user_id"].to_numpy(zero_copy_only=False)
-        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
         gap = np.empty(n, dtype=np.int64)
         gap[0] = -1
         gap[1:] = np.where(u[1:] == u[:-1], ts[1:] - ts[:-1], -1)
@@ -3626,7 +3627,7 @@ def q_funnel_users(sf_dir: str, a: str = "view", b: str = "purchase"):
                          columns=["user_id", "ts", "event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
-        tsv = pc.cast(t["ts"], pa.int64())
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
         base = pa.table({
             "user_id": t["user_id"],
             "_a": pc.if_else(pc.equal(t["event_type"], a), tsv,
@@ -5264,7 +5265,8 @@ def q_decayed_value(sf_dir: str):
     lam = np.log(2.0) / 7.0  # per-day decay, 7-day half-life
 
     def partial(t: pa.Table) -> pa.Table:
-        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
         age_days = (ref_us - ts) / 86400000000.0
         w = t["value"].to_numpy(zero_copy_only=False) * np.exp(-lam * age_days)
         s = pa.table({"event_type": t["event_type"],
@@ -5538,7 +5540,8 @@ def q_cohort_retention(sf_dir: str):
     P, W = 256, 1 << 20
 
     def proj(t: pa.Table) -> pa.Table:
-        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
         week = us // 1_000_000 // 86_400 // 7
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         comp = np.unique(uid * W + week)

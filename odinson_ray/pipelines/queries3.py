@@ -293,7 +293,8 @@ def q_twap_value(sf_dir: str):
         if n == 0:
             return empty
         u = g["user_id"].to_numpy(zero_copy_only=False)
-        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
         v = g["value"].to_numpy(zero_copy_only=False)
         same = np.zeros(n, dtype=bool)
         same[:-1] = u[1:] == u[:-1]  # row i pairs with its successor

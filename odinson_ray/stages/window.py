@@ -37,7 +37,8 @@ ASOF_PARTITIONS = 1024
 
 
 def _with_bucket(t: pa.Table, ts: str, bucket_s: int) -> pa.Table:
-    epoch = pc.divide(pc.cast(t[ts], pa.int64()), 1_000_000)  # us -> s
+    epoch = pc.divide(pc.cast(pc.cast(t[ts], pa.timestamp("us")),
+                             pa.int64()), 1_000_000)  # any unit -> s
     bucket = pc.multiply(pc.divide(epoch, bucket_s), bucket_s)  # floor div
     t = t.append_column("_bucket", pc.cast(bucket, pa.int64()))
     if t.schema.metadata:
@@ -126,7 +127,7 @@ def session_spans(ds, key: str = "user_id", ts: str = "ts",
         return pa.table({
             key: t[key],
             "_bucket": t["_bucket"],
-            "_ts": pc.cast(t[ts], pa.int64()),
+            "_ts": pc.cast(pc.cast(t[ts], pa.timestamp("us")), pa.int64()),
             "_p": pa.array(p, pa.int64()),
         })
 
