@@ -2731,11 +2731,16 @@ def q_fuzzy_word_pairs(sf_dir: str):
     SymSpell-shaped: each word blocks on itself plus every
     single-character deletion (exact recall for d<=1 — a substitution
     shares a deletion key, an insertion's longer word deletes down to
-    the shorter), groupby(key) emits candidate pairs, and an exact
-    verify filters. The shuffle key is the deletion fingerprint — the
-    full vocabulary never cross-products."""
+    the shorter), fingerprint-blocked candidates pair inside coarse
+    hash(key) partitions (tiny-group rule, r4 sweep — one group per
+    fingerprint would dispatch one task per vocabulary variant), and an
+    exact verify filters. The shuffle key is the deletion fingerprint —
+    the full vocabulary never cross-products."""
     rd = _rd()
     from ray.data.aggregate import Count
+    from odinson_ray.stages.sketch import _splitmix64
+
+    PARTS = 256
 
     def vocab(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["p_name"], " ")
@@ -2760,21 +2765,52 @@ def q_fuzzy_word_pairs(sf_dir: str):
         return pa.table({"k": pa.array(keys, pa.string()),
                          "w": pa.array(ws, pa.string())})
 
-    def pairs(g: pa.Table) -> pa.Table:
-        ws = sorted(set(g["w"].to_pylist()))
+    def add_part(t: pa.Table) -> pa.Table:
+        import zlib
+        h = np.array([zlib.crc32(x.encode()) for x in t["k"].to_pylist()],
+                     dtype=np.uint64)
+        p = (_splitmix64(h) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def pairs_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        o = pc.sort_indices(g, sort_keys=[("k", "ascending"),
+                                          ("w", "ascending")])
+        g = g.take(o)
+        nrow = g.num_rows
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())})
+        if nrow == 0:
+            return empty
+        ks = np.asarray(g["k"].to_pylist(), dtype=object)
+        ws = np.asarray(g["w"].to_pylist(), dtype=object)
+        # drop (k, w) duplicates, find fingerprint runs
+        newr = np.ones(nrow, dtype=bool)
+        newr[1:] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
+        ks, ws = ks[newr], ws[newr]
+        newk = np.ones(len(ks), dtype=bool)
+        newk[1:] = ks[1:] != ks[:-1]
+        bounds = np.append(np.flatnonzero(newk), len(ks))
         a: list = []
         b: list = []
-        for i, x in enumerate(ws):
-            for y in ws[i + 1:]:
-                if _lev_le1(x, y):
-                    a.append(x)
-                    b.append(y)
+        for i in range(len(bounds) - 1):
+            s_, e_ = bounds[i], bounds[i + 1]
+            run = ws[s_:e_]
+            for x_i in range(len(run)):
+                x = run[x_i]
+                for y in run[x_i + 1:]:
+                    if _lev_le1(x, y):
+                        a.append(x)
+                        b.append(y)
         return pa.table({"a": pa.array(a, pa.string()),
                          "b": pa.array(b, pa.string())})
 
     cand = (
         words.map_batches(expand, batch_format="pyarrow")
-        .groupby("k").map_groups(pairs, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda g: pairs_partition(g.drop_columns(["_p"])),
+                    batch_format="pyarrow")
     )
     # a pair can collide under several deletion keys: dedup
     return (
@@ -2800,25 +2836,44 @@ ORACLES["fuzzy_word_pairs"] = ORACLE_FUZZY_WORD_PAIRS
 
 def q_user_event_history(sf_dir: str):
     """Per-user ordered event history (collect_list/string_agg class):
-    event ids concatenated in (ts, event_id) order. One group = one task
-    (the sessionize skew bound: user-keyed groups are small); the sort
-    is per group, never global."""
-    rd = _rd()
+    event ids concatenated in (ts, event_id) order. Segmented over coarse
+    hash(user) partitions (tiny-group rule, r4 sweep): ONE sort per
+    partition, one pandas run-grouped join per partition — per-user
+    map_groups would dispatch one task per user."""
+    from odinson_ray.stages.sketch import _splitmix64
 
-    def history(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+    rd = _rd()
+    PARTS = 512
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(u) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def history_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending"),
                                             ("event_id", "ascending")])
-        ev = pc.cast(g["event_id"].take(idx), pa.string())
+        g = g.take(idx)
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "history": pa.array([], pa.string())})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ev = pc.cast(g["event_id"], pa.string()).to_pandas()
+        joined = ev.groupby(u, sort=True).agg(",".join)
         return pa.table({
-            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-            "history": pa.array([",".join(ev.to_pylist())], pa.string()),
+            "user_id": pa.array(joined.index.to_numpy(), pa.int64()),
+            "history": pa.array(joined.to_numpy(), pa.string()),
         })
 
     return (
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["user_id", "ts", "event_id"])
-        .groupby("user_id")
-        .map_groups(history, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda g: history_partition(g.drop_columns(["_p"])),
+                    batch_format="pyarrow")
     )
 
 
@@ -3436,9 +3491,11 @@ def q_doc_perplexity(sf_dir: str):
     rounded to 6dp (docs with < 2 tokens drop out).
 
     Fully distributed, NO model on the driver (the tfidf join-path shape):
-    bigram-count partials groupby the HEAD token, so each reducer sees
-    one head's (next, count) rows and computes both c_bg and c_head =
-    sum(c_bg) in the same task — no separate head-count join. Per-doc
+    bigram-count partials shuffle on coarse hash(head) partitions (the
+    tiny-group rule, r4 sweep — one group per head would dispatch one
+    task per vocabulary word); every head's rows land whole in one
+    partition, where two in-task Arrow groupbys + one in-task join
+    produce (bg, c_bg, c_head) with no cross-partition traffic. Per-doc
     distinct-bigram rows then hash-join the (bg, c_bg, c_head) model
     Dataset on the composite key; per-group (doc_id, sum_nll, n)
     partials come out of the join reducer and one groupby(doc_id)
@@ -3481,22 +3538,41 @@ def q_doc_perplexity(sf_dir: str):
                             ["head", "next"]).aggregate([([], "count_all")])
         return rename_agg(g, ["head", "next"], ["head", "next", "partial_n"])
 
-    def head_group(g: pa.Table) -> pa.Table:
-        """One head's partial rows -> (bg, c_bg, c_head)."""
-        agg = pa.TableGroupBy(g.select(["next", "partial_n"]),
-                              ["next"]).aggregate([("partial_n", "sum")])
-        agg = rename_agg(agg, ["next"], ["next", "c_bg"])
-        total = pc.sum(agg["c_bg"]).as_py() or 0
-        head = pa.array([g["head"][0].as_py()] * agg.num_rows, pa.string())
+    MODEL_PARTS = 512
+
+    def add_head_part(t: pa.Table) -> pa.Table:
+        import zlib
+        h = np.array([zlib.crc32(x.encode()) for x in t["head"].to_pylist()],
+                     dtype=np.int64)
+        return t.append_column("_p", pa.array(h % MODEL_PARTS, pa.int64()))
+
+    def model_partition(g: pa.Table) -> pa.Table:
+        """One coarse partition of heads -> (bg, c_bg, c_head) rows."""
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "c_bg": pa.array([], pa.int64()),
+                             "c_head": pa.array([], pa.int64())})
+        agg = pa.TableGroupBy(g.select(["head", "next", "partial_n"]),
+                              ["head", "next"]).aggregate([("partial_n", "sum")])
+        agg = rename_agg(agg, ["head", "next"], ["head", "next", "c_bg"])
+        hd = pa.TableGroupBy(agg.select(["head", "c_bg"]),
+                             ["head"]).aggregate([("c_bg", "sum")])
+        hd = rename_agg(hd, ["head"], ["head", "c_head"])
+        j = agg.join(hd, keys="head").combine_chunks()
         return pa.table({
-            "bg": pc.binary_join_element_wise(head, agg["next"], SEP),
-            "c_bg": agg["c_bg"],
-            "c_head": pa.array(np.full(agg.num_rows, total, dtype=np.int64)),
+            "bg": pc.binary_join_element_wise(j["head"].combine_chunks(),
+                                              j["next"].combine_chunks(), SEP),
+            "c_bg": j["c_bg"],
+            "c_head": j["c_head"],
         })
 
     model_full = (
         docs.map_batches(model_partial, batch_format="pyarrow")
-        .groupby("head").map_groups(head_group, batch_format="pyarrow")
+        .map_batches(add_head_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda g: model_partition(g.drop_columns(["_p"])),
+                    batch_format="pyarrow")
     )
 
     def doc_rows(t: pa.Table) -> pa.Table:
@@ -3884,20 +3960,55 @@ def q_line_dedup(sf_dir: str):
             "line": pa.array(joined.to_numpy(), pa.string()),
         })
 
-    def keep_first(g: pa.Table) -> pa.Table:
+    # keep-first per distinct line is argmin over (doc_id, line_no): a
+    # PURE aggregate on one packed order key (tiny-group rule, r4 sweep —
+    # one group per distinct line would dispatch one task per line).
+    # LN_CAP bounds lines/doc at 4M (40M space-split tokens); doc_id must
+    # stay under 2^41 for the pack to fit int64.
+    LN_CAP = 1 << 22
+    from ray.data.aggregate import Min
+    from odinson_ray.stages.sketch import _splitmix64
+    PARTS = 512
+
+    def pack(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        ln = t["line_no"].to_numpy(zero_copy_only=False)
+        if len(ln) and int(ln.max()) >= LN_CAP:
+            raise ValueError("line_no exceeds LN_CAP pack bound")
+        return pa.table({"line": t["line"],
+                         "okey": pa.array(d * LN_CAP + ln, pa.int64())})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ok = t["okey"].to_numpy(zero_copy_only=False)
+        d = ok // LN_CAP
+        p = (_splitmix64(d.astype(np.uint64)) % np.uint64(PARTS)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "line_no": pa.array(ok % LN_CAP, pa.int64()),
+                         "line": t["line"],
+                         "_p": pa.array(p, pa.int64())})
+
+    def reassemble_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
         idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending"),
                                             ("line_no", "ascending")])
-        return g.take(idx[:1])
-
-    def reassemble(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g["line_no"])
-        lines = g["line"].take(idx).to_pylist()
-        return pa.table({"doc_id": g["doc_id"].slice(0, 1),
-                         "text": pa.array([" ".join(lines)], pa.string())})
+        g = g.take(idx)
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        joined = g["line"].to_pandas().groupby(d, sort=True).agg(" ".join)
+        return pa.table({
+            "doc_id": pa.array(joined.index.to_numpy(), pa.int64()),
+            "text": pa.array(joined.to_numpy(), pa.string()),
+        })
 
     lines = docs.map_batches(to_lines, batch_format="pyarrow")
-    kept = lines.groupby("line").map_groups(keep_first, batch_format="pyarrow")
-    return kept.groupby("doc_id").map_groups(reassemble, batch_format="pyarrow")
+    kept = (lines.map_batches(pack, batch_format="pyarrow")
+            .groupby("line").aggregate(Min("okey", alias_name="okey"))
+            .map_batches(unpack, batch_format="pyarrow"))
+    return (kept.groupby("_p")
+            .map_groups(lambda g: reassemble_partition(g.drop_columns(["_p"])),
+                        batch_format="pyarrow"))
 
 
 ORACLE_LINE_DEDUP = """
@@ -4747,19 +4858,41 @@ def q_moving_avg(sf_dir: str, frame: int = 3):
     """Per-user moving average over the last ``frame`` events (SQL ROWS
     BETWEEN 2 PRECEDING AND CURRENT ROW) — the ROWS-frame cousin of
     event_gaps' LAG. Per-group sliding sums via one cumsum + shifted
-    difference (no Python loop); runs under the same per-user skew bound
-    as sessionize (user histories are session-scale, not corpus-scale)."""
-    rd = _rd()
+    difference (no Python loop). Segmented over coarse hash(user)
+    partitions (tiny-group rule, r4 sweep): ONE sort per partition, the
+    frame clamp folds the per-user reset in as max(i-frame+1, run_start)."""
+    from odinson_ray.stages.sketch import _splitmix64
 
-    def mavg(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+    rd = _rd()
+    PARTS = 512
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(u) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def mavg_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending"),
                                             ("event_id", "ascending")])
         g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "mavg3": pa.array([], pa.float64())})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
         v = g["value"].to_numpy(zero_copy_only=False)
+        i = np.arange(n)
+        # first row index of each user run, broadcast to every row
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = u[1:] != u[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, i, 0))
         c = np.concatenate(([0.0], np.cumsum(v)))
-        lo = np.maximum(np.arange(len(v)) - (frame - 1), 0)
-        s = c[1 + np.arange(len(v))] - c[lo]
-        k = np.arange(len(v)) - lo + 1
+        lo = np.maximum(i - (frame - 1), run_start)
+        s = c[i + 1] - c[lo]
+        k = i - lo + 1
         return pa.table({
             "event_id": g["event_id"],
             "mavg3": pa.array(np.round(s / k, 6), pa.float64()),
@@ -4768,8 +4901,10 @@ def q_moving_avg(sf_dir: str, frame: int = 3):
     return (
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["user_id", "ts", "event_id", "value"])
-        .groupby("user_id")
-        .map_groups(mavg, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda g: mavg_partition(g.drop_columns(["_p"])),
+                    batch_format="pyarrow")
     )
 
 
@@ -5026,20 +5161,45 @@ def q_neardup_keep_best(sf_dir: str):
             "partial_n": pa.array(runs, pa.int64()),
         })
 
-    def best_final(g: pa.Table) -> pa.Table:
+    # final per-group argmax + size over coarse hash(group) partitions
+    # (tiny-group rule, r4 sweep — one group per cluster would dispatch
+    # one task per cluster): ONE sort per partition, run-first pick and
+    # reduceat size sum
+    from odinson_ray.stages.sketch import _splitmix64
+    PARTS = 512
+
+    def add_part(t: pa.Table) -> pa.Table:
+        gid = t["group_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(gid) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def best_final_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
         idx = pc.sort_indices(g, sort_keys=[
-            ("kept_n_chars", "descending"), ("kept_doc_id", "ascending")])
-        top = g.take(idx[:1])
+            ("group_id", "ascending"), ("kept_n_chars", "descending"),
+            ("kept_doc_id", "ascending")])
+        g = g.take(idx)
+        if g.num_rows == 0:
+            return pa.table({"group_id": pa.array([], pa.int64()),
+                             "kept_doc_id": pa.array([], pa.int64()),
+                             "group_size": pa.array([], pa.int64())})
+        gid = g["group_id"].to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], gid[1:] != gid[:-1]))
+        starts = np.flatnonzero(first)
+        sizes = np.add.reduceat(
+            g["partial_n"].to_numpy(zero_copy_only=False), starts)
+        top = g.filter(pa.array(first))
         return pa.table({
             "group_id": top["group_id"],
             "kept_doc_id": top["kept_doc_id"],
-            "group_size": pa.array(
-                [int(pc.sum(g["partial_n"]).as_py())], pa.int64()),
+            "group_size": pa.array(sizes.astype(np.int64), pa.int64()),
         })
 
     return (joined.map_batches(best_partial, batch_format="pyarrow")
-            .groupby("group_id")
-            .map_groups(best_final, batch_format="pyarrow"))
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(lambda g: best_final_partition(g.drop_columns(["_p"])),
+                        batch_format="pyarrow"))
 
 
 ORACLE_NEARDUP_KEEP_BEST = """
@@ -5376,28 +5536,56 @@ def q_user_ewma(sf_dir: str, alpha: float = 0.3):
     """Per-user exponentially weighted moving average of value over
     (ts, event_id) order, reporting each user's final smoothed level —
     the classic online-feature recurrence s_t = a*v_t + (1-a)*s_{t-1}.
-    Inherently sequential per key, so it runs per group (the sessionize
-    skew bound) with pandas' C ewm kernel — no Python loop. RECURSIVE ->
-    no SQL oracle (DuckDB has no ewm); the pytest checks against pandas
-    groupby().ewm() directly."""
-    rd = _rd()
+    Inherently sequential per key; segmented over coarse hash(user)
+    partitions (tiny-group rule, r4 sweep): ONE sort per partition, then
+    pandas' grouped C ewm kernel over the whole partition (per-user reset
+    is native to groupby().ewm()) — no Python loop, no per-user dispatch.
+    RECURSIVE -> no SQL oracle (DuckDB has no ewm); the pytest checks
+    against pandas groupby().ewm() directly."""
+    from odinson_ray.stages.sketch import _splitmix64
 
-    def ewma(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+    rd = _rd()
+    PARTS = 512
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(u) % np.uint64(PARTS)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def ewma_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending"),
                                             ("event_id", "ascending")])
-        v = g["value"].take(idx).to_numpy(zero_copy_only=False)
-        s = pd.Series(v).ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        g = g.take(idx)
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "ewma": pa.array([], pa.float64())})
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(zero_copy_only=False),
+            "v": g["value"].to_numpy(zero_copy_only=False),
+        })
+        gb = df.groupby("u", sort=True)
+        sm = gb["v"].ewm(alpha=alpha, adjust=False).mean()
+        # rows are user-sorted, so each group's last smoothed value sits
+        # at the run end; tail(1) preserves group order
+        last = sm.groupby(level=0).tail(1).to_numpy()
+        users = np.asarray(sorted(gb.groups), dtype=np.int64)
+        n = gb.size().to_numpy()
         return pa.table({
-            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-            "n": pa.array([len(v)], pa.int64()),
-            "ewma": pa.array([round(float(s), 6)], pa.float64()),
+            "user_id": pa.array(users, pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "ewma": pa.array(np.round(last, 6), pa.float64()),
         })
 
     return (
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["user_id", "ts", "event_id", "value"])
-        .groupby("user_id")
-        .map_groups(ewma, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda g: ewma_partition(g.drop_columns(["_p"])),
+                    batch_format="pyarrow")
     )
 
 

@@ -806,23 +806,18 @@ def q_hard_negatives(sf_dir: str, n_anchors: int = 10, k: int = 3):
             "score": pa.array(np.asarray(out_s, dtype=np.float64)),
         })
 
-    def final_topk(g: pa.Table) -> pa.Table:
-        vids = np.asarray(g["neg_id"].to_pylist(), dtype=np.int64)
-        scores = np.asarray(g["score"].to_pylist(), dtype=np.float64)
-        order = np.lexsort((vids, -scores))[:k]
-        return pa.table({
-            "anchor_id": pc.take(g["anchor_id"], pa.array(order)),
-            "neg_id": pa.array(vids[order]),
-            "score": pa.array(scores[order]),
-        })
+    # final per-anchor top-k via grouped_topk: per-batch combiner + coarse
+    # segmented selection (tiny-group rule, r4 sweep — one group per
+    # anchor would dispatch one task per vector)
+    from odinson_ray.stages.shuffle import grouped_topk
 
-    return (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding", "label"])
-        .map_batches(score, batch_format="pyarrow")
-        .groupby("anchor_id")
-        .map_groups(final_topk, batch_format="pyarrow")
-    )
+    scored = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    ).map_batches(score, batch_format="pyarrow")
+    return grouped_topk(scored, by="anchor_id",
+                        cols=["score", "neg_id"],
+                        descending=[True, False], k=k)
 
 
 ORACLE_HARD_NEGATIVES = """
@@ -1654,26 +1649,33 @@ def q_kg_qa_pairs(sf_dir: str):
     negs = q_kg_negative_samples(sf_dir)
 
     def neg_wide_partial(t: pa.Table) -> pa.Table:
-        # key the <=2-row-per-triple negative stream; the wide pivot runs
-        # in the (tiny-group-by-construction) groupby below
+        # key the <=2-row-per-triple negative stream, packing attempt
+        # before neg_obj so attempt order is lexicographic (attempts are
+        # the single digits 1/2 by construction); the pivot is then PURE
+        # aggregates — Min = first-attempt row, Max = last — instead of
+        # one map_groups task per triple (tiny-group rule, r4 sweep)
         tk = pc.binary_join_element_wise(
             t["subj_canon"], t["pred"], t["obj_canon"], SEP)
-        return pa.table({"tk": tk, "attempt": t["attempt"],
-                         "neg_obj": t["neg_obj"]})
+        packed = pc.binary_join_element_wise(
+            pc.cast(t["attempt"], str_t), t["neg_obj"], SEP)
+        return pa.table({"tk": tk, "packed": packed})
 
     keyed = negs.map_batches(neg_wide_partial, batch_format="pyarrow")
 
-    def pivot(g: pa.Table) -> pa.Table:
-        o = pc.sort_indices(g, sort_keys=[("attempt", "ascending")])
-        g = g.take(o)
-        n = g.num_rows
-        d1 = g["neg_obj"][0].as_py() if n >= 1 else ""
-        d2 = g["neg_obj"][1].as_py() if n >= 2 else ""
-        return pa.table({"tk": pa.array([g["tk"][0].as_py()], str_t),
-                         "d1": pa.array([d1], str_t),
-                         "d2": pa.array([d2], str_t)})
+    from ray.data.aggregate import Max as RMax
 
-    wide = keyed.groupby("tk").map_groups(pivot, batch_format="pyarrow")
+    def unpack_wide(t: pa.Table) -> pa.Table:
+        first = pc.replace_substring_regex(t["_min"], r"^\d+\x1f", "")
+        last = pc.replace_substring_regex(t["_max"], r"^\d+\x1f", "")
+        # a single-attempt triple pivots to (d1, ""); min==max marks it
+        d2 = pc.if_else(pc.equal(t["_min"], t["_max"]),
+                        pa.array([""] * t.num_rows, str_t), last)
+        return pa.table({"tk": t["tk"], "d1": first, "d2": d2})
+
+    wide = (keyed.groupby("tk")
+            .aggregate(Min("packed", alias_name="_min"),
+                       RMax("packed", alias_name="_max"))
+            .map_batches(unpack_wide, batch_format="pyarrow"))
 
     def keyed_pos(t: pa.Table) -> pa.Table:
         return pa.table({
