@@ -7304,3 +7304,7 @@ _q3._register_batch_x(QUERIES, ORACLES)
 _q3._register_batch_y(QUERIES, ORACLES, _KG_TRIPLES_BODY)
 
 _q3._register_batch_z(QUERIES, ORACLES)
+
+from . import queries5 as _q5  # noqa: E402
+
+_q5.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)

@@ -86,7 +86,7 @@ def hash_join(left, right, on: str, right_on: str | None = None,
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None,
               merge_post=None, hot_chunk_rows: int = 10_000_000,
-              partitions: int = 512):
+              partitions: int = 512, group_filter=None):
     """Distributed single-key hash join built on ``groupby().map_groups()``.
 
     Why not ``Dataset.join``: Ray 2.49's hash-shuffle join (a) crashes
@@ -129,8 +129,18 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     cost (the same fix took asof_join's resolve 43.7 s -> 1.2 s).
     ``merge_post`` callers keep the per-key path: their contract is a
     single-key table (seeded cumsums, per-center ranks).
+
+    ``group_filter``: optional size predicate fn(n_left, n_right) -> bool
+    evaluated per key group BEFORE its cross product is built; failing
+    groups emit nothing (inner-only). Must be numpy-elementwise-safe
+    (called with int64 arrays on the coarse path) — e.g.
+    ``lambda nl, nr: (nl <= cap) & (nr <= cap)``. This is where degree
+    caps belong: both group sizes are known here for free, so a hub
+    bound costs no extra pass (kg_path_patterns' middle-degree cap).
     """
     assert how in ("inner", "left_outer", "full_outer", "semi", "anti"), how
+    assert group_filter is None or how == "inner", \
+        "group_filter is inner-join-only"
     right_on = right_on or on
     # pass schemas explicitly when known: Dataset.schema() on a lazy
     # pipeline with a wide op executes it once just to sample the schema
@@ -189,6 +199,9 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         null_key = bool(g.num_rows) and not g["_k"][0].is_valid
         if null_key and how != "full_outer":
             ri = ri[:0]  # NULL keys never match
+        if (group_filter is not None and li.size and ri.size
+                and not bool(group_filter(li.size, ri.size))):
+            ri = ri[:0]  # filtered group: no matches (inner -> empty)
         if how in ("semi", "anti"):
             lidx = li if bool(ri.size) == (how == "semi") else li[:0]
             out = {on: g["_k"].take(lidx)}
@@ -301,6 +314,8 @@ def hash_join(left, right, on: str, right_on: str | None = None,
             return pa.Table.from_pydict(out)
 
         matched = ~isnull & (lcnt > 0) & (rcnt > 0)
+        if group_filter is not None:
+            matched &= np.asarray(group_filter(lcnt, rcnt), dtype=bool)
         ls, lc, rc = starts[matched], lcnt[matched], rcnt[matched]
         rstart, out_n = ls + lc, lc * rc
         pieces = []

@@ -168,3 +168,35 @@ def test_hash_join_hot_key_chunked_emission(ray_session):
         oneshot.sort_values(key).reset_index(drop=True),
     )
     assert len(chunked) == 300 * 400 + 1
+
+
+def test_group_filter_both_paths(ray_session):
+    """group_filter drops whole key groups BEFORE the cross product is
+    built, on both the coarse segmented path (no merge_post; called with
+    int64 arrays) and the per-key path (merge_post; called with scalars).
+    Groups passing the filter are joined unchanged."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from odinson_ray.stages.shuffle import hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["hub"] * 5 + ["ok", "ok"], pa.string()),
+        "lv": pa.array([0, 1, 2, 3, 4, 10, 11], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["hub"] * 5 + ["ok"], pa.string()),
+        "rv": pa.array([0, 1, 2, 3, 4, 20], pa.int64()),
+    }))
+    ls = pa.schema([("k", pa.string()), ("lv", pa.int64())])
+    rs = pa.schema([("k", pa.string()), ("rv", pa.int64())])
+    flt = lambda nl, nr: (nl <= 3) & (nr <= 3)  # noqa: E731
+
+    coarse = hash_join(left, right, on="k", left_schema=ls,
+                       right_schema=rs, group_filter=flt).to_pandas()
+    perkey = hash_join(left, right, on="k", left_schema=ls,
+                       right_schema=rs, group_filter=flt,
+                       merge_post=lambda t: t).to_pandas()
+    for got in (coarse, perkey):
+        assert set(got.k) == {"ok"}  # hub (5x5) filtered out entirely
+        assert sorted(zip(got.lv, got.rv)) == [(10, 20), (11, 20)]
