@@ -7308,3 +7308,7 @@ _q3._register_batch_z(QUERIES, ORACLES)
 from . import queries5 as _q5  # noqa: E402
 
 _q5.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
+
+from . import queries6 as _q6  # noqa: E402
+
+_q6.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
