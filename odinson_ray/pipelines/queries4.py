@@ -1263,73 +1263,15 @@ def q_approx_user_overlap(sf_dir: str):
 def q_kg_edge_support(sf_dir: str):
     """Per-edge triangle support |N(lo) ∩ N(hi)| over the canonical KG —
     the quantity k-truss peeling and community-pruning pipelines
-    consume. Rides the degree-oriented O(m^1.5) wedge enumeration of
-    triangle_count (each closed wedge is ONE triangle, found at its
-    lowest-rank vertex), explodes each to its 3 edges in (lo, hi) form,
-    sums with a map-side combiner, and left-joins onto the edge list so
-    triangle-free edges report 0."""
-    from ray.data.aggregate import Sum
-
-    from odinson_ray.stages.graph import orient_by_degree, oriented_wedges
-    from odinson_ray.stages.shuffle import hash_join
+    consume. Delegates to :func:`odinson_ray.stages.graph.edge_support`
+    (degree-oriented O(m^1.5) wedge enumeration, closing semi-join,
+    per-batch combiner, one Sum groupby, left join back onto the edge
+    list so triangle-free edges report 0)."""
+    from odinson_ray.stages.graph import edge_support
 
     from .queries2 import _kg_edges
 
-    str_t = pa.string()
-    edges = _kg_edges(sf_dir).materialize()  # orientation + final join
-    oriented = orient_by_degree(edges).materialize()
-    # centered wedges from the ONE shared enumerator (the rank tie-break
-    # invariant lives in stages/graph.oriented_wedges)
-    wedges = oriented_wedges(oriented, keep_center=True)
-
-    closed = hash_join(
-        wedges,
-        oriented.map_batches(
-            lambda t: pa.table({"k": pc.binary_join_element_wise(
-                t["src"], t["dst"], "\x1f")}),
-            batch_format="pyarrow"),
-        on="k", how="semi",
-        left_schema=pa.schema([("k", str_t), ("a", str_t), ("b", str_t),
-                               ("c", str_t)]),
-        right_schema=pa.schema([("k", str_t)]))
-
-    def explode_edges(t: pa.Table) -> pa.Table:
-        a, b, c = (t[col].combine_chunks() for col in ("a", "b", "c"))
-        e1_lo, e1_hi = pc.min_element_wise(a, b), pc.max_element_wise(a, b)
-        e2_lo, e2_hi = pc.min_element_wise(a, c), pc.max_element_wise(a, c)
-        e3_lo, e3_hi = pc.min_element_wise(b, c), pc.max_element_wise(b, c)
-        tab = pa.table({
-            "lo": pa.concat_arrays([x.combine_chunks()
-                                    if isinstance(x, pa.ChunkedArray)
-                                    else x for x in (e1_lo, e2_lo, e3_lo)]),
-            "hi": pa.concat_arrays([x.combine_chunks()
-                                    if isinstance(x, pa.ChunkedArray)
-                                    else x for x in (e1_hi, e2_hi, e3_hi)]),
-        })
-        g = pa.TableGroupBy(tab, ["lo", "hi"]).aggregate([([], "count_all")])
-        return rename_agg(g, ["lo", "hi"], ["lo", "hi", "pn"])
-
-    support = (closed.map_batches(explode_edges, batch_format="pyarrow")
-               .groupby(["lo", "hi"]).aggregate(Sum("pn", alias_name="s")))
-
-    def edge_jk(t: pa.Table) -> pa.Table:
-        return t.append_column("jk", pc.binary_join_element_wise(
-            t["lo"], t["hi"], "\x1f"))
-
-    joined = hash_join(
-        edges.map_batches(edge_jk, batch_format="pyarrow"),
-        support.map_batches(
-            lambda t: pa.table({"jk": pc.binary_join_element_wise(
-                t["lo"], t["hi"], "\x1f"), "s": t["s"]}),
-            batch_format="pyarrow"),
-        on="jk", how="left_outer",
-        left_schema=pa.schema([("lo", str_t), ("hi", str_t),
-                               ("jk", str_t)]),
-        right_schema=pa.schema([("jk", str_t), ("s", pa.int64())]))
-    return joined.map_batches(
-        lambda t: pa.table({"lo": t["lo"], "hi": t["hi"],
-                            "support": pc.fill_null(t["s"], 0)}),
-        batch_format="pyarrow")
+    return edge_support(_kg_edges(sf_dir))
 
 
 def _edge_support_oracle(body: str) -> str:
@@ -1777,6 +1719,51 @@ def q_mg_heavy_hitters(sf_dir: str):
     return mg_heavy_hitters(ds, "text", k=64)
 
 
+
+
+# ===================================== k-truss (iterative edge peeling)
+
+def q_kg_ktruss(sf_dir: str, k: int = 4):
+    """4-truss of the canonical KG: the maximal subgraph where every
+    edge closes >= k-2 = 2 triangles WITHIN the subgraph. Iterative
+    peeling over :func:`odinson_ray.stages.graph.k_truss` — each round
+    recomputes degree-oriented edge support over the survivors and
+    drops the weak edges; converges when a pass peels nothing. The
+    cohesive-core extraction step of community detection / KG cleanup
+    at scale (cheaper and more parallel than clique finding). Output is
+    the surviving edge list."""
+    from odinson_ray.stages.graph import k_truss
+
+    from .queries2 import _kg_edges
+
+    return k_truss(_kg_edges(sf_dir), k=k)
+
+
+def _ktruss_oracle(body: str, k: int = 4, rounds: int = 12) -> str:
+    """Unrolled peeling in plain SQL: rounds are idempotent after the
+    fixpoint, so ``rounds`` only needs to be >= the rounds the graph
+    actually takes (pytest pins convergence <= rounds at sf0.01)."""
+    parts = [f"""
+WITH trip AS ({body}),
+e_0 AS MATERIALIZED (SELECT DISTINCT least(subj_canon, obj_canon) AS lo,
+               greatest(subj_canon, obj_canon) AS hi
+        FROM trip WHERE subj_canon != obj_canon)"""]
+    for i in range(rounds):
+        parts.append(f""",
+adj_{i} AS MATERIALIZED (SELECT lo AS a, hi AS b FROM e_{i}
+            UNION ALL SELECT hi, lo FROM e_{i}),
+sup_{i} AS MATERIALIZED (SELECT e.lo, e.hi, count(*) AS s
+            FROM e_{i} e
+            JOIN adj_{i} x ON x.a = e.lo
+            JOIN adj_{i} y ON y.a = e.hi AND y.b = x.b
+            GROUP BY e.lo, e.hi),
+e_{i + 1} AS MATERIALIZED (SELECT e.lo, e.hi FROM e_{i} e
+              JOIN sup_{i} s ON s.lo = e.lo AND s.hi = e.hi
+              WHERE s.s >= {k - 2})""")
+    parts.append(f"\nSELECT lo, hi FROM e_{rounds}")
+    return "".join(parts)
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
     QUERIES["mg_heavy_hitters"] = q_mg_heavy_hitters  # no oracle BY DESIGN
     QUERIES["late_events"] = q_late_events
@@ -1785,6 +1772,8 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str) -> None:
     ORACLES["node_similarity"] = _node_sim_oracle(kg_body)
     QUERIES["kg_edge_support"] = q_kg_edge_support
     ORACLES["kg_edge_support"] = _edge_support_oracle(kg_body)
+    QUERIES["kg_ktruss"] = q_kg_ktruss
+    ORACLES["kg_ktruss"] = _ktruss_oracle(kg_body)
     QUERIES["collocations_llr"] = q_collocations_llr
     ORACLES["collocations_llr"] = ORACLE_COLLOCATIONS_LLR
     QUERIES["pca_topcomp"] = q_pca_topcomp  # no oracle BY DESIGN

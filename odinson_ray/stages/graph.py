@@ -463,3 +463,104 @@ def jaccard_pairs(edges, max_center_degree: int = 1000):
                          "jaccard": pc.round(pa.array(j, pa.float64()), 6)})
 
     return j2.map_batches(score, batch_format="pyarrow")
+
+
+def edge_support(edges):
+    """Per-edge triangle support |N(lo) ∩ N(hi)| of an undirected
+    (lo, hi) edge Dataset — zero-filled, so the output covers EVERY
+    input edge. This is kg_edge_support's core, factored out so k-truss
+    peeling can recompute support per round over a shrinking edge set.
+
+    Shape: degree-oriented wedge enumeration (O(m^1.5)), closing
+    semi-join, explode each closed wedge to its 3 edges with a per-batch
+    combiner, one Sum groupby, one left join onto the edge list."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import hash_join, rename_agg
+
+    edges = edges.materialize()  # consumed by orientation AND final join
+    oriented = orient_by_degree(edges).materialize()
+    wedges = oriented_wedges(oriented, keep_center=True)
+
+    closed = hash_join(
+        wedges,
+        oriented.map_batches(
+            lambda t: pa.table({"k": pc.binary_join_element_wise(
+                t["src"], t["dst"], "\x1f")}),
+            batch_format="pyarrow"),
+        on="k", how="semi",
+        left_schema=pa.schema([("k", _STR), ("a", _STR), ("b", _STR),
+                               ("c", _STR)]),
+        right_schema=pa.schema([("k", _STR)]))
+
+    def explode_edges(t: pa.Table) -> pa.Table:
+        a, b, c = (t[col].combine_chunks() for col in ("a", "b", "c"))
+        pairs = [(pc.min_element_wise(x, y), pc.max_element_wise(x, y))
+                 for x, y in ((a, b), (a, c), (b, c))]
+        tab = pa.table({
+            "lo": pa.concat_arrays([x.combine_chunks()
+                                    if isinstance(x, pa.ChunkedArray) else x
+                                    for x, _ in pairs]),
+            "hi": pa.concat_arrays([y.combine_chunks()
+                                    if isinstance(y, pa.ChunkedArray) else y
+                                    for _, y in pairs]),
+        })
+        g = pa.TableGroupBy(tab, ["lo", "hi"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["lo", "hi"], ["lo", "hi", "pn"])
+
+    support = (closed.map_batches(explode_edges, batch_format="pyarrow")
+               .groupby(["lo", "hi"]).aggregate(Sum("pn", alias_name="s")))
+
+    def edge_jk(t: pa.Table) -> pa.Table:
+        return t.append_column("jk", pc.binary_join_element_wise(
+            t["lo"], t["hi"], "\x1f"))
+
+    joined = hash_join(
+        edges.map_batches(edge_jk, batch_format="pyarrow"),
+        support.map_batches(
+            lambda t: pa.table({"jk": pc.binary_join_element_wise(
+                t["lo"], t["hi"], "\x1f"), "s": t["s"]}),
+            batch_format="pyarrow"),
+        on="jk", how="left_outer",
+        left_schema=pa.schema([("lo", _STR), ("hi", _STR), ("jk", _STR)]),
+        right_schema=pa.schema([("jk", _STR), ("s", pa.int64())]))
+    return joined.map_batches(
+        lambda t: pa.table({"lo": t["lo"], "hi": t["hi"],
+                            "support": pc.fill_null(t["s"], 0)}),
+        batch_format="pyarrow")
+
+
+def k_truss(edges, k: int, max_rounds: int = 30):
+    """k-truss of an undirected (lo, hi) edge Dataset: the maximal
+    subgraph in which every edge participates in >= k-2 triangles
+    (support computed within the surviving subgraph). Classic peeling
+    fixpoint: recompute :func:`edge_support` over the current edge set,
+    drop edges below the threshold, repeat until no edge is dropped.
+
+    Each round is a full distributed pass (two shuffles inside
+    edge_support); only the scalar edge COUNT ever reaches the driver,
+    so the loop itself adds no driver-side materialization. Peeling
+    converges in at most O(max support) rounds; ``max_rounds`` is a
+    safety valve (a warning is emitted if it trips, never a silent
+    wrong answer)."""
+    import warnings
+
+    thresh = k - 2
+    cur = edges
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        if n_cur == 0:
+            break
+        sup = edge_support(cur)
+        kept = sup.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["support"], thresh))
+                       .select(["lo", "hi"]),
+            batch_format="pyarrow").materialize()
+        n_kept = kept.count()
+        if n_kept == n_cur:
+            return kept
+        cur, n_cur = kept, n_kept
+    else:
+        warnings.warn(
+            f"k_truss: max_rounds={max_rounds} reached before fixpoint")
+    return cur

@@ -75,3 +75,68 @@ def test_star_plus_triangles(ray_session):
     # endpoints have degree 2, so wedges form only at those 20 vertices
     n_wedges = oriented_wedges(orient_by_degree(edges).materialize()).count()
     assert n_wedges <= 40
+
+
+def _local_ktruss(pairs, k):
+    """Brute-force peel: recompute support over survivors each round."""
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        keep = {(a, b) for a, b in edges
+                if len(adj[a] & adj[b]) >= k - 2}
+        if keep == edges:
+            return edges
+        edges = keep
+
+
+def test_edge_support_covers_all_edges(ray_session):
+    from odinson_ray.stages.graph import edge_support
+
+    # K4 + pendant chain: pendant edges must report support 0
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("e", "f")]
+    out = {(r["lo"], r["hi"]): r["support"]
+           for r in edge_support(_edges_ds(pairs)).take_all()}
+    assert len(out) == len(pairs)
+    assert out[("a", "b")] == 2          # inside K4: two common neighbors
+    assert out[("d", "e")] == 0 and out[("e", "f")] == 0
+
+
+def test_ktruss_cascading_peel(ray_session):
+    """A triangle strip where removing the weakest edge cascades: the
+    fixpoint needs MULTIPLE peel rounds, exercising the loop (not just
+    one filter pass)."""
+    from odinson_ray.stages.graph import k_truss
+
+    # strip of triangles sharing edges: (v0,v1,v2), (v1,v2,v3), ... each
+    # interior edge has support 2, boundary edges support 1 -> 4-truss
+    # peels from both ends inward, one layer per round, until empty.
+    n = 8
+    pairs = [(f"v{i}", f"v{i+1}") for i in range(n)] + \
+            [(f"v{i}", f"v{i+2}") for i in range(n - 1)]
+    expect = _local_ktruss(pairs, 4)
+    got = {(r["lo"], r["hi"]) for r in k_truss(_edges_ds(pairs), 4).take_all()}
+    assert got == expect == set()
+
+    # K5 is a 4-truss (every edge support 3): nothing peels
+    k5 = list(itertools.combinations("abcde", 2))
+    got5 = {(r["lo"], r["hi"]) for r in k_truss(_edges_ds(k5), 4).take_all()}
+    assert got5 == _local_ktruss(k5, 4) == set(k5)
+
+
+def test_ktruss_mixed_graph(ray_session):
+    from odinson_ray.stages.graph import k_truss
+
+    # K4 core + a triangle fringe attached by one shared vertex + chain
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"),                       # K4: survives 4-truss
+             ("d", "x"), ("d", "y"), ("x", "y"),  # lone triangle: peeled
+             ("y", "z")]                       # pendant: peeled
+    expect = _local_ktruss(pairs, 4)
+    got = {(r["lo"], r["hi"]) for r in k_truss(_edges_ds(pairs), 4).take_all()}
+    assert got == expect
+    assert got == {("a", "b"), ("a", "c"), ("a", "d"),
+                   ("b", "c"), ("b", "d"), ("c", "d")}
