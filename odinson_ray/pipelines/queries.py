@@ -7312,3 +7312,34 @@ _q5.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
 from . import queries6 as _q6  # noqa: E402
 
 _q6.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
+
+# doc-granular canonical triples (doc_id + numeric did kept) — the
+# provenance/temporal front end; nested WITH is legal as a CTE body
+_KG_DOC_TRIPLES_BODY = f"""
+WITH toks7 AS (
+  SELECT printf('doc-%06d', doc_id) AS doc_id, doc_id AS did,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+),
+postoks7 AS (
+  SELECT doc_id, did, tok, p, CAST(((p - 1) % 20) AS INT) AS l
+  FROM toks7
+),
+raw7 AS (
+  SELECT a.doc_id, a.did, b.tok AS subj, a.tok AS pred, c.tok AS obj
+  FROM postoks7 a JOIN postoks7 b ON b.did = a.did AND b.p = a.p + 1
+                  JOIN postoks7 c ON c.did = a.did AND c.p = a.p + 2
+  WHERE a.l % 5 = 0
+    AND a.tok IN ('scan', 'join', 'sort', 'merge', 'filter', 'group')
+)
+SELECT DISTINCT doc_id, did,
+       'ent:' || {_CANON_SQL.format(c='subj')} AS subj_canon,
+       pred,
+       'ent:' || {_CANON_SQL.format(c='obj')} AS obj_canon
+FROM raw7
+"""
+
+from . import queries7 as _q7  # noqa: E402
+
+_q7.register(QUERIES, ORACLES, _KG_TRIPLES_BODY, _KG_DOC_TRIPLES_BODY)

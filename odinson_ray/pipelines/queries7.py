@@ -1,0 +1,565 @@
+"""Round-4 final-session batch: temporal KG scoping, canonicalization
+audit (surface-form variants), degree-distribution diagnostics, a
+data-quality gate (referential integrity / constraint violations), a
+distributed band join, and sorted-neighborhood blocking pairs.
+
+Registered by ``pipelines/queries.py`` like queries2-6; each ``q_*``
+takes ``sf_dir``; oracle column names match exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SEP = "\x1f"
+
+
+def _rd():
+    from ..sources.io import clean_rd
+
+    return clean_rd
+
+
+# ===================================== temporal triple scoping
+
+_EPOCH_2020 = 18262  # date32 day count for 2020-01-01
+
+
+def q_kg_temporal_triples(sf_dir: str):
+    """Temporal scoping of canonical triples: the observation window
+    (first_seen, last_seen) and distinct-document support per triple,
+    from a deterministic per-document date (doc day = did % 365 over a
+    2020 base — the testdata carries no date column, so the date is a
+    pure function of doc_id computed identically by the oracle).
+    Temporal KGs ship exactly this validity metadata next to each edge
+    (reference parity: Odinson mentions carry docId provenance,
+    core/src/main/scala/ai/lum/odinson/Mention.scala — this is its
+    date-resolved aggregate twin).
+
+    Shape: doc-granular triples (kg_provenance's front end), one global
+    distinct on (triple, doc), then a per-batch min/max/count combiner
+    so the final groupby sees one row per (triple, batch) — shuffle
+    volume is triple-vocabulary-bounded, never corpus-bounded."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from odinson_ray.stages.canon import canonicalize_dataset
+    from odinson_ray.stages.shuffle import rename_agg
+    from odinson_ray.stages.triples import mentions_to_triples
+
+    from .kg import mentions_dataset
+
+    mentions = mentions_dataset(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["label"], "SVO")),
+        batch_format="pyarrow")
+    trips, _roots = canonicalize_dataset(
+        mentions.map_batches(mentions_to_triples, batch_format="pyarrow"))
+
+    def keyed_distinct(t: pa.Table) -> pa.Table:
+        tk = pc.binary_join_element_wise(
+            t["subj_canon"], t["pred"], t["obj_canon"], SEP)
+        base = pa.table({"tk": tk, "doc_id": t["doc_id"]})
+        return pa.TableGroupBy(base, ["tk", "doc_id"]).aggregate([])
+
+    td = (trips.map_batches(keyed_distinct, batch_format="pyarrow")
+          .groupby(["tk", "doc_id"]).aggregate(Count(alias_name="_c"))
+          .drop_columns(["_c"]))
+
+    def window_partial(t: pa.Table) -> pa.Table:
+        # doc day is a pure function of the doc id: int(doc_id[4:]) % 365
+        did = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99),
+                      pa.int64())
+        day = pc.subtract(did, pc.multiply(pc.divide(did, 365), 365))
+        base = pa.table({"tk": t["tk"], "day": day})
+        agg = pa.TableGroupBy(base, ["tk"]).aggregate(
+            [("day", "min"), ("day", "max"), ([], "count_all")])
+        return rename_agg(agg, ["tk"], ["tk", "dmin", "dmax", "pn"])
+
+    agg = (td.map_batches(window_partial, batch_format="pyarrow")
+           .groupby("tk")
+           .aggregate(Min("dmin", alias_name="d0"),
+                      Max("dmax", alias_name="d1"),
+                      Sum("pn", alias_name="n_docs")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(t["tk"], SEP)).combine_chunks()
+        n = len(t)
+        idx = np.arange(n, dtype=np.int64) * 3
+        return pa.table({
+            "subj_canon": flat.take(pa.array(idx)),
+            "pred": flat.take(pa.array(idx + 1)),
+            "obj_canon": flat.take(pa.array(idx + 2)),
+            "first_seen": pc.cast(pc.add(t["d0"], _EPOCH_2020),
+                                  pa.int32()).cast(pa.date32())
+                            .cast(pa.timestamp("us")),
+            "last_seen": pc.cast(pc.add(t["d1"], _EPOCH_2020),
+                                 pa.int32()).cast(pa.date32())
+                           .cast(pa.timestamp("us")),
+            "n_docs": t["n_docs"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _temporal_oracle(doc_body: str) -> str:
+    return f"""
+WITH dt AS ({doc_body})
+SELECT subj_canon, pred, obj_canon,
+       DATE '2020-01-01' + CAST(min(did % 365) AS INT) AS first_seen,
+       DATE '2020-01-01' + CAST(max(did % 365) AS INT) AS last_seen,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM dt GROUP BY 1, 2, 3
+"""
+
+
+# ===================================== canonicalization audit
+
+def q_kg_surface_variants(sf_dir: str):
+    """Per canonical entity: how many distinct surface forms merged into
+    it, total endpoint mentions, and the lexicographically-first surface
+    as an example — the audit a canonicalization stage ships so a human
+    can spot over-merging (reference parity: the norm-synonym field in
+    Odinson's index, extra/.../IndexWriter.scala; this is its inverse
+    view, canon -> surfaces).
+
+    Shape: endpoint (canon, surface, n) pairs off the aggregated triple
+    stream, per-batch combiner, one (canon, surface) groupby, then a
+    per-canon combiner + groupby — both shuffles vocabulary-bounded."""
+    from ray.data.aggregate import Min, Sum
+
+    from odinson_ray.stages.shuffle import rename_agg
+
+    from .kg import triples_dataset
+
+    trips = triples_dataset(sf_dir)
+
+    def endpoint_partial(t: pa.Table) -> pa.Table:
+        ent = pa.chunked_array([t["subj_canon"].combine_chunks(),
+                                t["obj_canon"].combine_chunks()])
+        surf = pa.chunked_array([t["subj"].combine_chunks(),
+                                 t["obj"].combine_chunks()])
+        n = pa.chunked_array([t["n"].combine_chunks(),
+                              t["n"].combine_chunks()])
+        base = pa.table({"entity": ent, "surf": surf, "n": n})
+        agg = pa.TableGroupBy(base, ["entity", "surf"]).aggregate(
+            [("n", "sum")])
+        return rename_agg(agg, ["entity", "surf"],
+                          ["entity", "surf", "pn"])
+
+    ps = (trips.map_batches(endpoint_partial, batch_format="pyarrow")
+          .groupby(["entity", "surf"])
+          .aggregate(Sum("pn", alias_name="sn")))
+
+    def variant_partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t.select(["entity", "surf", "sn"]),
+                              ["entity"]).aggregate(
+            [([], "count_all"), ("sn", "sum"), ("surf", "min")])
+        return rename_agg(agg, ["entity"], ["entity", "pv", "pm", "psurf"])
+
+    return (ps.map_batches(variant_partial, batch_format="pyarrow")
+            .groupby("entity")
+            .aggregate(Sum("pv", alias_name="n_surfaces"),
+                       Sum("pm", alias_name="n_mentions"),
+                       Min("psurf", alias_name="example_surface")))
+
+
+def _surface_variants_oracle(body: str) -> str:
+    return f"""
+WITH trip AS ({body}),
+pairs AS (
+  SELECT subj_canon AS entity, subj AS surf, n FROM trip
+  UNION ALL
+  SELECT obj_canon, obj, n FROM trip
+),
+ps AS (
+  SELECT entity, surf, CAST(sum(n) AS BIGINT) AS sn
+  FROM pairs GROUP BY 1, 2
+)
+SELECT entity, CAST(count(*) AS BIGINT) AS n_surfaces,
+       CAST(sum(sn) AS BIGINT) AS n_mentions,
+       min(surf) AS example_surface
+FROM ps GROUP BY 1
+"""
+
+
+# ===================================== degree distribution diagnostics
+
+def q_kg_degree_distribution(sf_dir: str):
+    """Log2-binned degree histogram of the KG — the one-page power-law
+    diagnostic (straight-ish line on the log-log histogram) a graph
+    pipeline prints before choosing skew strategies. Rides
+    vertex_degrees' combiner; the histogram itself is <= 64 rows.
+    floor(log2(deg)) over int64 degrees is exact in IEEE double on both
+    engines (the boundary cases are exact powers of two, where log2 is
+    exact)."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.graph import vertex_degrees
+    from odinson_ray.stages.shuffle import rename_agg
+
+    from .queries2 import _kg_edges
+
+    degs = vertex_degrees(_kg_edges(sf_dir))
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(np.log2(d)).astype(np.int64)
+        agg = pa.TableGroupBy(pa.table({"deg_bucket": pa.array(b)}),
+                              ["deg_bucket"]).aggregate([([], "count_all")])
+        return rename_agg(agg, ["deg_bucket"], ["deg_bucket", "pn"])
+
+    return (degs.map_batches(bucket_partial, batch_format="pyarrow")
+            .groupby("deg_bucket")
+            .aggregate(Sum("pn", alias_name="n_vertices")))
+
+
+def _degree_dist_oracle(body: str) -> str:
+    return f"""
+WITH trip AS ({body}),
+e0 AS (SELECT DISTINCT least(subj_canon, obj_canon) AS lo,
+              greatest(subj_canon, obj_canon) AS hi
+       FROM trip WHERE subj_canon != obj_canon),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT lo AS v FROM e0 UNION ALL SELECT hi FROM e0
+  ) GROUP BY v
+)
+SELECT CAST(floor(log2(deg)) AS BIGINT) AS deg_bucket,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY 1
+"""
+
+
+# ===================================== data-quality gate
+
+def q_dq_checks(sf_dir: str):
+    """Constraint-violation audit over the warehouse tables — the
+    data-quality gate a pipeline runs BEFORE training consumption
+    (expectations-style): referential integrity in both directions
+    (distributed anti joins — neither key set lands on the driver),
+    primary-key duplication, and two value-domain checks. Output is the
+    long-format (check_name, violations) report; only one scalar per
+    check ever reaches the driver."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import hash_join
+
+    rd = _rd()
+    i64 = pa.int64()
+    f64 = pa.float64()
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+
+    okeys = orders.map_batches(
+        lambda t: pa.TableGroupBy(t.select(["o_orderkey"]),
+                                  ["o_orderkey"]).aggregate([]),
+        batch_format="pyarrow")
+    li_orphans = hash_join(
+        li, okeys, on="l_orderkey", right_on="o_orderkey", how="anti",
+        left_schema=pa.schema([("l_orderkey", i64), ("l_quantity", f64)]),
+        right_schema=pa.schema([("o_orderkey", i64)])).count()
+
+    ckeys = cust.map_batches(
+        lambda t: pa.TableGroupBy(t, ["c_custkey"]).aggregate([]),
+        batch_format="pyarrow")
+    ord_orphans = hash_join(
+        orders, ckeys, on="o_custkey", right_on="c_custkey", how="anti",
+        left_schema=pa.schema([("o_orderkey", i64), ("o_custkey", i64)]),
+        right_schema=pa.schema([("c_custkey", i64)])).count()
+
+    def dup_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["o_orderkey"]),
+                            ["o_orderkey"]).aggregate([([], "count_all")])
+        return pa.table({"k": g["o_orderkey"], "pn": g["count_all"]})
+
+    per_key = (orders.map_batches(dup_partial, batch_format="pyarrow")
+               .groupby("k").aggregate(Sum("pn", alias_name="n")))
+    dup_pk = per_key.map_batches(
+        lambda t: pa.table({"extra": pc.subtract(t["n"],
+                                                 pa.scalar(1, i64))}),
+        batch_format="pyarrow").sum("extra") or 0
+
+    neg_qty = li.map_batches(
+        lambda t: pa.table({"c": pa.array([int(pc.sum(pc.cast(
+            pc.less_equal(t["l_quantity"], 0.0), i64)).as_py() or 0)],
+            i64)}),
+        batch_format="pyarrow").sum("c") or 0
+
+    null_ckey = orders.map_batches(
+        lambda t: pa.table({"c": pa.array([t["o_custkey"].null_count],
+                                          i64)}),
+        batch_format="pyarrow").sum("c") or 0
+
+    return pd.DataFrame({
+        "check_name": ["lineitem_orphan_orderkey", "orders_orphan_custkey",
+                       "orders_duplicate_pk", "lineitem_nonpositive_qty",
+                       "orders_null_custkey"],
+        "violations": np.array([li_orphans, ord_orphans, dup_pk,
+                                neg_qty, null_ckey], dtype=np.int64),
+    })
+
+
+ORACLE_DQ_CHECKS = """
+SELECT * FROM (
+  SELECT 'lineitem_orphan_orderkey' AS check_name,
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT) AS violations
+  UNION ALL
+  SELECT 'orders_orphan_custkey',
+         CAST((SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'orders_duplicate_pk',
+         CAST((SELECT coalesce(sum(n - 1), 0) FROM
+               (SELECT count(*) AS n FROM orders GROUP BY o_orderkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem_nonpositive_qty',
+         CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+              AS BIGINT)
+  UNION ALL
+  SELECT 'orders_null_custkey',
+         CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+              AS BIGINT)
+)
+"""
+
+
+# ===================================== distributed band join
+
+def q_band_join_acctbal(sf_dir: str, delta: float = 100.0):
+    """Band join: supplier x customer in the SAME nation whose account
+    balances differ by at most ``delta`` — the |a - b| <= d non-equi
+    join SQL engines plan as an interval join. Distributed exactly by
+    bucket blocking: bucket = floor(acctbal / delta); a pair within
+    delta always sits within ONE bucket step, so the small side is
+    replicated to buckets {b-1, b, b+1} and ONE equi hash join on
+    (nation, bucket) + an exact residual filter finds every pair
+    exactly once (the probe side keeps its single native bucket).
+    Output: per-nation pair counts."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import hash_join, rename_agg
+
+    rd = _rd()
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_nationkey", "s_acctbal"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey", "c_acctbal"])
+
+    def _key(nk: pa.Array, b: np.ndarray) -> pa.Array:
+        return pc.binary_join_element_wise(
+            pc.cast(nk, pa.string()),
+            pc.cast(pa.array(b, pa.int64()), pa.string()), SEP)
+
+    def rep3(t: pa.Table) -> pa.Table:
+        v = t["s_acctbal"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / delta).astype(np.int64)
+        base = pa.table({"nk": t["s_nationkey"],
+                         "s_acctbal": t["s_acctbal"]})
+        out = pa.concat_tables([base, base, base]).combine_chunks()
+        bb = np.concatenate([b - 1, b, b + 1])
+        return pa.table({"jk": _key(out["nk"].combine_chunks(), bb),
+                         "s_acctbal": out["s_acctbal"],
+                         "s_nationkey": out["nk"]})
+
+    def native(t: pa.Table) -> pa.Table:
+        v = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / delta).astype(np.int64)
+        return pa.table({
+            "jk": _key(t["c_nationkey"].combine_chunks(), b),
+            "c_acctbal": t["c_acctbal"]})
+
+    joined = hash_join(
+        cust.map_batches(native, batch_format="pyarrow"),
+        sup.map_batches(rep3, batch_format="pyarrow"),
+        on="jk",
+        left_schema=pa.schema([("jk", pa.string()),
+                               ("c_acctbal", pa.float64())]),
+        right_schema=pa.schema([("jk", pa.string()),
+                                ("s_acctbal", pa.float64()),
+                                ("s_nationkey", pa.int64())]))
+
+    def residual(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.less_equal(
+            pc.abs(pc.subtract(t["c_acctbal"], t["s_acctbal"])), delta))
+        agg = pa.TableGroupBy(kept.select(["s_nationkey"]),
+                              ["s_nationkey"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(agg, ["s_nationkey"], ["nationkey", "pn"])
+
+    return (joined.map_batches(residual, batch_format="pyarrow")
+            .groupby("nationkey").aggregate(Sum("pn", alias_name="n_pairs")))
+
+
+ORACLE_BAND_JOIN = """
+SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_pairs
+FROM supplier JOIN customer
+  ON c_nationkey = s_nationkey
+ AND abs(s_acctbal - c_acctbal) <= 100.0
+GROUP BY 1
+"""
+
+
+# ===================================== sorted-neighborhood blocking
+
+def q_sorted_neighborhood_pairs(sf_dir: str, window: int = 3,
+                                n_buckets: int = 64,
+                                chunk: int = 4096):
+    """Sorted-neighborhood record-linkage blocking: order documents by a
+    blocking key (first 7 chars of the text, doc_id tie-break) and emit
+    every candidate pair within ``window`` ranks — the classic
+    complement to hash blocking that catches near-boundary variants.
+
+    Distributed exactly, with no tiny groups: (1) the dense global rank
+    comes from the offsets-before-shuffle enumeration (sampled
+    boundaries over an int64 big-endian pack of the 7-char ASCII
+    prefix — byte order equals lexicographic order, so numeric range
+    partitioning IS string range partitioning); (2) pairing shuffles
+    once on COARSE rank chunks (``chunk`` rows each, the segmented
+    discipline of asof_join/running_total) with only the last
+    ``window - 1`` rows of each chunk replicated across the boundary;
+    within a chunk the pair lists come from one vectorized
+    searchsorted + repeat — no per-pair or per-group Python."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.sketch import approx_quantile_values
+    from odinson_ray.stages.shuffle import rename_agg
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def add_surrogate(t: pa.Table) -> pa.Table:
+        padded = pc.utf8_rpad(
+            pc.utf8_slice_codeunits(t["text"], 0, 7), 7,
+            "\x00").combine_chunks()
+        # all values exactly 7 bytes (ASCII input): the values buffer is
+        # one contiguous run — reshape + dot is the big-endian pack
+        offs = np.frombuffer(padded.buffers()[1], dtype=np.int32)[
+            padded.offset:padded.offset + len(padded) + 1]
+        raw = np.frombuffer(padded.buffers()[2], dtype=np.uint8)
+        mat = raw[offs[0]:offs[-1]].reshape(-1, 7).astype(np.int64)
+        k = mat @ (256 ** np.arange(6, -1, -1)).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "k7": pa.array(k, pa.int64())})
+
+    keyed = docs.map_batches(add_surrogate,
+                             batch_format="pyarrow").materialize()
+
+    boundaries = np.unique(approx_quantile_values(
+        keyed, "k7", np.arange(1, n_buckets) / n_buckets))
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.searchsorted(boundaries, v, side="left")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b = bucket_of(t["k7"].to_numpy(zero_copy_only=False))
+        cnt = np.bincount(b, minlength=n_buckets)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "pn": pa.array(cnt[nz], pa.int64())})
+
+    counts = {r["bucket"]: r["n"] for r in
+              keyed.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("pn", alias_name="n"))
+              .take_all()}
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    ref = ray.put(offsets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = bucket_of(t["k7"].to_numpy(zero_copy_only=False))
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def enumerate_bucket(g: pa.Table) -> pa.Table:
+        off = get_broadcast(ref)[g["bucket"][0].as_py()]
+        k = g["k7"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, k))
+        rn = np.empty(len(o), dtype=np.int64)
+        rn[o] = off + 1 + np.arange(len(o))
+        return pa.table({"doc_id": g["doc_id"],
+                         "rn": pa.array(rn, pa.int64())})
+
+    ranked = (keyed.map_batches(tag, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(enumerate_bucket, batch_format="pyarrow"))
+
+    w = window
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        c = rn // chunk
+        # replicate only the last (w-1) ranks of each chunk forward
+        rep = rn % chunk >= chunk - (w - 1)
+        return pa.table({
+            "c": pa.array(np.concatenate([c, c[rep] + 1]), pa.int64()),
+            "rn": pa.array(np.concatenate([rn, rn[rep]]), pa.int64()),
+            "doc_id": pa.array(np.concatenate([d, d[rep]]), pa.int64()),
+        })
+
+    def pair_chunk(g: pa.Table) -> pa.Table:
+        cval = g["c"][0].as_py()
+        rn = g["rn"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.argsort(rn, kind="stable")
+        rn, d = rn[o], d[o]
+        native = rn // chunk == cval  # replicas own no pairs
+        idx_j = np.flatnonzero(native)
+        starts = np.searchsorted(rn, rn[idx_j] - (w - 1), side="left")
+        reps = idx_j - starts
+        total = int(reps.sum())
+        if total == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        off = np.repeat(np.cumsum(reps) - reps, reps)
+        i_idx = np.repeat(starts, reps) + (np.arange(total) - off)
+        j_idx = np.repeat(idx_j, reps)
+        return pa.table({"doc_a": pa.array(d[i_idx], pa.int64()),
+                         "doc_b": pa.array(d[j_idx], pa.int64())})
+
+    return (ranked.map_batches(to_chunks, batch_format="pyarrow")
+            .groupby("c").map_groups(pair_chunk, batch_format="pyarrow"))
+
+
+ORACLE_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY substr(text, 1, 7), doc_id) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 3
+"""
+
+
+def register(QUERIES: dict, ORACLES: dict, kg_body: str,
+             doc_body: str) -> None:
+    QUERIES["kg_temporal_triples"] = q_kg_temporal_triples
+    ORACLES["kg_temporal_triples"] = _temporal_oracle(doc_body)
+    QUERIES["kg_surface_variants"] = q_kg_surface_variants
+    ORACLES["kg_surface_variants"] = _surface_variants_oracle(kg_body)
+    QUERIES["kg_degree_distribution"] = q_kg_degree_distribution
+    ORACLES["kg_degree_distribution"] = _degree_dist_oracle(kg_body)
+    QUERIES["dq_checks"] = q_dq_checks
+    ORACLES["dq_checks"] = ORACLE_DQ_CHECKS
+    QUERIES["band_join_acctbal"] = q_band_join_acctbal
+    ORACLES["band_join_acctbal"] = ORACLE_BAND_JOIN
+    QUERIES["sorted_neighborhood_pairs"] = q_sorted_neighborhood_pairs
+    ORACLES["sorted_neighborhood_pairs"] = ORACLE_SORTED_NEIGHBORHOOD

@@ -1,0 +1,177 @@
+"""Final-session batch (queries7): sorted-neighborhood blocking, band
+join, data-quality gate — the distributed mechanics each one relies on."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _local_snm_pairs(sf_dir, window=3):
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t["k"] = t["text"].str[:7]
+    t = t.sort_values(["k", "doc_id"]).reset_index(drop=True)
+    ids = t["doc_id"].to_numpy()
+    pairs = set()
+    for j in range(len(ids)):
+        for i in range(max(0, j - window + 1), j):
+            pairs.add((int(ids[i]), int(ids[j])))
+    return pairs
+
+
+def test_snm_pairs_match_bruteforce(ray_session):
+    from odinson_ray.pipelines.queries7 import q_sorted_neighborhood_pairs
+
+    got = {(r["doc_a"], r["doc_b"])
+           for r in q_sorted_neighborhood_pairs(SF).take_all()}
+    assert got == _local_snm_pairs(SF)
+
+
+def test_snm_chunk_boundary_exact(ray_session):
+    """Tiny chunks force MANY cross-chunk windows: the boundary
+    replication (last window-1 ranks forwarded) must reproduce the
+    brute-force pair set exactly — no lost or duplicated boundary
+    pair."""
+    from odinson_ray.pipelines.queries7 import q_sorted_neighborhood_pairs
+
+    got_rows = q_sorted_neighborhood_pairs(SF, window=3, chunk=7).take_all()
+    got = [(r["doc_a"], r["doc_b"]) for r in got_rows]
+    assert len(got) == len(set(got)), "duplicated pair across chunks"
+    assert set(got) == _local_snm_pairs(SF, window=3)
+
+
+def test_band_join_matches_bruteforce(ray_session):
+    # sf0.01: the band is non-trivially populated (24 nations match);
+    # sf0.001 would vacuously pass with zero pairs
+    from odinson_ray.pipelines.queries7 import q_band_join_acctbal
+
+    sf = "/root/testdata/sf0.01"
+    sup = pq.read_table(f"{sf}/supplier.parquet").to_pandas()
+    cust = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    m = sup.merge(cust, left_on="s_nationkey", right_on="c_nationkey")
+    m = m[(m.s_acctbal - m.c_acctbal).abs() <= 100.0]
+    expect = m.groupby("s_nationkey").size().to_dict()
+
+    got = {r["nationkey"]: r["n_pairs"]
+           for r in q_band_join_acctbal(sf).take_all()}
+    assert len(got) > 0
+    assert got == {int(k): int(v) for k, v in expect.items()}
+
+
+def test_band_join_boundary_bucket(ray_session, tmp_path):
+    """Pairs exactly delta apart straddle a bucket boundary — the 3-way
+    replication must still find them exactly once."""
+    from odinson_ray.pipelines.queries7 import q_band_join_acctbal
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "s_nationkey": pa.array([1, 1], pa.int64()),
+        "s_acctbal": pa.array([100.0, 350.0], pa.float64()),
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["a", "b"])}), d / "supplier.parquet")
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array([1, 1, 1, 2], pa.int64()),
+        # 200.0 is EXACTLY delta from 100.0 (inclusive bound, next
+        # bucket); 450.0001 is just outside delta of 350
+        "c_acctbal": pa.array([200.0, 250.0, 450.0001, 100.0],
+                              pa.float64()),
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["w", "x", "y", "z"]),
+        "c_mktsegment": pa.array(["s"] * 4)}), d / "customer.parquet")
+    got = {r["nationkey"]: r["n_pairs"]
+           for r in q_band_join_acctbal(str(d)).take_all()}
+    # pairs: (100,200) dist 100 inclusive; (350,250) dist 100;
+    # (350,450.0001) excluded; (100,100@nation2) cross-nation excluded
+    assert got == {1: 2}
+
+
+def test_dq_checks_flags_synthetic_violations(ray_session, tmp_path):
+    from odinson_ray.pipelines.queries7 import q_dq_checks
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 2, 3], pa.int64()),   # dup pk: 1
+        "o_custkey": pa.array([10, 99, 10, None], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 4),
+        "o_totalprice": pa.array([1.0] * 4, pa.float64()),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4)}),
+        d / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10], pa.int64()),
+        "c_name": pa.array(["c"]),
+        "c_nationkey": pa.array([1], pa.int64()),
+        "c_acctbal": pa.array([0.0], pa.float64()),
+        "c_mktsegment": pa.array(["s"])}), d / "customer.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 7, 7], pa.int64()),      # 2 orphans
+        "l_quantity": pa.array([5.0, -1.0, 0.0], pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 3, pa.float64())}),
+        d / "lineitem.parquet")
+
+    df = q_dq_checks(str(d)).set_index("check_name")["violations"]
+    assert df["lineitem_orphan_orderkey"] == 2
+    # custkey 99 is orphan; the NULL custkey row is counted by the
+    # null check, not the FK check (SQL NOT EXISTS keeps it though —
+    # both engines agree because NULL = c_custkey is never true)
+    assert df["orders_orphan_custkey"] == 2
+    assert df["orders_duplicate_pk"] == 1
+    assert df["lineitem_nonpositive_qty"] == 2
+    assert df["orders_null_custkey"] == 1
+
+
+def test_dq_checks_clean_testdata(ray_session):
+    from odinson_ray.pipelines.queries7 import q_dq_checks
+
+    df = q_dq_checks(SF)
+    assert list(df.columns) == ["check_name", "violations"]
+    assert (df["violations"] >= 0).all()
+
+
+def test_temporal_triples_window_sane(ray_session):
+    from odinson_ray.pipelines.queries7 import q_kg_temporal_triples
+
+    df = q_kg_temporal_triples(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["first_seen"] <= df["last_seen"]).all()
+    assert (df["n_docs"] >= 1).all()
+    # window width bounded by the synthetic day domain
+    assert (df["last_seen"] - df["first_seen"]).dt.days.max() <= 364
+
+
+def test_surface_variants_counts(ray_session):
+    from odinson_ray.pipelines.queries7 import q_kg_surface_variants
+
+    df = q_kg_surface_variants(SF).to_pandas()
+    assert (df["n_surfaces"] >= 1).all()
+    assert (df["n_mentions"] >= df["n_surfaces"]).all()
+
+
+def test_surface_variants_merges_plurals(ray_session, tmp_path):
+    """The testdata vocabulary has no plural forms, so engineer a corpus
+    where 'table' and 'tables' both appear as SVO subjects: the
+    canonicalizer must merge them under one entity with n_surfaces=2."""
+    from odinson_ray.pipelines.queries7 import q_kg_surface_variants
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # SVO shape: trigger at sentence-local position l%5==0, subject at
+    # l+1, object at l+2 (20-token sentences)
+    sent = ("scan tables row x x scan table row x x "
+            "scan tables row x x scan table row x x").split()
+    text = " ".join(sent)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([text, text]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["t", "t"]),
+        "n_chars": pa.array([len(text)] * 2, pa.int64())}),
+        d / "documents.parquet")
+    df = q_kg_surface_variants(str(d)).to_pandas().set_index("entity")
+    assert df.loc["ent:table", "n_surfaces"] == 2
+    assert df.loc["ent:table", "example_surface"] == "table"
