@@ -549,6 +549,118 @@ FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 3
 """
 
 
+
+
+# ===================================== component-size histogram
+
+def q_kg_component_sizes(sf_dir: str):
+    """Connected-component size histogram of the KG — (size,
+    n_components), the fragmentation diagnostic a KG build prints to
+    detect a shattered graph (many tiny components) or an
+    over-canonicalized one (one giant blob). Rides the pointer-jumping
+    connected_components (stages/canon.py); both downstream groupbys
+    are combiner-fed and component-vocabulary-bounded."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.canon import connected_components
+    from odinson_ray.stages.shuffle import rename_agg
+
+    from .queries2 import _kg_edges
+
+    edges = _kg_edges(sf_dir).map_batches(
+        lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow")
+    cc = connected_components(edges)
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t.select(["root"]), ["root"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(agg, ["root"], ["root", "pn"])
+
+    sizes = (cc.map_batches(size_partial, batch_format="pyarrow")
+             .groupby("root").aggregate(Sum("pn", alias_name="size")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t.select(["size"]), ["size"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(agg, ["size"], ["size", "pn"])
+
+    return (sizes.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("size")
+            .aggregate(Sum("pn", alias_name="n_components")))
+
+
+def _component_sizes_oracle(body: str) -> str:
+    return f"""
+WITH RECURSIVE trip AS ({body}),
+e0 AS (SELECT DISTINCT least(subj_canon, obj_canon) AS lo,
+              greatest(subj_canon, obj_canon) AS hi
+       FROM trip WHERE subj_canon != obj_canon),
+adj AS (SELECT lo AS u, hi AS v FROM e0 UNION SELECT hi, lo FROM e0),
+reach(u, v) AS (
+  SELECT u, v FROM adj
+  UNION
+  SELECT r.u, a.v FROM reach r JOIN adj a ON r.v = a.u
+),
+comp AS (
+  SELECT u AS node, least(u, min(v)) AS root FROM reach GROUP BY u
+),
+sizes AS (
+  SELECT root, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY root
+)
+SELECT size, CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY size
+"""
+
+
+# ===================================== maximal independent set
+
+def q_kg_mis(sf_dir: str):
+    """Deterministic Luby maximal independent set over the KG — the
+    classic symmetry-breaking primitive behind distributed coloring /
+    scheduling (and a conflict-free seed set for parallel KG curation:
+    no two selected entities share an edge). md5 priorities make every
+    round reproducible at any parallelism AND SQL-checkable; the oracle
+    unrolls 8 rounds (idempotent past convergence — rounds after the
+    active set empties select nothing)."""
+    from odinson_ray.stages.graph import maximal_independent_set
+
+    from .queries2 import _kg_edges
+
+    return maximal_independent_set(_kg_edges(sf_dir))
+
+
+def _mis_oracle(body: str, rounds: int = 8) -> str:
+    parts = [f"""
+WITH trip AS ({body}),
+ee AS MATERIALIZED (SELECT DISTINCT least(subj_canon, obj_canon) AS lo,
+              greatest(subj_canon, obj_canon) AS hi
+       FROM trip WHERE subj_canon != obj_canon),
+e_0 AS MATERIALIZED (SELECT lo AS a, hi AS b FROM ee
+                     UNION ALL SELECT hi, lo FROM ee),
+v_0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM e_0)"""]
+    for i in range(rounds):
+        parts.append(f""",
+mn_{i} AS MATERIALIZED (SELECT a, min(md5(b)) AS mn
+                        FROM e_{i} GROUP BY a),
+s_{i} AS MATERIALIZED (
+  SELECT v FROM v_{i} LEFT JOIN mn_{i} ON mn_{i}.a = v_{i}.v
+  WHERE mn IS NULL OR md5(v) < mn),
+r_{i} AS MATERIALIZED (
+  SELECT v FROM s_{i}
+  UNION
+  SELECT e.b FROM e_{i} e JOIN s_{i} s ON e.a = s.v),
+v_{i + 1} AS MATERIALIZED (
+  SELECT v FROM v_{i} EXCEPT SELECT v FROM r_{i}),
+e_{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e_{i} e
+  JOIN v_{i + 1} x ON e.a = x.v
+  JOIN v_{i + 1} y ON e.b = y.v)""")
+    union = "\nUNION ALL\n".join(f"SELECT v FROM s_{i}"
+                                   for i in range(rounds))
+    parts.append(f"\nSELECT v FROM ({union})")
+    return "".join(parts)
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str,
              doc_body: str) -> None:
     QUERIES["kg_temporal_triples"] = q_kg_temporal_triples
@@ -563,3 +675,7 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str,
     ORACLES["band_join_acctbal"] = ORACLE_BAND_JOIN
     QUERIES["sorted_neighborhood_pairs"] = q_sorted_neighborhood_pairs
     ORACLES["sorted_neighborhood_pairs"] = ORACLE_SORTED_NEIGHBORHOOD
+    QUERIES["kg_component_sizes"] = q_kg_component_sizes
+    ORACLES["kg_component_sizes"] = _component_sizes_oracle(kg_body)
+    QUERIES["kg_mis"] = q_kg_mis
+    ORACLES["kg_mis"] = _mis_oracle(kg_body)

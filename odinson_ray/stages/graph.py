@@ -564,3 +564,117 @@ def k_truss(edges, k: int, max_rounds: int = 30):
         warnings.warn(
             f"k_truss: max_rounds={max_rounds} reached before fixpoint")
     return cur
+
+
+def _md5_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """md5 hex per string — computed once per UNIQUE value in the batch
+    (vocabulary-bounded Python, the kg_random_walks trade: md5 is the
+    deterministic, SQL-reproducible priority; a production MIS would use
+    a vectorized splitmix over dictionary codes and drop SQL
+    checkability)."""
+    import hashlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    uniq = pc.unique(arr)
+    table = {v: hashlib.md5(v.encode()).hexdigest()
+             for v in uniq.to_pylist()}
+    idx = pc.index_in(arr, value_set=uniq)
+    pri = pa.array([table[v] for v in uniq.to_pylist()], pa.string())
+    return pri.take(idx)
+
+
+def maximal_independent_set(edges, max_rounds: int = 30):
+    """Luby-style deterministic maximal independent set over an
+    undirected (lo, hi) edge Dataset. Each round, a vertex joins the MIS
+    iff its md5 priority is strictly smaller than every ACTIVE
+    neighbor's (isolated active vertices always join); the MIS vertices
+    and their neighborhoods leave the active set; repeat until no
+    vertex remains. Expected O(log n) rounds; every step is joins +
+    combiner groupbys — only the scalar active-vertex count reaches
+    the driver. Returns a Dataset with one column ``v``."""
+    import warnings
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from .shuffle import hash_join, rename_agg
+
+    _S = pa.string()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = pa.chunked_array([t["lo"].combine_chunks(),
+                              t["hi"].combine_chunks()])
+        b = pa.chunked_array([t["hi"].combine_chunks(),
+                              t["lo"].combine_chunks()])
+        return pa.table({"a": a, "b": b})
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def vert_partial(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t.select(["a"]), ["a"]).aggregate([])
+
+    verts = (adj.map_batches(vert_partial, batch_format="pyarrow")
+             .groupby("a").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"])
+             .map_batches(lambda t: t.rename_columns(["v"]),
+                          batch_format="pyarrow").materialize())
+
+    mis = None
+    n_active = verts.count()
+    for _ in range(max_rounds):
+        if n_active == 0:
+            return mis if mis is not None else rd.from_arrow(
+                pa.table({"v": pa.array([], _S)}))
+        # min neighbor priority per vertex (map-side combiner)
+        def mn_partial(t: pa.Table) -> pa.Table:
+            base = pa.table({"a": t["a"], "pb": _md5_column(t["b"])})
+            agg = pa.TableGroupBy(base, ["a"]).aggregate([("pb", "min")])
+            return rename_agg(agg, ["a"], ["a", "pmn"])
+
+        minn = (adj.map_batches(mn_partial, batch_format="pyarrow")
+                .groupby("a").aggregate(Min("pmn", alias_name="mn")))
+
+        joined = hash_join(
+            verts, minn, on="v", right_on="a", how="left_outer",
+            left_schema=pa.schema([("v", _S)]),
+            right_schema=pa.schema([("a", _S), ("mn", _S)]))
+
+        def select_winners(t: pa.Table) -> pa.Table:
+            pv = _md5_column(t["v"])
+            win = pc.or_kleene(pc.is_null(t["mn"]), pc.less(pv, t["mn"]))
+            return t.filter(pc.fill_null(win, False)).select(["v"])
+
+        sel = joined.map_batches(select_winners,
+                                 batch_format="pyarrow").materialize()
+        mis = sel if mis is None else mis.union(sel).materialize()
+
+        # removed = winners + their neighborhoods
+        nbrs = hash_join(
+            adj, sel, on="a", right_on="v", how="semi",
+            left_schema=pa.schema([("a", _S), ("b", _S)]),
+            right_schema=pa.schema([("v", _S)])).map_batches(
+            lambda t: pa.table({"v": t["b"]}), batch_format="pyarrow")
+        removed = (sel.union(nbrs)
+                   .map_batches(lambda t: pa.TableGroupBy(
+                       t, ["v"]).aggregate([]), batch_format="pyarrow")
+                   .groupby("v").aggregate(Count(alias_name="_c"))
+                   .drop_columns(["_c"])).materialize()
+
+        verts = hash_join(
+            verts, removed, on="v", how="anti",
+            left_schema=pa.schema([("v", _S)]),
+            right_schema=pa.schema([("v", _S)])).materialize()
+        n_active = verts.count()
+        adj = hash_join(
+            hash_join(adj, verts, on="a", right_on="v", how="semi",
+                      left_schema=pa.schema([("a", _S), ("b", _S)]),
+                      right_schema=pa.schema([("v", _S)])),
+            verts, on="b", right_on="v", how="semi",
+            left_schema=pa.schema([("a", _S), ("b", _S)]),
+            right_schema=pa.schema([("v", _S)])).materialize()
+    else:
+        warnings.warn(
+            f"maximal_independent_set: max_rounds={max_rounds} reached "
+            "before the active set emptied")
+    return mis

@@ -140,3 +140,50 @@ def test_ktruss_mixed_graph(ray_session):
     assert got == expect
     assert got == {("a", "b"), ("a", "c"), ("a", "d"),
                    ("b", "c"), ("b", "d"), ("c", "d")}
+
+
+def test_mis_independent_and_maximal(ray_session):
+    """Luby MIS on a seeded random graph: no edge inside the MIS
+    (independence) and every outside vertex has an MIS neighbor
+    (maximality). Also deterministic across runs."""
+    import random
+
+    from odinson_ray.stages.graph import maximal_independent_set
+
+    rng = random.Random(7)
+    verts = [f"n{i:02d}" for i in range(40)]
+    pairs = sorted({tuple(sorted(rng.sample(verts, 2))) for _ in range(120)})
+    ds = _edges_ds(pairs)
+    mis1 = {r["v"] for r in maximal_independent_set(ds).take_all()}
+    mis2 = {r["v"] for r in maximal_independent_set(_edges_ds(pairs)).take_all()}
+    assert mis1 == mis2, "MIS must be deterministic"
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for a, b in pairs:
+        assert not (a in mis1 and b in mis1), f"edge inside MIS: {a},{b}"
+    for v in adj:
+        assert v in mis1 or adj[v] & mis1, f"{v} has no MIS neighbor"
+
+
+def test_mis_star_and_path(ray_session):
+    from odinson_ray.stages.graph import maximal_independent_set
+
+    # star: MIS is either {hub} or all leaves — maximality decides leaves
+    # unless the hub's priority beats every leaf
+    star = [("hub", f"l{i}") for i in range(6)]
+    mis = {r["v"] for r in maximal_independent_set(_edges_ds(star)).take_all()}
+    assert mis == {"hub"} or mis == {f"l{i}" for i in range(6)}
+
+    # path a-b-c-d-e: check independence + maximality
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    mis = {r["v"] for r in maximal_independent_set(_edges_ds(path)).take_all()}
+    for a, b in path:
+        assert not (a in mis and b in mis)
+    nodes = {"a", "b", "c", "d", "e"}
+    adj = {"a": {"b"}, "b": {"a", "c"}, "c": {"b", "d"},
+           "d": {"c", "e"}, "e": {"d"}}
+    for v in nodes - mis:
+        assert adj[v] & mis
