@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "skipgram_pairs",
     "user_active_time",
     "kg_edge_support",
+    # final-session additions
+    "band_join_acctbal",
+    "sorted_neighborhood_pairs",
+    "dq_checks",
+    "kg_temporal_triples",
 ]
 
 

@@ -661,6 +661,290 @@ e_{i + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+
+
+# ===================================== triple confidence scoring
+
+def q_kg_triple_confidence(sf_dir: str):
+    """Source-diversity-weighted triple confidence: a triple asserted by
+    many documents from many DIFFERENT sources outranks one repeated by
+    a single crawler — the knowledge-fusion scoring step after
+    extraction (Dong et al.-style support x diversity, integer-exact so
+    the oracle compares bit-for-bit): confidence = n_docs * n_sources.
+
+    Shape: distinct (triple, doc) stream joined DISTRIBUTED to the
+    documents table on the numeric doc id (corpus-keyed hash join — the
+    doc->source map is corpus-sized, so no broadcast); n_docs and
+    n_sources come from two combiner-fed aggregates merged by one
+    vocabulary-bounded join."""
+    from ray.data.aggregate import Count, Sum
+
+    from odinson_ray.stages.canon import canonicalize_dataset
+    from odinson_ray.stages.shuffle import hash_join, rename_agg
+    from odinson_ray.stages.triples import mentions_to_triples
+
+    from .kg import mentions_dataset
+
+    rd = _rd()
+    mentions = mentions_dataset(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["label"], "SVO")),
+        batch_format="pyarrow")
+    trips, _roots = canonicalize_dataset(
+        mentions.map_batches(mentions_to_triples, batch_format="pyarrow"))
+
+    def keyed_distinct(t: pa.Table) -> pa.Table:
+        tk = pc.binary_join_element_wise(
+            t["subj_canon"], t["pred"], t["obj_canon"], SEP)
+        did = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99),
+                      pa.int64())
+        base = pa.table({"tk": tk, "did": did})
+        return pa.TableGroupBy(base, ["tk", "did"]).aggregate([])
+
+    td = (trips.map_batches(keyed_distinct, batch_format="pyarrow")
+          .groupby(["tk", "did"]).aggregate(Count(alias_name="_c"))
+          .drop_columns(["_c"])).materialize()
+
+    def ndocs_partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t.select(["tk"]), ["tk"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(agg, ["tk"], ["tk", "pn"])
+
+    ndocs = (td.map_batches(ndocs_partial, batch_format="pyarrow")
+             .groupby("tk").aggregate(Sum("pn", alias_name="n_docs")))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    joined = hash_join(
+        td, docs, on="did", right_on="doc_id",
+        left_schema=pa.schema([("tk", pa.string()), ("did", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("source", pa.string())]))
+
+    def src_distinct(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t.select(["tk", "source"]),
+                               ["tk", "source"]).aggregate([])
+
+    tsrc = (joined.map_batches(src_distinct, batch_format="pyarrow")
+            .groupby(["tk", "source"]).aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"]))
+
+    nsrc = (tsrc.map_batches(ndocs_partial, batch_format="pyarrow")
+            .groupby("tk").aggregate(Sum("pn", alias_name="n_sources")))
+
+    both = hash_join(
+        ndocs, nsrc, on="tk",
+        left_schema=pa.schema([("tk", pa.string()),
+                               ("n_docs", pa.int64())]),
+        right_schema=pa.schema([("tk", pa.string()),
+                                ("n_sources", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(t["tk"], SEP)).combine_chunks()
+        idx = np.arange(len(t), dtype=np.int64) * 3
+        return pa.table({
+            "subj_canon": flat.take(pa.array(idx)),
+            "pred": flat.take(pa.array(idx + 1)),
+            "obj_canon": flat.take(pa.array(idx + 2)),
+            "n_docs": t["n_docs"],
+            "n_sources": t["n_sources"],
+            "confidence": pc.multiply(t["n_docs"], t["n_sources"])})
+
+    return both.map_batches(finish, batch_format="pyarrow")
+
+
+def _triple_confidence_oracle(doc_body: str) -> str:
+    return f"""
+WITH dt AS ({doc_body}),
+j AS (SELECT dt.subj_canon, dt.pred, dt.obj_canon, d.source
+      FROM dt JOIN documents d ON d.doc_id = dt.did),
+a AS (SELECT subj_canon, pred, obj_canon,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM dt GROUP BY 1, 2, 3),
+b AS (SELECT subj_canon, pred, obj_canon,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM j GROUP BY 1, 2, 3)
+SELECT a.subj_canon, a.pred, a.obj_canon, a.n_docs, b.n_sources,
+       a.n_docs * b.n_sources AS confidence
+FROM a JOIN b USING (subj_canon, pred, obj_canon)
+"""
+
+
+# ===================================== functional-dependency profiling
+
+_FD_CANDIDATES = [
+    ("custkey_determines_priority", "o_custkey", "o_orderpriority"),
+    ("status_determines_priority", "o_orderstatus", "o_orderpriority"),
+    ("priority_determines_status", "o_orderpriority", "o_orderstatus"),
+]
+
+
+def q_fd_violations(sf_dir: str):
+    """Functional-dependency profiling over orders: for each candidate
+    A -> B, how many distinct A-values exist and how many map to MORE
+    than one B (FD violations) — the schema-discovery pass data-quality
+    tooling runs before declaring constraints. Per FD: one distinct
+    (A, B) combiner groupby, then a per-A count — both
+    vocabulary-bounded; two scalars per FD reach the driver."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from odinson_ray.stages.shuffle import rename_agg
+
+    rd = _rd()
+    rows = []
+    for name, a_col, b_col in _FD_CANDIDATES:
+        ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=[a_col, b_col])
+
+        def ab_distinct(t: pa.Table, a=a_col, b=b_col) -> pa.Table:
+            return pa.TableGroupBy(t.select([a, b]), [a, b]).aggregate([])
+
+        ab = (ds.map_batches(ab_distinct, batch_format="pyarrow")
+              .groupby([a_col, b_col]).aggregate(Count(alias_name="_c"))
+              .drop_columns(["_c"]))
+
+        def per_a(t: pa.Table, a=a_col) -> pa.Table:
+            agg = pa.TableGroupBy(t.select([a]), [a]).aggregate(
+                [([], "count_all")])
+            return rename_agg(agg, [a], ["k", "pn"])
+
+        counts = (ab.map_batches(per_a, batch_format="pyarrow")
+                  .groupby("k").aggregate(Sum("pn", alias_name="nb"))
+                  ).materialize()
+        total = counts.count()
+        violating = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["nb"], 1)),
+            batch_format="pyarrow").count()
+        rows.append((name, total, violating))
+
+    return pd.DataFrame({
+        "fd_name": [r[0] for r in rows],
+        "lhs_total": np.array([r[1] for r in rows], dtype=np.int64),
+        "lhs_violating": np.array([r[2] for r in rows], dtype=np.int64),
+    })
+
+
+ORACLE_FD_VIOLATIONS = """
+SELECT * FROM (
+  SELECT 'custkey_determines_priority' AS fd_name,
+         CAST(count(*) AS BIGINT) AS lhs_total,
+         CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS lhs_violating
+  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nb
+        FROM orders GROUP BY 1)
+  UNION ALL
+  SELECT 'status_determines_priority',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS nb
+        FROM orders GROUP BY 1)
+  UNION ALL
+  SELECT 'priority_determines_status',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT o_orderpriority, count(DISTINCT o_orderstatus) AS nb
+        FROM orders GROUP BY 1)
+)
+"""
+
+
+# ===================================== predicate co-occurrence
+
+def q_kg_pred_cooccurrence(sf_dir: str):
+    """Predicate co-occurrence graph: unordered predicate pairs asserted
+    within the SAME document, with document counts — the relation-level
+    analog of entity PMI (schema induction: predicates that co-occur
+    often are candidates for composition rules). Distinct (doc, pred)
+    rows shuffle ONCE on a coarse doc-hash; per-partition pairing is
+    segmented index arithmetic over doc runs (pair count per doc is
+    C(#preds, 2) <= C(6, 2) — bounded by the predicate vocabulary)."""
+    from ray.data.aggregate import Count, Sum
+
+    from odinson_ray.stages.canon import canonicalize_dataset
+    from odinson_ray.stages.shuffle import rename_agg
+    from odinson_ray.stages.sketch import _splitmix64
+    from odinson_ray.stages.triples import mentions_to_triples
+
+    from .kg import mentions_dataset
+
+    PARTS = 256
+    mentions = mentions_dataset(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["label"], "SVO")),
+        batch_format="pyarrow")
+    trips, _roots = canonicalize_dataset(
+        mentions.map_batches(mentions_to_triples, batch_format="pyarrow"))
+
+    def dp_distinct(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t.select(["doc_id", "pred"]),
+                               ["doc_id", "pred"]).aggregate([])
+
+    dp = (trips.map_batches(dp_distinct, batch_format="pyarrow")
+          .groupby(["doc_id", "pred"]).aggregate(Count(alias_name="_c"))
+          .drop_columns(["_c"]))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        d = t["doc_id"].combine_chunks()
+        uniq = pc.unique(d)
+        hv = np.array([int(hashlib.md5(v.encode()).hexdigest()[:12], 16)
+                       for v in uniq.to_pylist()], dtype=np.uint64)
+        p = pa.array((hv % PARTS).astype(np.int64), pa.int64())
+        idx = pc.index_in(d, value_set=uniq)
+        return t.append_column("_p", p.take(idx))
+
+    def pair_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        o = pc.sort_indices(g, sort_keys=[("doc_id", "ascending"),
+                                          ("pred", "ascending")])
+        g = g.take(o)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        p = g["pred"].to_numpy(zero_copy_only=False)
+        n = len(d)
+        if n == 0:
+            return pa.table({"pred_a": pa.array([], pa.string()),
+                             "pred_b": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64())})
+        starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+        lens = np.diff(np.append(starts, n))
+        # per-run all pairs (i < j): vectorized via per-run repeat
+        reps = np.repeat(lens - 1, lens) - (
+            np.arange(n) - np.repeat(starts, lens))
+        reps = np.maximum(reps, 0)
+        total = int(reps.sum())
+        if total == 0:
+            return pa.table({"pred_a": pa.array([], pa.string()),
+                             "pred_b": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64())})
+        i_idx = np.repeat(np.arange(n), reps)
+        off = np.repeat(np.cumsum(reps) - reps, reps)
+        j_idx = i_idx + 1 + (np.arange(total) - off)
+        tab = pa.table({"pred_a": pa.array(p[i_idx], pa.string()),
+                        "pred_b": pa.array(p[j_idx], pa.string())})
+        agg = pa.TableGroupBy(tab, ["pred_a", "pred_b"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(agg, ["pred_a", "pred_b"],
+                          ["pred_a", "pred_b", "pn"])
+
+    return (dp.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_p").map_groups(pair_partition,
+                                      batch_format="pyarrow")
+            .groupby(["pred_a", "pred_b"])
+            .aggregate(Sum("pn", alias_name="n_docs")))
+
+
+def _pred_cooc_oracle(doc_body: str) -> str:
+    return f"""
+WITH dt AS ({doc_body}),
+dp AS (SELECT DISTINCT doc_id, pred FROM dt)
+SELECT a.pred AS pred_a, b.pred AS pred_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM dp a JOIN dp b ON a.doc_id = b.doc_id AND a.pred < b.pred
+GROUP BY 1, 2
+"""
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str,
              doc_body: str) -> None:
     QUERIES["kg_temporal_triples"] = q_kg_temporal_triples
@@ -679,3 +963,9 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str,
     ORACLES["kg_component_sizes"] = _component_sizes_oracle(kg_body)
     QUERIES["kg_mis"] = q_kg_mis
     ORACLES["kg_mis"] = _mis_oracle(kg_body)
+    QUERIES["kg_triple_confidence"] = q_kg_triple_confidence
+    ORACLES["kg_triple_confidence"] = _triple_confidence_oracle(doc_body)
+    QUERIES["fd_violations"] = q_fd_violations
+    ORACLES["fd_violations"] = ORACLE_FD_VIOLATIONS
+    QUERIES["kg_pred_cooccurrence"] = q_kg_pred_cooccurrence
+    ORACLES["kg_pred_cooccurrence"] = _pred_cooc_oracle(doc_body)

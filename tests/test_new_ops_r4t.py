@@ -175,3 +175,47 @@ def test_surface_variants_merges_plurals(ray_session, tmp_path):
     df = q_kg_surface_variants(str(d)).to_pandas().set_index("entity")
     assert df.loc["ent:table", "n_surfaces"] == 2
     assert df.loc["ent:table", "example_surface"] == "table"
+
+
+def test_fd_violations_synthetic(ray_session, tmp_path):
+    from odinson_ray.pipelines.queries7 import q_fd_violations
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([10, 10, 20, 30], pa.int64()),
+        # custkey 10 maps to TWO priorities -> 1 of 3 LHS violating
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH",
+                                     "2-HIGH", "2-HIGH"]),
+        # status 'O' maps to both priorities; 'F' to one
+        "o_orderstatus": pa.array(["O", "O", "F", "F"]),
+        "o_totalprice": pa.array([1.0] * 4, pa.float64())}),
+        d / "orders.parquet")
+    df = q_fd_violations(str(d)).set_index("fd_name")
+    assert df.loc["custkey_determines_priority", "lhs_total"] == 3
+    assert df.loc["custkey_determines_priority", "lhs_violating"] == 1
+    assert df.loc["status_determines_priority", "lhs_total"] == 2
+    assert df.loc["status_determines_priority", "lhs_violating"] == 1
+    # priority -> status: 1-URGENT->{O}, 2-HIGH->{O,F} -> 1 violating
+    assert df.loc["priority_determines_status", "lhs_violating"] == 1
+
+
+def test_pred_cooccurrence_bounds(ray_session):
+    from odinson_ray.pipelines.queries7 import q_kg_pred_cooccurrence
+
+    df = q_kg_pred_cooccurrence(SF).to_pandas()
+    assert (df["pred_a"] < df["pred_b"]).all(), "pairs must be ordered"
+    assert (df["n_docs"] >= 1).all()
+    preds = {"scan", "join", "sort", "merge", "filter", "group"}
+    assert set(df["pred_a"]) <= preds and set(df["pred_b"]) <= preds
+
+
+def test_triple_confidence_consistency(ray_session):
+    from odinson_ray.pipelines.queries7 import q_kg_triple_confidence
+
+    df = q_kg_triple_confidence(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["n_sources"] >= 1).all()
+    assert (df["n_sources"] <= df["n_docs"]).all()
+    assert (df["confidence"] == df["n_docs"] * df["n_sources"]).all()
