@@ -945,6 +945,333 @@ GROUP BY 1, 2
 """
 
 
+
+
+# ===================================== first-event-per-window throttle
+
+def q_event_throttle(sf_dir: str, window_us: int = 300_000_000):
+    """Rate-limit dedup: keep only the FIRST event per (user, 5-minute
+    tumbling window) — the throttling/debounce primitive of alerting
+    and notification pipelines. Argmin is made associative by packing
+    (ts, event_id) into one fixed-width sortable string, so a plain
+    per-batch combiner + global Min groupby replaces any per-key sort;
+    ties break on event_id exactly as the oracle's ROW_NUMBER order."""
+    from ray.data.aggregate import Min
+
+    from odinson_ray.stages.shuffle import rename_agg
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tu = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        ws = pc.multiply(pc.divide(tu, window_us),
+                         pa.scalar(window_us, pa.int64()))
+        # zero-padded us timestamp (20) + event id (12): lexicographic
+        # order == (ts, event_id) order for non-negative values
+        packed = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(tu, pa.string()), 20, "0"),
+            pc.utf8_lpad(pc.cast(t["event_id"], pa.string()), 12, "0"),
+            "")
+        base = pa.table({"user_id": t["user_id"], "ws": ws, "pk": packed})
+        agg = pa.TableGroupBy(base, ["user_id", "ws"]).aggregate(
+            [("pk", "min")])
+        return rename_agg(agg, ["user_id", "ws"],
+                          ["user_id", "ws", "pk"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["user_id", "ws"]).aggregate(Min("pk", alias_name="m")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        eid = pc.cast(pc.utf8_slice_codeunits(t["m"], 20, 32), pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "window_start": t["ws"].cast(pa.timestamp("us")),
+            "first_event_id": eid})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_EVENT_THROTTLE = """
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu,
+         epoch_us(ts) - (epoch_us(ts) % 300000000) AS ws
+  FROM events
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ws
+                               ORDER BY tu, event_id) AS rn
+  FROM b
+)
+SELECT user_id, make_timestamp(ws) AS window_start,
+       event_id AS first_event_id
+FROM r WHERE rn = 1
+"""
+
+
+# ===================================== entity temporal profile
+
+def q_kg_entity_timeline(sf_dir: str):
+    """Per-entity temporal profile: first/last observation date, distinct
+    supporting documents, and distinct active days — the entity-grain
+    twin of kg_temporal_triples (the dashboard row a KG ships per node).
+    Endpoint union → distinct (entity, doc) → combiner min/max/count;
+    active days from a second distinct (entity, day) aggregate; ONE
+    vocabulary-bounded join merges the two."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from odinson_ray.stages.canon import canonicalize_dataset
+    from odinson_ray.stages.shuffle import hash_join, rename_agg
+    from odinson_ray.stages.triples import mentions_to_triples
+
+    from .kg import mentions_dataset
+
+    mentions = mentions_dataset(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["label"], "SVO")),
+        batch_format="pyarrow")
+    trips, _roots = canonicalize_dataset(
+        mentions.map_batches(mentions_to_triples, batch_format="pyarrow"))
+
+    def ent_doc(t: pa.Table) -> pa.Table:
+        ent = pa.chunked_array([t["subj_canon"].combine_chunks(),
+                                t["obj_canon"].combine_chunks()])
+        doc = pa.chunked_array([t["doc_id"].combine_chunks(),
+                                t["doc_id"].combine_chunks()])
+        return pa.TableGroupBy(pa.table({"entity": ent, "doc_id": doc}),
+                               ["entity", "doc_id"]).aggregate([])
+
+    ed = (trips.map_batches(ent_doc, batch_format="pyarrow")
+          .groupby(["entity", "doc_id"]).aggregate(Count(alias_name="_c"))
+          .drop_columns(["_c"])).materialize()
+
+    def day_col(t: pa.Table):
+        did = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99),
+                      pa.int64())
+        return pc.subtract(did, pc.multiply(pc.divide(did, 365), 365))
+
+    def win_partial(t: pa.Table) -> pa.Table:
+        base = pa.table({"entity": t["entity"], "day": day_col(t)})
+        agg = pa.TableGroupBy(base, ["entity"]).aggregate(
+            [("day", "min"), ("day", "max"), ([], "count_all")])
+        return rename_agg(agg, ["entity"],
+                          ["entity", "dmin", "dmax", "pn"])
+
+    win = (ed.map_batches(win_partial, batch_format="pyarrow")
+           .groupby("entity")
+           .aggregate(Min("dmin", alias_name="d0"),
+                      Max("dmax", alias_name="d1"),
+                      Sum("pn", alias_name="n_docs")))
+
+    def day_distinct(t: pa.Table) -> pa.Table:
+        base = pa.table({"entity": t["entity"], "day": day_col(t)})
+        return pa.TableGroupBy(base, ["entity", "day"]).aggregate([])
+
+    def per_ent(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t.select(["entity"]), ["entity"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(agg, ["entity"], ["entity", "pn"])
+
+    days = (ed.map_batches(day_distinct, batch_format="pyarrow")
+            .groupby(["entity", "day"]).aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"])
+            .map_batches(per_ent, batch_format="pyarrow")
+            .groupby("entity").aggregate(Sum("pn",
+                                             alias_name="n_active_days")))
+
+    both = hash_join(
+        win, days, on="entity",
+        left_schema=pa.schema([("entity", pa.string()),
+                               ("d0", pa.int64()), ("d1", pa.int64()),
+                               ("n_docs", pa.int64())]),
+        right_schema=pa.schema([("entity", pa.string()),
+                                ("n_active_days", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity": t["entity"],
+            "first_seen": pc.cast(pc.add(t["d0"], _EPOCH_2020),
+                                  pa.int32()).cast(pa.date32())
+                            .cast(pa.timestamp("us")),
+            "last_seen": pc.cast(pc.add(t["d1"], _EPOCH_2020),
+                                 pa.int32()).cast(pa.date32())
+                           .cast(pa.timestamp("us")),
+            "n_docs": t["n_docs"],
+            "n_active_days": t["n_active_days"]})
+
+    return both.map_batches(finish, batch_format="pyarrow")
+
+
+def _entity_timeline_oracle(doc_body: str) -> str:
+    return f"""
+WITH dt AS ({doc_body}),
+ed AS (
+  SELECT DISTINCT entity, did FROM (
+    SELECT subj_canon AS entity, did FROM dt
+    UNION ALL
+    SELECT obj_canon, did FROM dt
+  )
+),
+win AS (
+  SELECT entity,
+         DATE '2020-01-01' + CAST(min(did % 365) AS INT) AS first_seen,
+         DATE '2020-01-01' + CAST(max(did % 365) AS INT) AS last_seen,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM ed GROUP BY entity
+),
+days AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS n_active_days
+  FROM (SELECT DISTINCT entity, did % 365 FROM ed) GROUP BY entity
+)
+SELECT win.entity, win.first_seen, win.last_seen, win.n_docs,
+       days.n_active_days
+FROM win JOIN days USING (entity)
+"""
+
+
+
+
+# ===================================== end-to-end curation funnel
+
+def q_curation_funnel(sf_dir: str, contam_min_shared: int = 5):
+    """The composed curation pipeline as ONE report: documents surviving
+    each stage of exact-dedup -> quality-filter -> decontamination (the
+    funnel chart every training-data run publishes). Reuses the exact
+    kernels of the standalone stages (same md5 fingerprints, same Gopher
+    rule masks, same broadcast eval-gram set), so each row equals the
+    corresponding standalone query's survivor count; the funnel adds the
+    STAGE COMPOSITION — survivors flow dataset-to-dataset via semi/anti
+    joins, and only the four stage counts reach the driver."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from odinson_ray.stages.curate import decontaminate
+    from odinson_ray.stages.shuffle import hash_join
+
+    rd = _rd()
+    i64 = pa.int64()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    s0 = docs.count()
+
+    # stage 1: exact dedup — first doc per md5(text) (q_dedup_exact's
+    # pure-aggregate decomposition)
+    def keyed_partial(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(x.encode("utf-8")).hexdigest()
+               for x in t["text"].to_pylist()]
+        base = pa.table({"fp": pa.array(fps, pa.string()),
+                         "doc_id": t["doc_id"]})
+        g = pa.TableGroupBy(base, ["fp"]).aggregate([("doc_id", "min")])
+        return pa.table({"fp": g["fp"], "pd": g["doc_id_min"]})
+
+    keep1 = (docs.map_batches(keyed_partial, batch_format="pyarrow")
+             .groupby("fp").aggregate(Min("pd", alias_name="doc_id"))
+             .drop_columns(["fp"])).materialize()
+    s1 = keep1.count()
+
+    surv1 = hash_join(
+        docs, keep1, on="doc_id", how="semi",
+        left_schema=pa.schema([("doc_id", i64), ("text", pa.string())]),
+        right_schema=pa.schema([("doc_id", i64)]))
+
+    # stage 2: Gopher quality rules (q_quality_filter's mask, verbatim)
+    def quality_keep(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(toks).cast(i64)
+        chars = pc.utf8_length(t["text"]).cast(i64)
+        sym = pc.count_substring_regex(t["text"], "[^a-z0-9 ]").cast(i64)
+        nf = n.cast(pa.float64())
+        mean_len = pc.divide(
+            pc.subtract(chars, pc.subtract(n, pa.scalar(1, i64)))
+            .cast(pa.float64()), nf)
+        sym_ratio = pc.divide(sym.cast(pa.float64()),
+                              chars.cast(pa.float64()))
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(n, 20), pc.less_equal(n, 90)),
+                pc.and_(pc.greater_equal(mean_len, 4.0),
+                        pc.less_equal(mean_len, 12.0))),
+            pc.and_(pc.less(sym_ratio, 0.1), pc.greater(chars, 0)))
+        return t.filter(keep).select(["doc_id"])
+
+    surv2 = surv1.map_batches(quality_keep,
+                              batch_format="pyarrow").materialize()
+    s2 = surv2.count()
+
+    # stage 3: decontamination — drop the eval slice itself and any doc
+    # sharing >= contam_min_shared distinct 3-grams with it
+    contaminated = decontaminate(sf_dir, n=3, eval_mod=97).map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["n_shared"], contam_min_shared)).select(["doc_id"]),
+        batch_format="pyarrow")
+    non_eval = surv2.map_batches(
+        lambda t: t.filter(pc.not_equal(
+            pc.subtract(t["doc_id"], pc.multiply(
+                pc.divide(t["doc_id"], 97), pa.scalar(97, i64))),
+            pa.scalar(0, i64))),
+        batch_format="pyarrow")
+    surv3 = hash_join(
+        non_eval, contaminated, on="doc_id", how="anti",
+        left_schema=pa.schema([("doc_id", i64)]),
+        right_schema=pa.schema([("doc_id", i64)]))
+    s3 = surv3.count()
+
+    return pd.DataFrame({
+        "stage": ["total", "exact_dedup", "quality", "decontaminated"],
+        "docs_remaining": np.array([s0, s1, s2, s3], dtype=np.int64),
+    })
+
+
+ORACLE_CURATION_FUNNEL = """
+WITH d1 AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+m AS (
+  SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+         length(d.text) AS chars,
+         length(d.text) -
+         length(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g')) AS sym
+  FROM documents d JOIN d1 USING (doc_id)
+),
+q AS (
+  SELECT doc_id FROM m
+  WHERE n_tokens BETWEEN 20 AND 90
+    AND (chars - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 4 AND 12
+    AND sym * 1.0 / chars < 0.1 AND chars > 0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i+2), ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks)
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+cont AS (
+  SELECT g.doc_id FROM grams g JOIN ev e USING (g)
+  WHERE g.doc_id % 97 <> 0
+  GROUP BY g.doc_id HAVING count(DISTINCT g.g) >= 5
+),
+s3 AS (
+  SELECT doc_id FROM q
+  WHERE doc_id % 97 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM cont)
+)
+SELECT * FROM (
+  SELECT 'total' AS stage,
+         CAST((SELECT count(*) FROM documents) AS BIGINT)
+             AS docs_remaining
+  UNION ALL
+  SELECT 'exact_dedup', CAST((SELECT count(*) FROM d1) AS BIGINT)
+  UNION ALL
+  SELECT 'quality', CAST((SELECT count(*) FROM q) AS BIGINT)
+  UNION ALL
+  SELECT 'decontaminated', CAST((SELECT count(*) FROM s3) AS BIGINT)
+)
+"""
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str,
              doc_body: str) -> None:
     QUERIES["kg_temporal_triples"] = q_kg_temporal_triples
@@ -969,3 +1296,9 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str,
     ORACLES["fd_violations"] = ORACLE_FD_VIOLATIONS
     QUERIES["kg_pred_cooccurrence"] = q_kg_pred_cooccurrence
     ORACLES["kg_pred_cooccurrence"] = _pred_cooc_oracle(doc_body)
+    QUERIES["event_throttle"] = q_event_throttle
+    ORACLES["event_throttle"] = ORACLE_EVENT_THROTTLE
+    QUERIES["kg_entity_timeline"] = q_kg_entity_timeline
+    ORACLES["kg_entity_timeline"] = _entity_timeline_oracle(doc_body)
+    QUERIES["curation_funnel"] = q_curation_funnel
+    ORACLES["curation_funnel"] = ORACLE_CURATION_FUNNEL

@@ -219,3 +219,41 @@ def test_triple_confidence_consistency(ray_session):
     assert (df["n_sources"] >= 1).all()
     assert (df["n_sources"] <= df["n_docs"]).all()
     assert (df["confidence"] == df["n_docs"] * df["n_sources"]).all()
+
+
+def test_event_throttle_first_per_window(ray_session):
+    from odinson_ray.pipelines.queries7 import q_event_throttle
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts"]).to_pandas()
+    tu = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.assign(tu=tu, ws=tu - tu % 300_000_000)
+    first = (ev.sort_values(["tu", "event_id"])
+             .groupby(["user_id", "ws"]).first().reset_index())
+    expect = {(int(r.user_id), int(r.ws)): int(r.event_id)
+              for r in first.itertuples()}
+
+    got_df = q_event_throttle(SF).to_pandas()
+    got = {(int(r.user_id),
+            int(pd.Timestamp(r.window_start).value // 1000)):
+           int(r.first_event_id) for r in got_df.itertuples()}
+    assert got == expect
+
+
+def test_curation_funnel_monotone_and_consistent(ray_session):
+    from odinson_ray.pipelines.queries7 import q_curation_funnel
+
+    df = q_curation_funnel(SF).set_index("stage")["docs_remaining"]
+    assert df["total"] >= df["exact_dedup"] >= df["quality"] \
+        >= df["decontaminated"]
+    assert df["decontaminated"] > 0
+
+
+def test_entity_timeline_consistency(ray_session):
+    from odinson_ray.pipelines.queries7 import q_kg_entity_timeline
+
+    df = q_kg_entity_timeline(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["first_seen"] <= df["last_seen"]).all()
+    assert (df["n_active_days"] <= df["n_docs"]).all()
+    assert (df["n_active_days"] >= 1).all()
