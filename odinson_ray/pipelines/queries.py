@@ -433,9 +433,9 @@ def q_dedup_exact(sf_dir: str):
     rd = _rd()
 
     def keyed_partial(t: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(x.encode("utf-8")).hexdigest()
-               for x in t["text"].to_pylist()]
-        base = pa.table({"fp": pa.array(fps, pa.string()),
+        from odinson_ray.stages.text import content_fingerprints
+
+        base = pa.table({"fp": content_fingerprints(t["text"]),
                          "doc_id": t["doc_id"]})
         g = pa.TableGroupBy(base, ["fp"]).aggregate(
             [("doc_id", "min"), ([], "count_all")])
@@ -1724,6 +1724,8 @@ def q_quality_filter(sf_dir: str):
     rd = _rd()
 
     def f(t: pa.Table) -> pa.Table:
+        from odinson_ray.stages.text import gopher_quality_mask
+
         toks = pc.split_pattern(t["text"], " ")
         n = pc.list_value_length(toks).cast(pa.int64())
         chars = pc.utf8_length(t["text"]).cast(pa.int64())
@@ -1734,13 +1736,7 @@ def q_quality_filter(sf_dir: str):
             nf,
         )
         sym_ratio = pc.divide(sym.cast(pa.float64()), chars.cast(pa.float64()))
-        keep = pc.and_(
-            pc.and_(
-                pc.and_(pc.greater_equal(n, 20), pc.less_equal(n, 90)),
-                pc.and_(pc.greater_equal(mean_len, 4.0), pc.less_equal(mean_len, 12.0)),
-            ),
-            pc.and_(pc.less(sym_ratio, 0.1), pc.greater(chars, 0)),
-        )
+        keep = gopher_quality_mask(t)  # the SHARED rule mask (funnel twin)
         out = pa.table({
             "doc_id": t["doc_id"],
             "n_tokens": n,

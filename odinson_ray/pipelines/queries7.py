@@ -27,6 +27,20 @@ def _rd():
 _EPOCH_2020 = 18262  # date32 day count for 2020-01-01
 
 
+def _doc_day(doc_id_col):
+    """Synthetic doc day: int(doc_id[4:]) % 365 — the ONE place the
+    scheme lives (mirrored verbatim by the `did % 365` in the oracles)."""
+    did = pc.cast(pc.utf8_slice_codeunits(doc_id_col, 4, 99), pa.int64())
+    return pc.subtract(did, pc.multiply(pc.divide(did, 365), 365))
+
+
+def _day_to_ts(day_col):
+    """day offset (int64) -> timestamp[us] at DATE '2020-01-01' + day."""
+    return (pc.cast(pc.add(day_col, _EPOCH_2020), pa.int32())
+            .cast(pa.date32()).cast(pa.timestamp("us")))
+
+
+
 def q_kg_temporal_triples(sf_dir: str):
     """Temporal scoping of canonical triples: the observation window
     (first_seen, last_seen) and distinct-document support per triple,
@@ -67,11 +81,7 @@ def q_kg_temporal_triples(sf_dir: str):
           .drop_columns(["_c"]))
 
     def window_partial(t: pa.Table) -> pa.Table:
-        # doc day is a pure function of the doc id: int(doc_id[4:]) % 365
-        did = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99),
-                      pa.int64())
-        day = pc.subtract(did, pc.multiply(pc.divide(did, 365), 365))
-        base = pa.table({"tk": t["tk"], "day": day})
+        base = pa.table({"tk": t["tk"], "day": _doc_day(t["doc_id"])})
         agg = pa.TableGroupBy(base, ["tk"]).aggregate(
             [("day", "min"), ("day", "max"), ([], "count_all")])
         return rename_agg(agg, ["tk"], ["tk", "dmin", "dmax", "pn"])
@@ -91,12 +101,8 @@ def q_kg_temporal_triples(sf_dir: str):
             "subj_canon": flat.take(pa.array(idx)),
             "pred": flat.take(pa.array(idx + 1)),
             "obj_canon": flat.take(pa.array(idx + 2)),
-            "first_seen": pc.cast(pc.add(t["d0"], _EPOCH_2020),
-                                  pa.int32()).cast(pa.date32())
-                            .cast(pa.timestamp("us")),
-            "last_seen": pc.cast(pc.add(t["d1"], _EPOCH_2020),
-                                 pa.int32()).cast(pa.date32())
-                           .cast(pa.timestamp("us")),
+            "first_seen": _day_to_ts(t["d0"]),
+            "last_seen": _day_to_ts(t["d1"]),
             "n_docs": t["n_docs"]})
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -249,10 +255,14 @@ def q_dq_checks(sf_dir: str):
     rd = _rd()
     i64 = pa.int64()
     f64 = pa.float64()
+    # each base table feeds several sequential checks: pin once so the
+    # five driver-blocking jobs do not rescan the parquet (orders 4x,
+    # lineitem 2x otherwise)
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_orderkey", "l_quantity"])
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey"])
+                         columns=["l_orderkey", "l_quantity"]).materialize()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"]).materialize()
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"])
 
@@ -438,6 +448,10 @@ def q_sorted_neighborhood_pairs(sf_dir: str, window: int = 3,
     from odinson_ray.stages.sketch import approx_quantile_values
     from odinson_ray.stages.shuffle import rename_agg
 
+    if chunk < window - 1:
+        raise ValueError(
+            f"chunk ({chunk}) must be >= window - 1 ({window - 1}): "
+            "boundary replication reaches exactly one chunk forward")
     rd = _rd()
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -792,10 +806,12 @@ def q_fd_violations(sf_dir: str):
     from odinson_ray.stages.shuffle import rename_agg
 
     rd = _rd()
+    cols = sorted({c for _, a, b in _FD_CANDIDATES for c in (a, b)})
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=cols).materialize()  # one scan, 3 FDs
     rows = []
     for name, a_col, b_col in _FD_CANDIDATES:
-        ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=[a_col, b_col])
+        ds = base
 
         def ab_distinct(t: pa.Table, a=a_col, b=b_col) -> pa.Table:
             return pa.TableGroupBy(t.select([a, b]), [a, b]).aggregate([])
@@ -970,9 +986,12 @@ def q_event_throttle(sf_dir: str, window_us: int = 300_000_000):
                          pa.scalar(window_us, pa.int64()))
         # zero-padded us timestamp (20) + event id (12): lexicographic
         # order == (ts, event_id) order for non-negative values
+        # both fields padded to 20 digits — int64 is at most 19 digits,
+        # so lexicographic order == (ts, event_id) numeric order for ALL
+        # non-negative int64 values (no silent truncation possible)
         packed = pc.binary_join_element_wise(
             pc.utf8_lpad(pc.cast(tu, pa.string()), 20, "0"),
-            pc.utf8_lpad(pc.cast(t["event_id"], pa.string()), 12, "0"),
+            pc.utf8_lpad(pc.cast(t["event_id"], pa.string()), 20, "0"),
             "")
         base = pa.table({"user_id": t["user_id"], "ws": ws, "pk": packed})
         agg = pa.TableGroupBy(base, ["user_id", "ws"]).aggregate(
@@ -984,7 +1003,7 @@ def q_event_throttle(sf_dir: str, window_us: int = 300_000_000):
            .groupby(["user_id", "ws"]).aggregate(Min("pk", alias_name="m")))
 
     def finish(t: pa.Table) -> pa.Table:
-        eid = pc.cast(pc.utf8_slice_codeunits(t["m"], 20, 32), pa.int64())
+        eid = pc.cast(pc.utf8_slice_codeunits(t["m"], 20, 40), pa.int64())
         return pa.table({
             "user_id": t["user_id"],
             "window_start": t["ws"].cast(pa.timestamp("us")),
@@ -1045,13 +1064,9 @@ def q_kg_entity_timeline(sf_dir: str):
           .groupby(["entity", "doc_id"]).aggregate(Count(alias_name="_c"))
           .drop_columns(["_c"])).materialize()
 
-    def day_col(t: pa.Table):
-        did = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99),
-                      pa.int64())
-        return pc.subtract(did, pc.multiply(pc.divide(did, 365), 365))
-
     def win_partial(t: pa.Table) -> pa.Table:
-        base = pa.table({"entity": t["entity"], "day": day_col(t)})
+        base = pa.table({"entity": t["entity"],
+                         "day": _doc_day(t["doc_id"])})
         agg = pa.TableGroupBy(base, ["entity"]).aggregate(
             [("day", "min"), ("day", "max"), ([], "count_all")])
         return rename_agg(agg, ["entity"],
@@ -1064,7 +1079,8 @@ def q_kg_entity_timeline(sf_dir: str):
                       Sum("pn", alias_name="n_docs")))
 
     def day_distinct(t: pa.Table) -> pa.Table:
-        base = pa.table({"entity": t["entity"], "day": day_col(t)})
+        base = pa.table({"entity": t["entity"],
+                         "day": _doc_day(t["doc_id"])})
         return pa.TableGroupBy(base, ["entity", "day"]).aggregate([])
 
     def per_ent(t: pa.Table) -> pa.Table:
@@ -1090,12 +1106,8 @@ def q_kg_entity_timeline(sf_dir: str):
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
             "entity": t["entity"],
-            "first_seen": pc.cast(pc.add(t["d0"], _EPOCH_2020),
-                                  pa.int32()).cast(pa.date32())
-                            .cast(pa.timestamp("us")),
-            "last_seen": pc.cast(pc.add(t["d1"], _EPOCH_2020),
-                                 pa.int32()).cast(pa.date32())
-                           .cast(pa.timestamp("us")),
+            "first_seen": _day_to_ts(t["d0"]),
+            "last_seen": _day_to_ts(t["d1"]),
             "n_docs": t["n_docs"],
             "n_active_days": t["n_active_days"]})
 
@@ -1142,13 +1154,13 @@ def q_curation_funnel(sf_dir: str, contam_min_shared: int = 5):
     corresponding standalone query's survivor count; the funnel adds the
     STAGE COMPOSITION — survivors flow dataset-to-dataset via semi/anti
     joins, and only the four stage counts reach the driver."""
-    import hashlib
-
     import pandas as pd
     from ray.data.aggregate import Min
 
     from odinson_ray.stages.curate import decontaminate
     from odinson_ray.stages.shuffle import hash_join
+    from odinson_ray.stages.text import (content_fingerprints,
+                                         gopher_quality_mask)
 
     rd = _rd()
     i64 = pa.int64()
@@ -1159,9 +1171,7 @@ def q_curation_funnel(sf_dir: str, contam_min_shared: int = 5):
     # stage 1: exact dedup — first doc per md5(text) (q_dedup_exact's
     # pure-aggregate decomposition)
     def keyed_partial(t: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(x.encode("utf-8")).hexdigest()
-               for x in t["text"].to_pylist()]
-        base = pa.table({"fp": pa.array(fps, pa.string()),
+        base = pa.table({"fp": content_fingerprints(t["text"]),
                          "doc_id": t["doc_id"]})
         g = pa.TableGroupBy(base, ["fp"]).aggregate([("doc_id", "min")])
         return pa.table({"fp": g["fp"], "pd": g["doc_id_min"]})
@@ -1176,25 +1186,9 @@ def q_curation_funnel(sf_dir: str, contam_min_shared: int = 5):
         left_schema=pa.schema([("doc_id", i64), ("text", pa.string())]),
         right_schema=pa.schema([("doc_id", i64)]))
 
-    # stage 2: Gopher quality rules (q_quality_filter's mask, verbatim)
+    # stage 2: Gopher quality rules — the SHARED mask (stages/text.py)
     def quality_keep(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ")
-        n = pc.list_value_length(toks).cast(i64)
-        chars = pc.utf8_length(t["text"]).cast(i64)
-        sym = pc.count_substring_regex(t["text"], "[^a-z0-9 ]").cast(i64)
-        nf = n.cast(pa.float64())
-        mean_len = pc.divide(
-            pc.subtract(chars, pc.subtract(n, pa.scalar(1, i64)))
-            .cast(pa.float64()), nf)
-        sym_ratio = pc.divide(sym.cast(pa.float64()),
-                              chars.cast(pa.float64()))
-        keep = pc.and_(
-            pc.and_(
-                pc.and_(pc.greater_equal(n, 20), pc.less_equal(n, 90)),
-                pc.and_(pc.greater_equal(mean_len, 4.0),
-                        pc.less_equal(mean_len, 12.0))),
-            pc.and_(pc.less(sym_ratio, 0.1), pc.greater(chars, 0)))
-        return t.filter(keep).select(["doc_id"])
+        return t.filter(gopher_quality_mask(t)).select(["doc_id"])
 
     surv2 = surv1.map_batches(quality_keep,
                               batch_format="pyarrow").materialize()

@@ -530,7 +530,8 @@ def edge_support(edges):
         batch_format="pyarrow")
 
 
-def k_truss(edges, k: int, max_rounds: int = 30):
+def k_truss(edges, k: int, max_rounds: int = 30,
+            stats: dict | None = None):
     """k-truss of an undirected (lo, hi) edge Dataset: the maximal
     subgraph in which every edge participates in >= k-2 triangles
     (support computed within the surviving subgraph). Classic peeling
@@ -546,8 +547,9 @@ def k_truss(edges, k: int, max_rounds: int = 30):
     import warnings
 
     thresh = k - 2
-    cur = edges
+    cur = edges.materialize()  # count() + round-1 support share one run
     n_cur = cur.count()
+    rounds = 0
     for _ in range(max_rounds):
         if n_cur == 0:
             break
@@ -556,6 +558,9 @@ def k_truss(edges, k: int, max_rounds: int = 30):
             lambda t: t.filter(pc.greater_equal(t["support"], thresh))
                        .select(["lo", "hi"]),
             batch_format="pyarrow").materialize()
+        rounds += 1
+        if stats is not None:
+            stats["rounds"] = rounds
         n_kept = kept.count()
         if n_kept == n_cur:
             return kept
@@ -584,7 +589,8 @@ def _md5_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pri.take(idx)
 
 
-def maximal_independent_set(edges, max_rounds: int = 30):
+def maximal_independent_set(edges, max_rounds: int = 30,
+                            stats: dict | None = None):
     """Luby-style deterministic maximal independent set over an
     undirected (lo, hi) edge Dataset. Each round, a vertex joins the MIS
     iff its md5 priority is strictly smaller than every ACTIVE
@@ -622,6 +628,7 @@ def maximal_independent_set(edges, max_rounds: int = 30):
 
     mis = None
     n_active = verts.count()
+    rounds = 0
     for _ in range(max_rounds):
         if n_active == 0:
             return mis if mis is not None else rd.from_arrow(
@@ -645,6 +652,9 @@ def maximal_independent_set(edges, max_rounds: int = 30):
             win = pc.or_kleene(pc.is_null(t["mn"]), pc.less(pv, t["mn"]))
             return t.filter(pc.fill_null(win, False)).select(["v"])
 
+        rounds += 1
+        if stats is not None:
+            stats["rounds"] = rounds
         sel = joined.map_batches(select_winners,
                                  batch_format="pyarrow").materialize()
         mis = sel if mis is None else mis.union(sel).materialize()
@@ -655,11 +665,12 @@ def maximal_independent_set(edges, max_rounds: int = 30):
             left_schema=pa.schema([("a", _S), ("b", _S)]),
             right_schema=pa.schema([("v", _S)])).map_batches(
             lambda t: pa.table({"v": t["b"]}), batch_format="pyarrow")
+        # anti join tolerates duplicate right rows — a per-batch dedup
+        # combiner shrinks the shuffle; no global groupby needed
         removed = (sel.union(nbrs)
                    .map_batches(lambda t: pa.TableGroupBy(
                        t, ["v"]).aggregate([]), batch_format="pyarrow")
-                   .groupby("v").aggregate(Count(alias_name="_c"))
-                   .drop_columns(["_c"])).materialize()
+                   ).materialize()
 
         verts = hash_join(
             verts, removed, on="v", how="anti",

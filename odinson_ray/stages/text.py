@@ -298,3 +298,45 @@ def tfidf_top_term(sf_dir: str, min_df: int = 1,
     return grouped_topk(joined, by="doc_id",
                         cols=["score", "top_term"],
                         descending=[True, False], k=1)
+
+
+def content_fingerprints(text_col) -> "pa.Array":
+    """md5 hex fingerprint per document text — THE content identity used
+    by exact dedup (q_dedup_exact) and the curation funnel; one
+    definition so the two can never diverge."""
+    import hashlib
+
+    import pyarrow as pa
+
+    if hasattr(text_col, "to_pylist"):
+        texts = text_col.to_pylist()
+    else:
+        texts = list(text_col)
+    return pa.array([hashlib.md5(x.encode("utf-8")).hexdigest()
+                     for x in texts], pa.string())
+
+
+def gopher_quality_mask(t) -> "pa.Array":
+    """The Gopher-style rule mask of q_quality_filter (20<=n_tokens<=90,
+    4<=mean token length<=12, symbol ratio < 0.1, chars > 0) — shared by
+    the standalone filter and the curation funnel so a threshold tweak
+    changes both (their oracles mirror the same constants)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    i64 = pa.int64()
+    toks = pc.split_pattern(t["text"], " ")
+    n = pc.list_value_length(toks).cast(i64)
+    chars = pc.utf8_length(t["text"]).cast(i64)
+    sym = pc.count_substring_regex(t["text"], "[^a-z0-9 ]").cast(i64)
+    nf = n.cast(pa.float64())
+    mean_len = pc.divide(
+        pc.subtract(chars, pc.subtract(n, pa.scalar(1, i64)))
+        .cast(pa.float64()), nf)
+    sym_ratio = pc.divide(sym.cast(pa.float64()), chars.cast(pa.float64()))
+    return pc.and_(
+        pc.and_(
+            pc.and_(pc.greater_equal(n, 20), pc.less_equal(n, 90)),
+            pc.and_(pc.greater_equal(mean_len, 4.0),
+                    pc.less_equal(mean_len, 12.0))),
+        pc.and_(pc.less(sym_ratio, 0.1), pc.greater(chars, 0)))

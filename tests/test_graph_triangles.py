@@ -187,3 +187,23 @@ def test_mis_star_and_path(ray_session):
            "d": {"c", "e"}, "e": {"d"}}
     for v in nodes - mis:
         assert adj[v] & mis
+
+
+def test_unrolled_oracle_round_budgets(ray_session):
+    """The kg_ktruss / kg_mis oracles unroll a FIXED number of peeling /
+    Luby rounds (12 / 8) and rely on idempotence past the fixpoint —
+    valid only while the real KG converges within the unroll. Pin the
+    actual round counts at sf0.01 (the driver's correctness-gate scale)
+    against those budgets with generous headroom."""
+    from odinson_ray.pipelines.queries2 import _kg_edges
+    from odinson_ray.stages.graph import k_truss, maximal_independent_set
+
+    edges = _kg_edges("/root/testdata/sf0.01").materialize()
+
+    st = {}
+    k_truss(edges, 4, stats=st)
+    assert st["rounds"] <= 12, f"k-truss took {st['rounds']} rounds (>12)"
+
+    sm = {}
+    maximal_independent_set(edges, stats=sm)
+    assert sm["rounds"] <= 8, f"Luby MIS took {sm['rounds']} rounds (>8)"
