@@ -1266,6 +1266,69 @@ SELECT * FROM (
 """
 
 
+
+
+# ===================================== corpus statistics
+
+def q_corpus_stats(sf_dir: str):
+    """One-row corpus statistics: documents, sentences, tokens, distinct
+    vocabulary — the `numDocs` display the reference's shell prints on
+    connect (extra/.../Shell.scala:111) plus the token/vocab totals its
+    docs report for benchmark corpora (docs/index.md). Two combiner-fed
+    passes: scalar sums per batch, and a per-batch-distinct vocabulary
+    groupby whose shuffle is vocabulary-bounded."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"]).materialize()
+
+    def sums(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(toks).cast(pa.int64())
+        n_np = n.to_numpy(zero_copy_only=False)
+        sents = int(np.ceil(n_np / 20.0).sum())
+        return pa.table({"d": pa.array([len(t)], pa.int64()),
+                         "s": pa.array([sents], pa.int64()),
+                         "k": pa.array([int(n_np.sum())], pa.int64())})
+
+    tot = docs.map_batches(sums, batch_format="pyarrow")
+    n_docs = tot.sum("d") or 0
+    # re-derive from the same pinned dataset (no re-read): Ray caches the
+    # materialized blocks, so the three sums and the vocab pass share one
+    # parquet scan
+    n_sents = tot.sum("s") or 0
+    n_toks = tot.sum("k") or 0
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        return pa.table({"tok": pc.unique(toks)})
+
+    vocab = (docs.map_batches(vocab_partial, batch_format="pyarrow")
+             .groupby("tok").aggregate(Count(alias_name="_c"))).count()
+
+    return pd.DataFrame({
+        "n_docs": np.array([n_docs], dtype=np.int64),
+        "n_sentences": np.array([n_sents], dtype=np.int64),
+        "n_tokens": np.array([n_toks], dtype=np.int64),
+        "vocab_size": np.array([vocab], dtype=np.int64),
+    })
+
+
+ORACLE_CORPUS_STATS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(ceil(len(tk) / 20.0) AS BIGINT)) AS BIGINT)
+           AS n_sentences,
+       CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+       CAST((SELECT count(DISTINCT tok)
+             FROM (SELECT unnest(tk) AS tok FROM t)) AS BIGINT)
+           AS vocab_size
+FROM t
+"""
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str,
              doc_body: str) -> None:
     QUERIES["kg_temporal_triples"] = q_kg_temporal_triples
@@ -1296,3 +1359,5 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str,
     ORACLES["kg_entity_timeline"] = _entity_timeline_oracle(doc_body)
     QUERIES["curation_funnel"] = q_curation_funnel
     ORACLES["curation_funnel"] = ORACLE_CURATION_FUNNEL
+    QUERIES["corpus_stats"] = q_corpus_stats
+    ORACLES["corpus_stats"] = ORACLE_CORPUS_STATS

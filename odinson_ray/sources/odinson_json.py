@@ -133,6 +133,13 @@ def parse_document(obj: Dict) -> Dict:
 
 
 def _iter_docs(payload: bytes):
+    # gzip-compressed corpora are first-class in the reference
+    # (extra/.../utils/GzipUtils.scala; IndexDocuments reads .json.gz):
+    # sniff the magic bytes so .json and .json.gz mix freely
+    if payload[:2] == b"\x1f\x8b":
+        import gzip
+
+        payload = gzip.decompress(payload)
     text = payload.decode("utf-8").strip()
     if not text:
         return
@@ -157,8 +164,9 @@ def parse_files_batch(batch: pa.Table) -> pa.Table:
 
 
 def read_odinson_json(paths, **read_kwargs):
-    """Directory / file list of Odinson Document JSON (.json or .jsonl,
-    one Document per file or per line) -> pre-annotated docs Dataset.
+    """Directory / file list of Odinson Document JSON (.json, .jsonl
+    or gzip-compressed .json.gz, one Document per file or per line) ->
+    pre-annotated docs Dataset.
 
     Feed the result straight to ``stages.match.match_stage`` (the matcher
     uses the stored ``sentences`` layers; no re-annotation) — the

@@ -235,3 +235,31 @@ def test_metadata_wrappers_append(ray_session, tmp_path):
     ds = add_metadata_from_wrappers(read_odinson_json(str(corpus)), wrappers)
     got = match_stage(ds, WRAPPER_FILTER_RULES, concurrency=2).to_pandas()
     assert set(got.doc_id) == {"doc-hi"}
+
+
+def test_gzip_json_source_equals_plain(ray_session, tmp_path):
+    """.json.gz corpora are first-class in the reference (GzipUtils,
+    IndexDocuments): a gzip-compressed corpus must parse identically to
+    the plain one, and the two may mix in one directory."""
+    import gzip
+
+    keys = ["becky-gummy-bears", "gummy-bears-consumption", "alien-species"]
+    plain = tmp_path / "plain"
+    mixed = tmp_path / "mixed"
+    plain.mkdir()
+    mixed.mkdir()
+    for i, k in enumerate(keys):
+        payload = json.dumps(doc_json_from_fixture(k))
+        (plain / f"{k}.json").write_text(payload)
+        if i % 2 == 0:  # mix gz and plain in one corpus
+            (mixed / f"{k}.json.gz").write_bytes(
+                gzip.compress(payload.encode()))
+        else:
+            (mixed / f"{k}.json").write_text(payload)
+
+    def canon(ds):
+        rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+        return json.dumps(rows, sort_keys=True, default=str)
+
+    assert canon(read_odinson_json(str(plain))) == \
+        canon(read_odinson_json(str(mixed)))
