@@ -426,130 +426,23 @@ GROUP BY 1
 def q_sorted_neighborhood_pairs(sf_dir: str, window: int = 3,
                                 n_buckets: int = 64,
                                 chunk: int = 4096):
-    """Sorted-neighborhood record-linkage blocking: order documents by a
-    blocking key (first 7 chars of the text, doc_id tie-break) and emit
-    every candidate pair within ``window`` ranks — the classic
-    complement to hash blocking that catches near-boundary variants.
+    """Sorted-neighborhood record-linkage blocking over documents: order
+    by the first-7-chars blocking key (doc_id tie-break) and emit every
+    candidate pair within ``window`` ranks. Delegates to the generic
+    :func:`odinson_ray.stages.blocking.snm_pairs` (offsets-before-shuffle
+    dense rank over an int64 prefix surrogate; coarse rank chunks with
+    window-1 boundary replicas; vectorized searchsorted+repeat pairing —
+    see the module docstring for the scale shape)."""
+    from odinson_ray.stages.blocking import snm_pairs
 
-    Distributed exactly, with no tiny groups: (1) the dense global rank
-    comes from the offsets-before-shuffle enumeration (sampled
-    boundaries over an int64 big-endian pack of the 7-char ASCII
-    prefix — byte order equals lexicographic order, so numeric range
-    partitioning IS string range partitioning); (2) pairing shuffles
-    once on COARSE rank chunks (``chunk`` rows each, the segmented
-    discipline of asof_join/running_total) with only the last
-    ``window - 1`` rows of each chunk replicated across the boundary;
-    within a chunk the pair lists come from one vectorized
-    searchsorted + repeat — no per-pair or per-group Python."""
-    import ray
-    from ray.data.aggregate import Sum
-
-    from odinson_ray.stages.link import get_broadcast
-    from odinson_ray.stages.sketch import approx_quantile_values
-    from odinson_ray.stages.shuffle import rename_agg
-
-    if chunk < window - 1:
-        raise ValueError(
-            f"chunk ({chunk}) must be >= window - 1 ({window - 1}): "
-            "boundary replication reaches exactly one chunk forward")
     rd = _rd()
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-
-    def add_surrogate(t: pa.Table) -> pa.Table:
-        padded = pc.utf8_rpad(
-            pc.utf8_slice_codeunits(t["text"], 0, 7), 7,
-            "\x00").combine_chunks()
-        # all values exactly 7 bytes (ASCII input): the values buffer is
-        # one contiguous run — reshape + dot is the big-endian pack
-        offs = np.frombuffer(padded.buffers()[1], dtype=np.int32)[
-            padded.offset:padded.offset + len(padded) + 1]
-        raw = np.frombuffer(padded.buffers()[2], dtype=np.uint8)
-        mat = raw[offs[0]:offs[-1]].reshape(-1, 7).astype(np.int64)
-        k = mat @ (256 ** np.arange(6, -1, -1)).astype(np.int64)
-        return pa.table({"doc_id": t["doc_id"],
-                         "k7": pa.array(k, pa.int64())})
-
-    keyed = docs.map_batches(add_surrogate,
-                             batch_format="pyarrow").materialize()
-
-    boundaries = np.unique(approx_quantile_values(
-        keyed, "k7", np.arange(1, n_buckets) / n_buckets))
-
-    def bucket_of(v: np.ndarray) -> np.ndarray:
-        return np.searchsorted(boundaries, v, side="left")
-
-    def count_partial(t: pa.Table) -> pa.Table:
-        b = bucket_of(t["k7"].to_numpy(zero_copy_only=False))
-        cnt = np.bincount(b, minlength=n_buckets)
-        nz = np.nonzero(cnt)[0]
-        return pa.table({"bucket": pa.array(nz, pa.int64()),
-                         "pn": pa.array(cnt[nz], pa.int64())})
-
-    counts = {r["bucket"]: r["n"] for r in
-              keyed.map_batches(count_partial, batch_format="pyarrow")
-              .groupby("bucket").aggregate(Sum("pn", alias_name="n"))
-              .take_all()}
-    offsets, acc = {}, 0
-    for b in range(n_buckets):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
-    ref = ray.put(offsets)
-
-    def tag(t: pa.Table) -> pa.Table:
-        b = bucket_of(t["k7"].to_numpy(zero_copy_only=False))
-        return t.append_column("bucket", pa.array(b, pa.int64()))
-
-    def enumerate_bucket(g: pa.Table) -> pa.Table:
-        off = get_broadcast(ref)[g["bucket"][0].as_py()]
-        k = g["k7"].to_numpy(zero_copy_only=False)
-        d = g["doc_id"].to_numpy(zero_copy_only=False)
-        o = np.lexsort((d, k))
-        rn = np.empty(len(o), dtype=np.int64)
-        rn[o] = off + 1 + np.arange(len(o))
-        return pa.table({"doc_id": g["doc_id"],
-                         "rn": pa.array(rn, pa.int64())})
-
-    ranked = (keyed.map_batches(tag, batch_format="pyarrow")
-              .groupby("bucket")
-              .map_groups(enumerate_bucket, batch_format="pyarrow"))
-
-    w = window
-
-    def to_chunks(t: pa.Table) -> pa.Table:
-        rn = t["rn"].to_numpy(zero_copy_only=False)
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
-        c = rn // chunk
-        # replicate only the last (w-1) ranks of each chunk forward
-        rep = rn % chunk >= chunk - (w - 1)
-        return pa.table({
-            "c": pa.array(np.concatenate([c, c[rep] + 1]), pa.int64()),
-            "rn": pa.array(np.concatenate([rn, rn[rep]]), pa.int64()),
-            "doc_id": pa.array(np.concatenate([d, d[rep]]), pa.int64()),
-        })
-
-    def pair_chunk(g: pa.Table) -> pa.Table:
-        cval = g["c"][0].as_py()
-        rn = g["rn"].to_numpy(zero_copy_only=False)
-        d = g["doc_id"].to_numpy(zero_copy_only=False)
-        o = np.argsort(rn, kind="stable")
-        rn, d = rn[o], d[o]
-        native = rn // chunk == cval  # replicas own no pairs
-        idx_j = np.flatnonzero(native)
-        starts = np.searchsorted(rn, rn[idx_j] - (w - 1), side="left")
-        reps = idx_j - starts
-        total = int(reps.sum())
-        if total == 0:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64())})
-        off = np.repeat(np.cumsum(reps) - reps, reps)
-        i_idx = np.repeat(starts, reps) + (np.arange(total) - off)
-        j_idx = np.repeat(idx_j, reps)
-        return pa.table({"doc_a": pa.array(d[i_idx], pa.int64()),
-                         "doc_b": pa.array(d[j_idx], pa.int64())})
-
-    return (ranked.map_batches(to_chunks, batch_format="pyarrow")
-            .groupby("c").map_groups(pair_chunk, batch_format="pyarrow"))
+    pairs = snm_pairs(docs, key_col="text", id_col="doc_id",
+                      window=window, n_buckets=n_buckets, chunk=chunk)
+    return pairs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b"]),
+        batch_format="pyarrow")
 
 
 ORACLE_SORTED_NEIGHBORHOOD = """
@@ -1329,6 +1222,135 @@ FROM t
 """
 
 
+
+
+# ===================================== entity-resolution funnel
+
+def _levenshtein(a: str, b: str) -> int:
+    """Standard unit-cost edit distance (Wagner-Fischer) — matches
+    DuckDB's levenshtein(), which the oracle uses."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def q_er_funnel(sf_dir: str, window: int = 3, max_dist: int = 2):
+    """Entity resolution as ONE funnel report: distinct surface forms ->
+    canonical groups (the plural-strip normalizer) -> sorted-neighborhood
+    candidate pairs -> edit-distance-verified match edges -> merged
+    clusters (connected components) — the classic blocking/matching/
+    clustering ER pipeline (Fellegi-Sunter shape) with every stage
+    distributed: SNM rides stages/blocking.snm_pairs, verification is a
+    per-batch kernel over the candidate stream, clustering is the
+    pointer-jumping CC. Five scalars reach the driver."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from odinson_ray.stages.blocking import snm_pairs
+    from odinson_ray.stages.canon import connected_components
+
+    from .kg import triples_dataset
+
+    trips = triples_dataset(sf_dir).materialize()
+
+    def distinct_col(ds, cols_pairs):
+        def part(t: pa.Table) -> pa.Table:
+            vals = pa.chunked_array(
+                [t[c].combine_chunks() for c in cols_pairs])
+            return pa.TableGroupBy(pa.table({"v": vals}),
+                                   ["v"]).aggregate([])
+        return (ds.map_batches(part, batch_format="pyarrow")
+                .groupby("v").aggregate(Count(alias_name="_c"))
+                .drop_columns(["_c"]))
+
+    surfaces = distinct_col(trips, ["subj", "obj"])
+    n_surfaces = surfaces.count()
+
+    ents = distinct_col(trips, ["subj_canon", "obj_canon"]).materialize()
+    n_groups = ents.count()
+
+    cand = snm_pairs(ents, key_col="v", id_col="v",
+                     window=window).materialize()
+    n_cand = cand.count()
+
+    def verify(t: pa.Table) -> pa.Table:
+        av, bv = t["a"].to_pylist(), t["b"].to_pylist()
+        keep = [(_levenshtein(x, y) <= max_dist) for x, y in zip(av, bv)]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    edges = cand.map_batches(verify, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+
+    merged = n_groups
+    if n_edges:
+        cc = connected_components(edges).materialize()
+        n_nodes = cc.count()
+        n_comp = (cc.map_batches(
+            lambda t: pa.TableGroupBy(t.select(["root"]),
+                                      ["root"]).aggregate([]),
+            batch_format="pyarrow")
+            .groupby("root").aggregate(Count(alias_name="_c"))).count()
+        merged = n_groups - n_nodes + n_comp
+
+    return pd.DataFrame({
+        "stage": ["surfaces", "canon_groups", "candidate_pairs",
+                  "match_edges", "merged_clusters"],
+        "n": np.array([n_surfaces, n_groups, n_cand, n_edges, merged],
+                      dtype=np.int64),
+    })
+
+
+def _er_funnel_oracle(body: str, window: int = 3,
+                      max_dist: int = 2) -> str:
+    return f"""
+WITH RECURSIVE trip AS ({body}),
+surf AS (SELECT DISTINCT v FROM (
+  SELECT subj AS v FROM trip UNION ALL SELECT obj FROM trip)),
+ents AS (SELECT DISTINCT v FROM (
+  SELECT subj_canon AS v FROM trip
+  UNION ALL SELECT obj_canon FROM trip)),
+rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM ents),
+cand AS (
+  SELECT a.v AS va, b.v AS vb FROM rk a
+  JOIN rk b ON b.rn > a.rn AND b.rn - a.rn < {window}),
+edges AS (SELECT va, vb FROM cand WHERE levenshtein(va, vb) <= {max_dist}),
+adj AS (SELECT va AS u, vb AS w FROM edges
+        UNION SELECT vb, va FROM edges),
+reach(u, w) AS (
+  SELECT u, w FROM adj
+  UNION
+  SELECT r.u, a.w FROM reach r JOIN adj a ON r.w = a.u),
+comp AS (SELECT u AS node, least(u, min(w)) AS root
+         FROM reach GROUP BY u),
+nstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(count(DISTINCT root) AS BIGINT) AS n_comp FROM comp)
+SELECT * FROM (
+  SELECT 'surfaces' AS stage,
+         CAST((SELECT count(*) FROM surf) AS BIGINT) AS n
+  UNION ALL
+  SELECT 'canon_groups', CAST((SELECT count(*) FROM ents) AS BIGINT)
+  UNION ALL
+  SELECT 'candidate_pairs', CAST((SELECT count(*) FROM cand) AS BIGINT)
+  UNION ALL
+  SELECT 'match_edges', CAST((SELECT count(*) FROM edges) AS BIGINT)
+  UNION ALL
+  SELECT 'merged_clusters',
+         CAST((SELECT count(*) FROM ents) AS BIGINT)
+         - (SELECT n_nodes FROM nstats) + (SELECT n_comp FROM nstats)
+)
+"""
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str,
              doc_body: str) -> None:
     QUERIES["kg_temporal_triples"] = q_kg_temporal_triples
@@ -1361,3 +1383,5 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str,
     ORACLES["curation_funnel"] = ORACLE_CURATION_FUNNEL
     QUERIES["corpus_stats"] = q_corpus_stats
     ORACLES["corpus_stats"] = ORACLE_CORPUS_STATS
+    QUERIES["er_funnel"] = q_er_funnel
+    ORACLES["er_funnel"] = _er_funnel_oracle(kg_body)

@@ -257,3 +257,44 @@ def test_entity_timeline_consistency(ray_session):
     assert (df["first_seen"] <= df["last_seen"]).all()
     assert (df["n_active_days"] <= df["n_docs"]).all()
     assert (df["n_active_days"] >= 1).all()
+
+
+def test_er_funnel_merges_typos(ray_session, tmp_path):
+    """Engineered corpus: 'table'/'tables' collapse at the canon stage,
+    'tabel' (transposition, distance 2) only at the edit-distance merge
+    — the funnel must show each stage doing its own work."""
+    from odinson_ray.pipelines.queries7 import q_er_funnel
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    sent = ("scan table row x x scan tables row x x "
+            "scan tabel row x x scan window row x x").split()
+    text = " ".join(sent)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([text]),
+        "lang": pa.array(["en"]),
+        "source": pa.array(["t"]),
+        "n_chars": pa.array([len(text)], pa.int64())}),
+        d / "documents.parquet")
+    df = q_er_funnel(str(d)).set_index("stage")["n"]
+    # surfaces: table, tables, tabel, window, row (object) = 5
+    assert df["surfaces"] == 5
+    # canon: table(+tables), tabel, window, row = 4
+    assert df["canon_groups"] == 4
+    # ent:tabel and ent:table are distance 2 -> merged
+    assert df["match_edges"] >= 1
+    assert df["merged_clusters"] < df["canon_groups"]
+
+
+def test_levenshtein_matches_duckdb(ray_session):
+    import duckdb
+
+    from odinson_ray.pipelines.queries7 import _levenshtein
+
+    con = duckdb.connect()
+    cases = [("table", "tabel"), ("scan", "scans"), ("", "abc"),
+             ("kitten", "sitting"), ("ent:x", "ent:x"), ("ab", "ba")]
+    for a, b in cases:
+        want = con.sql(f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
+        assert _levenshtein(a, b) == want, (a, b)
