@@ -136,3 +136,39 @@ def test_scd2_property(ray_session, data):
         assert pd.Timestamp(a.valid_from) == pd.Timestamp(b.valid_from)
         assert (pd.isna(a.valid_to) and pd.isna(b.valid_to)) or \
             pd.Timestamp(a.valid_to) == pd.Timestamp(b.valid_to)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_snm_pairs_property(ray_session, data):
+    """stages/blocking.snm_pairs vs brute force over random ASCII keys,
+    random window and adversarially tiny chunks (maximal boundary
+    crossing). Keys collide on purpose (small alphabet) so ties and
+    duplicate prefixes are exercised."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from odinson_ray.stages.blocking import snm_pairs
+
+    n = data.draw(st.integers(10, 60))
+    keys = data.draw(st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=9),
+        min_size=n, max_size=n))
+    ids = list(range(1000, 1000 + n))
+    window = data.draw(st.integers(2, 5))
+    chunk = data.draw(st.integers(window - 1, 8))
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.string()),
+        "i": pa.array(ids, pa.int64())}))
+    got = {(r["a"], r["b"]) for r in snm_pairs(
+        ds, key_col="k", id_col="i", window=window,
+        chunk=chunk, n_buckets=8).take_all()}
+
+    order = sorted(range(n), key=lambda j: (keys[j][:7], ids[j]))
+    expect = set()
+    for jj in range(n):
+        for ii in range(max(0, jj - window + 1), jj):
+            expect.add((ids[order[ii]], ids[order[jj]]))
+    assert got == expect
