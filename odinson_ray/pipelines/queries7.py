@@ -1351,6 +1351,93 @@ SELECT * FROM (
 """
 
 
+
+
+# ===================================== bounded weighted shortest path
+
+def q_kg_shortest_cost(sf_dir: str, hops: int = 4):
+    """Support-weighted shortest path from the canonical seed entity,
+    bounded to ``hops`` relaxation rounds: edge cost = 1 + 1000 //
+    total_support (well-attested edges are cheap), d(v) = min over
+    <=hops-hop paths — the Bellman-Ford relax decomposition, each round
+    one hash join (frontier x weighted edges) + a min-combine groupby.
+    Distances stay Datasets; only loop control reaches the driver.
+    Bounded rounds keep the oracle an unrolled exact twin (shared seed
+    rule: max out-degree, ties lexicographic)."""
+    import ray.data as rd_mod
+    from ray.data.aggregate import Min, Sum
+
+    from odinson_ray.stages.shuffle import hash_join, rename_agg
+
+    from .kg import triples_dataset
+    from .queries4 import _kg_seed
+
+    S = pa.string()
+    I = pa.int64()
+
+    trips = triples_dataset(sf_dir).materialize()
+
+    def to_wedges(t: pa.Table) -> pa.Table:
+        base = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"],
+                         "n": t["n"]})
+        agg = pa.TableGroupBy(base, ["src", "dst"]).aggregate([("n", "sum")])
+        return rename_agg(agg, ["src", "dst"], ["src", "dst", "pn"])
+
+    wedges = (trips.map_batches(to_wedges, batch_format="pyarrow")
+              .groupby(["src", "dst"]).aggregate(Sum("pn", alias_name="sn"))
+              .map_batches(
+                  lambda t: pa.table({
+                      "src": t["src"], "dst": t["dst"],
+                      "w": pc.add(pc.divide(pa.scalar(1000, I), t["sn"]),
+                                  pa.scalar(1, I))}),
+                  batch_format="pyarrow")).materialize()
+
+    # wedges IS the distinct directed edge set — reuse it for the seed
+    # rule instead of re-running the matcher through _kg_directed_edges
+    seed = _kg_seed(wedges)
+    dist = rd_mod.from_arrow(pa.table({
+        "entity": pa.array([seed], S), "cost": pa.array([0], I)}))
+
+    for _ in range(hops):
+        relaxed = hash_join(
+            dist, wedges, on="entity", right_on="src",
+            left_schema=pa.schema([("entity", S), ("cost", I)]),
+            right_schema=pa.schema([("src", S), ("dst", S), ("w", I)]))
+        cand = relaxed.map_batches(
+            lambda t: pa.table({"entity": t["dst"],
+                                "cost": pc.add(t["cost"], t["w"])}),
+            batch_format="pyarrow")
+        dist = (dist.union(cand)
+                .groupby("entity").aggregate(Min("cost", alias_name="cost"))
+                ).materialize()
+    return dist
+
+
+def _shortest_cost_oracle(body: str, hops: int = 4) -> str:
+    parts = [f"""
+WITH trip AS ({body}),
+we AS MATERIALIZED (
+  SELECT subj_canon AS src, obj_canon AS dst,
+         CAST(1 + 1000 // sum(n) AS BIGINT) AS w
+  FROM trip GROUP BY 1, 2),
+deg AS (SELECT src, count(*) AS d
+        FROM (SELECT DISTINCT src, dst FROM we) GROUP BY src),
+seed AS (SELECT src FROM deg ORDER BY d DESC, src LIMIT 1),
+d_0 AS MATERIALIZED (
+  SELECT src AS entity, CAST(0 AS BIGINT) AS cost FROM seed)"""]
+    for i in range(hops):
+        parts.append(f""",
+d_{i + 1} AS MATERIALIZED (
+  SELECT entity, min(cost) AS cost FROM (
+    SELECT entity, cost FROM d_{i}
+    UNION ALL
+    SELECT we.dst, d_{i}.cost + we.w FROM d_{i}
+    JOIN we ON we.src = d_{i}.entity
+  ) GROUP BY entity)""")
+    parts.append(f"\nSELECT entity, cost FROM d_{hops}")
+    return "".join(parts)
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str,
              doc_body: str) -> None:
     QUERIES["kg_temporal_triples"] = q_kg_temporal_triples
@@ -1385,3 +1472,5 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str,
     ORACLES["corpus_stats"] = ORACLE_CORPUS_STATS
     QUERIES["er_funnel"] = q_er_funnel
     ORACLES["er_funnel"] = _er_funnel_oracle(kg_body)
+    QUERIES["kg_shortest_cost"] = q_kg_shortest_cost
+    ORACLES["kg_shortest_cost"] = _shortest_cost_oracle(kg_body)

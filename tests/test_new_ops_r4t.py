@@ -298,3 +298,13 @@ def test_levenshtein_matches_duckdb(ray_session):
     for a, b in cases:
         want = con.sql(f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
         assert _levenshtein(a, b) == want, (a, b)
+
+
+def test_shortest_cost_triangle_inequality(ray_session):
+    from odinson_ray.pipelines.queries7 import q_kg_shortest_cost
+
+    df = q_kg_shortest_cost(SF).to_pandas()
+    assert (df["cost"] >= 0).all()
+    assert (df["cost"] == 0).sum() == 1  # exactly the seed
+    # every reachable node within 4 hops costs at most 4 * max edge w
+    assert df["cost"].max() <= 4 * 1001
