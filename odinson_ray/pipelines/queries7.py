@@ -1438,6 +1438,85 @@ d_{i + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+
+
+# ===================================== postings layout + index query
+
+def _postings_layout(sf_dir: str, n_buckets: int = 64) -> str:
+    """Materialize the positional index as a hash(token)-bucketed
+    parquet layout (tok, doc_id, sent_id, pos) — the Lucene-index
+    analog as a LAYOUT (reference identity: OdinsonIndexWriter,
+    core/.../lucene/index/OdinsonIndexWriter.scala). Pay the
+    partitioned write once; each token query then opens exactly ONE
+    bucket. Cache identity includes the source parquet's stat, so a
+    regenerated corpus rebuilds (never silently reuses)."""
+    import os
+
+    from odinson_ray.stages.layout import bucket_layout_ds
+
+    rd = _rd()
+    path = f"{sf_dir}/documents.parquet"
+    st = os.stat(path)
+    tag = f"postings:{path}:{st.st_mtime_ns}:{st.st_size}"
+
+    def positions(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        p = (np.concatenate([np.arange(n, dtype=np.int64) for n in lens])
+             if len(lens) else np.array([], dtype=np.int64))
+        return pa.table({
+            "tok": flat,
+            "doc_id": pa.array(np.repeat(did, lens), pa.int64()),
+            "sent_id": pa.array(p // 20, pa.int64()),
+            "pos": pa.array(p % 20, pa.int64()),
+        })
+
+    ds = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        positions, batch_format="pyarrow")
+    return bucket_layout_ds(ds, key="tok", n_buckets=n_buckets, tag=tag)
+
+
+def q_postings_layout_query(sf_dir: str, token: str = "scan",
+                            n_buckets: int = 64):
+    """Query the prebuilt positional index layout for one token: resolve
+    the token's hash bucket from the manifest and read THAT bucket only
+    — the query-over-prebuilt-index discipline behind the reference's
+    published 2.8 s / 134M-sentence number (docs/index.md:51). Returns
+    every (doc_id, sent_id, pos) occurrence."""
+    import json
+    import os
+
+    import ray.data as rd_mod
+
+    from odinson_ray.stages.layout import _bucket_ids, _read_bucket
+
+    root = _postings_layout(sf_dir, n_buckets)
+    with open(os.path.join(root, "_meta.json")) as fh:
+        manifest = json.load(fh)
+    bucket = int(_bucket_ids(
+        pa.chunked_array([pa.array([token], pa.string())]), n_buckets)[0])
+    schema = pa.schema([("tok", pa.string()), ("doc_id", pa.int64()),
+                        ("sent_id", pa.int64()), ("pos", pa.int64())])
+    t = _read_bucket(root, manifest, bucket, schema)
+    t = t.filter(pc.equal(t["tok"], token)).select(
+        ["doc_id", "sent_id", "pos"])
+    return rd_mod.from_arrow(t)
+
+
+ORACLE_POSTINGS_QUERY = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+)
+SELECT doc_id, CAST((p - 1) // 20 AS BIGINT) AS sent_id,
+       CAST((p - 1) % 20 AS BIGINT) AS pos
+FROM toks WHERE tok = 'scan'
+"""
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str,
              doc_body: str) -> None:
     QUERIES["kg_temporal_triples"] = q_kg_temporal_triples
@@ -1474,3 +1553,5 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str,
     ORACLES["er_funnel"] = _er_funnel_oracle(kg_body)
     QUERIES["kg_shortest_cost"] = q_kg_shortest_cost
     ORACLES["kg_shortest_cost"] = _shortest_cost_oracle(kg_body)
+    QUERIES["postings_layout_query"] = q_postings_layout_query
+    ORACLES["postings_layout_query"] = ORACLE_POSTINGS_QUERY

@@ -308,3 +308,28 @@ def test_shortest_cost_triangle_inequality(ray_session):
     assert (df["cost"] == 0).sum() == 1  # exactly the seed
     # every reachable node within 4 hops costs at most 4 * max edge w
     assert df["cost"].max() <= 4 * 1001
+
+
+def test_postings_layout_cached_and_exact(ray_session):
+    import time
+
+    from odinson_ray.pipelines.queries7 import (_postings_layout,
+                                                q_postings_layout_query)
+
+    root1 = _postings_layout(SF)
+    t0 = time.monotonic()
+    root2 = _postings_layout(SF)
+    assert root2 == root1 and time.monotonic() - t0 < 0.5, \
+        "second build must hit the published layout"
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for token in ("scan", "join"):
+        expect = set()
+        for r in docs.itertuples():
+            for i, tk in enumerate(r.text.split(" ")):
+                if tk == token:
+                    expect.add((int(r.doc_id), i // 20, i % 20))
+        got = {(r["doc_id"], r["sent_id"], r["pos"])
+               for r in q_postings_layout_query(SF, token=token).take_all()}
+        assert got == expect
