@@ -1517,6 +1517,96 @@ FROM toks WHERE tok = 'scan'
 """
 
 
+
+
+# ===================================== indexed phrase query
+
+def q_indexed_phrase_query(sf_dir: str, phrase=("scan", "join"),
+                           n_buckets: int = 64):
+    """Execute a surface phrase query FROM THE INDEX: read one postings
+    bucket per distinct phrase token and intersect positions ((doc,
+    sent) equal, positions consecutive) — exactly how Lucene's
+    PhraseQuery / the reference's OdinsonQuery concat executes surface
+    patterns over positional postings (core/.../lucene/search/
+    OdinsonConcatQuery), vs the full-document rescan every non-indexed
+    engine pays. I/O is the posting lists of the phrase's tokens, not
+    the corpus; the intersection is a DISTRIBUTED semi-join chain on
+    the shifted (doc, sent, start) key — a stopword's posting list
+    shuffles, it never lands on the driver."""
+    import json
+    import os
+
+    from odinson_ray.stages.layout import _bucket_ids
+    from odinson_ray.stages.shuffle import hash_join
+
+    root = _postings_layout(sf_dir, n_buckets)
+    with open(os.path.join(root, "_meta.json")) as fh:
+        manifest = json.load(fh)
+    rd = _rd()
+    S, I = pa.string(), pa.int64()
+
+    def postings_ds(tk: str, shift: int):
+        b = int(_bucket_ids(pa.chunked_array(
+            [pa.array([tk], S)]), n_buckets)[0])
+        files = [os.path.join(root, f)
+                 for f in manifest["buckets"].get(str(b), [])]
+
+        def project(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["tok"], tk))
+            start = pc.subtract(t["pos"], shift)
+            jk = pc.binary_join_element_wise(
+                pc.cast(t["doc_id"], S), pc.cast(t["sent_id"], S),
+                pc.cast(start, S), SEP)
+            return pa.table({"jk": jk, "doc_id": t["doc_id"],
+                             "sent_id": t["sent_id"], "start": start})
+
+        if not files:
+            import ray.data as rd_mod
+
+            return rd_mod.from_arrow(pa.table({
+                "jk": pa.array([], S), "doc_id": pa.array([], I),
+                "sent_id": pa.array([], I), "start": pa.array([], I)}))
+        return rd.read_parquet(files).map_batches(
+            project, batch_format="pyarrow")
+
+    toks = list(phrase)
+    cur = postings_ds(toks[0], 0)
+    full = pa.schema([("jk", S), ("doc_id", I), ("sent_id", I),
+                      ("start", I)])
+    key_only = pa.schema([("jk", S)])
+    for i, tk in enumerate(toks[1:], 1):
+        cur = hash_join(
+            cur, postings_ds(tk, i).select_columns(["jk"]),
+            on="jk", how="semi",
+            left_schema=full, right_schema=key_only)
+
+    n = len(toks)
+    return cur.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "sent_id": t["sent_id"],
+                            "start": t["start"],
+                            "end": pc.add(t["start"], n)}),
+        batch_format="pyarrow")
+
+
+ORACLE_INDEXED_PHRASE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, tok, p, (p - 1) // 20 AS sent_id, (p - 1) % 20 AS l
+  FROM toks
+)
+SELECT a.doc_id, CAST(a.sent_id AS BIGINT) AS sent_id,
+       CAST(a.l AS BIGINT) AS start, CAST(a.l + 2 AS BIGINT) AS "end"
+FROM pos a JOIN pos b
+  ON b.doc_id = a.doc_id AND b.sent_id = a.sent_id AND b.l = a.l + 1
+WHERE a.tok = 'scan' AND b.tok = 'join'
+"""
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str,
              doc_body: str) -> None:
     QUERIES["kg_temporal_triples"] = q_kg_temporal_triples
@@ -1555,3 +1645,5 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str,
     ORACLES["kg_shortest_cost"] = _shortest_cost_oracle(kg_body)
     QUERIES["postings_layout_query"] = q_postings_layout_query
     ORACLES["postings_layout_query"] = ORACLE_POSTINGS_QUERY
+    QUERIES["indexed_phrase_query"] = q_indexed_phrase_query
+    ORACLES["indexed_phrase_query"] = ORACLE_INDEXED_PHRASE

@@ -333,3 +333,21 @@ def test_postings_layout_cached_and_exact(ray_session):
         got = {(r["doc_id"], r["sent_id"], r["pos"])
                for r in q_postings_layout_query(SF, token=token).take_all()}
         assert got == expect
+
+
+def test_indexed_phrase_matches_bruteforce(ray_session):
+    from odinson_ray.pipelines.queries7 import q_indexed_phrase_query
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for phrase in (("scan", "join"), ("fast", "table", "value")):
+        expect = set()
+        for r in docs.itertuples():
+            tks = r.text.split(" ")
+            for i in range(len(tks) - len(phrase) + 1):
+                s0, sk = i // 20, (i + len(phrase) - 1) // 20
+                if s0 == sk and tuple(tks[i:i + len(phrase)]) == phrase:
+                    expect.add((int(r.doc_id), s0, i % 20))
+        got = {(r["doc_id"], r["sent_id"], r["start"]) for r in
+               q_indexed_phrase_query(SF, phrase=phrase).take_all()}
+        assert got == expect, phrase
