@@ -1442,6 +1442,23 @@ d_{i + 1} AS MATERIALIZED (
 
 # ===================================== postings layout + index query
 
+def _positions_batch(t: pa.Table) -> pa.Table:
+    """documents batch -> positional postings rows (tok, doc_id,
+    sent_id, pos) under the 20-token sentence model."""
+    toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    p = (np.concatenate([np.arange(n, dtype=np.int64) for n in lens])
+         if len(lens) else np.array([], dtype=np.int64))
+    return pa.table({
+        "tok": flat,
+        "doc_id": pa.array(np.repeat(did, lens), pa.int64()),
+        "sent_id": pa.array(p // 20, pa.int64()),
+        "pos": pa.array(p % 20, pa.int64()),
+    })
+
+
 def _postings_layout(sf_dir: str, n_buckets: int = 64) -> str:
     """Materialize the positional index as a hash(token)-bucketed
     parquet layout (tok, doc_id, sent_id, pos) — the Lucene-index
@@ -1458,23 +1475,8 @@ def _postings_layout(sf_dir: str, n_buckets: int = 64) -> str:
     path = f"{sf_dir}/documents.parquet"
     st = os.stat(path)
     tag = f"postings:{path}:{st.st_mtime_ns}:{st.st_size}"
-
-    def positions(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
-        flat = pc.list_flatten(toks)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        did = t["doc_id"].to_numpy(zero_copy_only=False)
-        p = (np.concatenate([np.arange(n, dtype=np.int64) for n in lens])
-             if len(lens) else np.array([], dtype=np.int64))
-        return pa.table({
-            "tok": flat,
-            "doc_id": pa.array(np.repeat(did, lens), pa.int64()),
-            "sent_id": pa.array(p // 20, pa.int64()),
-            "pos": pa.array(p % 20, pa.int64()),
-        })
-
     ds = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
-        positions, batch_format="pyarrow")
+        _positions_batch, batch_format="pyarrow")
     return bucket_layout_ds(ds, key="tok", n_buckets=n_buckets, tag=tag)
 
 
@@ -1607,6 +1609,63 @@ WHERE a.tok = 'scan' AND b.tok = 'join'
 """
 
 
+
+
+# ===================================== incremental index append
+
+def q_postings_append_query(sf_dir: str, token: str = "scan",
+                            n_buckets: int = 64):
+    """Incremental index maintenance, end to end: build the postings
+    layout for the BASE corpus half (even doc ids), build a separate
+    DELTA layout for the other half, merge them with
+    :func:`odinson_ray.stages.layout.merge_layouts` (hard-linked files,
+    manifest union — the delta pays only its own write), then answer
+    the same single-bucket token query. The oracle is the FULL-corpus
+    postings SQL: merged base+delta must be indistinguishable from a
+    from-scratch build."""
+    import json
+    import os
+
+    import ray.data as rd_mod
+
+    from odinson_ray.stages.layout import (_bucket_ids, _read_bucket,
+                                           bucket_layout_ds, merge_layouts)
+
+    rd = _rd()
+    path = f"{sf_dir}/documents.parquet"
+    st = os.stat(path)
+    base_sig = f"{path}:{st.st_mtime_ns}:{st.st_size}"
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.subtract(t["doc_id"], pc.multiply(
+                    pc.divide(t["doc_id"], 2),
+                    pa.scalar(2, pa.int64()))),
+                pa.scalar(parity, pa.int64()))
+            return t.filter(keep)
+        return (rd.read_parquet(path, columns=["doc_id", "text"])
+                .map_batches(f, batch_format="pyarrow")
+                .map_batches(_positions_batch, batch_format="pyarrow"))
+
+    base = bucket_layout_ds(half(0), key="tok", n_buckets=n_buckets,
+                            tag=f"postings-base:{base_sig}")
+    delta = bucket_layout_ds(half(1), key="tok", n_buckets=n_buckets,
+                             tag=f"postings-delta:{base_sig}")
+    root = merge_layouts(base, delta)
+
+    with open(os.path.join(root, "_meta.json")) as fh:
+        manifest = json.load(fh)
+    bucket = int(_bucket_ids(pa.chunked_array(
+        [pa.array([token], pa.string())]), n_buckets)[0])
+    schema = pa.schema([("tok", pa.string()), ("doc_id", pa.int64()),
+                        ("sent_id", pa.int64()), ("pos", pa.int64())])
+    t = _read_bucket(root, manifest, bucket, schema)
+    t = t.filter(pc.equal(t["tok"], token)).select(
+        ["doc_id", "sent_id", "pos"])
+    return rd_mod.from_arrow(t)
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str,
              doc_body: str) -> None:
     QUERIES["kg_temporal_triples"] = q_kg_temporal_triples
@@ -1647,3 +1706,5 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str,
     ORACLES["postings_layout_query"] = ORACLE_POSTINGS_QUERY
     QUERIES["indexed_phrase_query"] = q_indexed_phrase_query
     ORACLES["indexed_phrase_query"] = ORACLE_INDEXED_PHRASE
+    QUERIES["postings_append_query"] = q_postings_append_query
+    ORACLES["postings_append_query"] = ORACLE_POSTINGS_QUERY

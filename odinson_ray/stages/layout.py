@@ -467,3 +467,44 @@ def compact_layout(root: str) -> str:
         json.dump({"key": meta["key"], "n_buckets": n, "buckets": buckets},
                   fh)
     return _atomic_publish(tmp, out)
+
+
+def merge_layouts(root_a: str, root_b: str) -> str:
+    """Incremental layout maintenance: merge two bucketed layouts that
+    share (key, n_buckets) into a NEW root whose per-bucket file lists
+    are the union — data files are HARD-LINKED, never copied or
+    rewritten, so appending a delta corpus to a published index costs
+    only the delta's own partitioned write plus metadata. Old roots
+    stay valid for in-flight readers (the compact_layout discipline);
+    readers of the merged root see base + delta atomically."""
+    with open(os.path.join(root_a, "_meta.json")) as fh:
+        ma = json.load(fh)
+    with open(os.path.join(root_b, "_meta.json")) as fh:
+        mb = json.load(fh)
+    if (ma["key"], ma["n_buckets"]) != (mb["key"], mb["n_buckets"]):
+        raise ValueError(
+            f"layout mismatch: {ma['key']}/{ma['n_buckets']} vs "
+            f"{mb['key']}/{mb['n_buckets']}")
+    out = os.path.join(_CACHE_ROOT, hashlib.md5(
+        f"merge:{os.path.basename(root_a)}:{os.path.basename(root_b)}:v1"
+        .encode()).hexdigest()[:16])
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    _require_shared_root()
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".tmp.",
+                           dir=_CACHE_ROOT)
+    buckets: dict = {}
+    for src_tag, (root, m) in (("a", (root_a, ma)), ("b", (root_b, mb))):
+        for b, files in m["buckets"].items():
+            for rel in files:
+                d, fname = os.path.split(rel)
+                os.makedirs(os.path.join(tmp, d), exist_ok=True)
+                new_rel = f"{d}/{src_tag}_{fname}"
+                os.link(os.path.join(root, rel),
+                        os.path.join(tmp, new_rel))
+                buckets.setdefault(b, []).append(new_rel)
+    with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+        json.dump({"key": ma["key"], "n_buckets": ma["n_buckets"],
+                   "buckets": buckets}, fh)
+    return _atomic_publish(tmp, out)

@@ -351,3 +351,40 @@ def test_indexed_phrase_matches_bruteforce(ray_session):
         got = {(r["doc_id"], r["sent_id"], r["start"]) for r in
                q_indexed_phrase_query(SF, phrase=phrase).take_all()}
         assert got == expect, phrase
+
+
+def test_merge_layouts_guards_and_links(ray_session, tmp_path):
+    """merge_layouts must refuse mismatched layouts and must hard-link
+    (same inode), not copy."""
+    import json
+    import os
+
+    import ray.data as rd_mod
+
+    from odinson_ray.stages.layout import bucket_layout_ds, merge_layouts
+
+    t1 = pa.table({"k": pa.array(["a", "b", "c"]),
+                   "v": pa.array([1, 2, 3], pa.int64())})
+    t2 = pa.table({"k": pa.array(["d", "e"]),
+                   "v": pa.array([4, 5], pa.int64())})
+    ra = bucket_layout_ds(rd_mod.from_arrow(t1), key="k", n_buckets=4,
+                          tag="mergetest-a-v3")
+    rb = bucket_layout_ds(rd_mod.from_arrow(t2), key="k", n_buckets=4,
+                          tag="mergetest-b-v3")
+    rc = bucket_layout_ds(rd_mod.from_arrow(t2), key="k", n_buckets=8,
+                          tag="mergetest-c-v3")
+
+    with pytest.raises(ValueError):
+        merge_layouts(ra, rc)  # bucket-count mismatch
+
+    merged = merge_layouts(ra, rb)
+    with open(os.path.join(merged, "_meta.json")) as fh:
+        m = json.load(fh)
+    rows = []
+    for files in m["buckets"].values():
+        for rel in files:
+            p = os.path.join(merged, rel)
+            assert os.stat(p).st_nlink >= 2, "must hard-link, not copy"
+            rows.extend(pq.read_table(p).to_pylist())
+    assert sorted((r["k"], r["v"]) for r in rows) == \
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5)]
