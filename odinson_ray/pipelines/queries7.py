@@ -1186,11 +1186,10 @@ def q_corpus_stats(sf_dir: str):
                          "s": pa.array([sents], pa.int64()),
                          "k": pa.array([int(n_np.sum())], pa.int64())})
 
-    tot = docs.map_batches(sums, batch_format="pyarrow")
+    # one row per batch — pin it so the three sums run over the tiny
+    # combined table instead of re-running tokenization per sum
+    tot = docs.map_batches(sums, batch_format="pyarrow").materialize()
     n_docs = tot.sum("d") or 0
-    # re-derive from the same pinned dataset (no re-read): Ray caches the
-    # materialized blocks, so the three sums and the vocab pass share one
-    # parquet scan
     n_sents = tot.sum("s") or 0
     n_toks = tot.sum("k") or 0
 
@@ -1487,24 +1486,38 @@ def q_postings_layout_query(sf_dir: str, token: str = "scan",
     — the query-over-prebuilt-index discipline behind the reference's
     published 2.8 s / 134M-sentence number (docs/index.md:51). Returns
     every (doc_id, sent_id, pos) occurrence."""
+    root = _postings_layout(sf_dir, n_buckets)
+    return _bucket_token_query(root, token, n_buckets)
+
+
+def _bucket_token_query(root: str, token: str, n_buckets: int):
+    """Resolve the token's bucket from the manifest and read THAT
+    bucket's files as a DISTRIBUTED parquet read (a bucket is 1/64 of
+    the whole index — it must never become one driver-resident block),
+    then filter to the posting list."""
     import json
     import os
 
     import ray.data as rd_mod
 
-    from odinson_ray.stages.layout import _bucket_ids, _read_bucket
+    from odinson_ray.stages.layout import _bucket_ids
 
-    root = _postings_layout(sf_dir, n_buckets)
     with open(os.path.join(root, "_meta.json")) as fh:
         manifest = json.load(fh)
     bucket = int(_bucket_ids(
         pa.chunked_array([pa.array([token], pa.string())]), n_buckets)[0])
-    schema = pa.schema([("tok", pa.string()), ("doc_id", pa.int64()),
-                        ("sent_id", pa.int64()), ("pos", pa.int64())])
-    t = _read_bucket(root, manifest, bucket, schema)
-    t = t.filter(pc.equal(t["tok"], token)).select(
-        ["doc_id", "sent_id", "pos"])
-    return rd_mod.from_arrow(t)
+    files = [os.path.join(root, f)
+             for f in manifest["buckets"].get(str(bucket), [])]
+    if not files:
+        return rd_mod.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "sent_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64())}))
+    rd = _rd()
+    return rd.read_parquet(files).map_batches(
+        lambda t: t.filter(pc.equal(t["tok"], token)).select(
+            ["doc_id", "sent_id", "pos"]),
+        batch_format="pyarrow")
 
 
 ORACLE_POSTINGS_QUERY = """
@@ -1572,13 +1585,29 @@ def q_indexed_phrase_query(sf_dir: str, phrase=("scan", "join"),
             project, batch_format="pyarrow")
 
     toks = list(phrase)
-    cur = postings_ds(toks[0], 0)
+    # read + filter each DISTINCT token's bucket once; repeated tokens
+    # (stopwords — the most expensive lists) reuse the pinned postings
+    cache: dict = {}
+
+    def tok_postings(tk: str):
+        if tk not in cache:
+            cache[tk] = postings_ds(tk, 0).materialize()
+        return cache[tk]
+
+    def shifted_keys(tk: str, shift: int):
+        def rekey(t: pa.Table) -> pa.Table:
+            return pa.table({"jk": pc.binary_join_element_wise(
+                pc.cast(t["doc_id"], S), pc.cast(t["sent_id"], S),
+                pc.cast(pc.subtract(t["start"], shift), S), SEP)})
+        return tok_postings(tk).map_batches(rekey, batch_format="pyarrow")
+
+    cur = tok_postings(toks[0])
     full = pa.schema([("jk", S), ("doc_id", I), ("sent_id", I),
                       ("start", I)])
     key_only = pa.schema([("jk", S)])
     for i, tk in enumerate(toks[1:], 1):
         cur = hash_join(
-            cur, postings_ds(tk, i).select_columns(["jk"]),
+            cur, shifted_keys(tk, i),
             on="jk", how="semi",
             left_schema=full, right_schema=key_only)
 
@@ -1623,13 +1652,9 @@ def q_postings_append_query(sf_dir: str, token: str = "scan",
     the same single-bucket token query. The oracle is the FULL-corpus
     postings SQL: merged base+delta must be indistinguishable from a
     from-scratch build."""
-    import json
     import os
 
-    import ray.data as rd_mod
-
-    from odinson_ray.stages.layout import (_bucket_ids, _read_bucket,
-                                           bucket_layout_ds, merge_layouts)
+    from odinson_ray.stages.layout import bucket_layout_ds, merge_layouts
 
     rd = _rd()
     path = f"{sf_dir}/documents.parquet"
@@ -1653,17 +1678,7 @@ def q_postings_append_query(sf_dir: str, token: str = "scan",
     delta = bucket_layout_ds(half(1), key="tok", n_buckets=n_buckets,
                              tag=f"postings-delta:{base_sig}")
     root = merge_layouts(base, delta)
-
-    with open(os.path.join(root, "_meta.json")) as fh:
-        manifest = json.load(fh)
-    bucket = int(_bucket_ids(pa.chunked_array(
-        [pa.array([token], pa.string())]), n_buckets)[0])
-    schema = pa.schema([("tok", pa.string()), ("doc_id", pa.int64()),
-                        ("sent_id", pa.int64()), ("pos", pa.int64())])
-    t = _read_bucket(root, manifest, bucket, schema)
-    t = t.filter(pc.equal(t["tok"], token)).select(
-        ["doc_id", "sent_id", "pos"])
-    return rd_mod.from_arrow(t)
+    return _bucket_token_query(root, token, n_buckets)
 
 
 def register(QUERIES: dict, ORACLES: dict, kg_body: str,

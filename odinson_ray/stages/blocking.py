@@ -28,15 +28,23 @@ import pyarrow.compute as pc
 
 
 def _prefix_surrogate(col) -> np.ndarray:
-    """int64 big-endian pack of the 7-char ASCII prefix — numeric order
-    equals lexicographic prefix order."""
-    padded = pc.utf8_rpad(
-        pc.utf8_slice_codeunits(col, 0, 7), 7, "\x00").combine_chunks()
-    offs = np.frombuffer(padded.buffers()[1], dtype=np.int32)[
-        padded.offset:padded.offset + len(padded) + 1]
-    raw = np.frombuffer(padded.buffers()[2], dtype=np.uint8)
-    mat = raw[offs[0]:offs[-1]].reshape(-1, 7).astype(np.int64)
-    return mat @ (256 ** np.arange(6, -1, -1)).astype(np.int64)
+    """int64 big-endian pack of the first 7 BYTES of each key —
+    byte-true for arbitrary UTF-8 (UTF-8 byte order equals codepoint
+    order), zero-padded for shorter keys. Numeric order == byte-wise
+    prefix order; for ASCII keys that is also the SQL substr(key, 1, 7)
+    order the oracles use."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    raw = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = np.minimum(np.diff(offs), 7)
+    if raw.size == 0:  # every key in the batch is the empty string
+        return np.zeros(len(arr), dtype=np.int64)
+    idx = offs[:-1, None] + np.arange(7)
+    mask = np.arange(7) < lens[:, None]
+    vals = np.where(mask, raw[np.minimum(idx, len(raw) - 1)], 0)
+    return (vals.astype(np.int64)
+            @ (256 ** np.arange(6, -1, -1)).astype(np.int64))
 
 
 def snm_pairs(ds, key_col: str, id_col: str, window: int = 3,

@@ -485,9 +485,12 @@ def merge_layouts(root_a: str, root_b: str) -> str:
         raise ValueError(
             f"layout mismatch: {ma['key']}/{ma['n_buckets']} vs "
             f"{mb['key']}/{mb['n_buckets']}")
+    na = os.path.basename(os.path.normpath(root_a))
+    nb = os.path.basename(os.path.normpath(root_b))
+    if na == nb:
+        raise ValueError(f"cannot merge a layout with itself: {root_a}")
     out = os.path.join(_CACHE_ROOT, hashlib.md5(
-        f"merge:{os.path.basename(root_a)}:{os.path.basename(root_b)}:v1"
-        .encode()).hexdigest()[:16])
+        f"merge:{na}:{nb}:v1".encode()).hexdigest()[:16])
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     _require_shared_root()

@@ -311,16 +311,18 @@ def test_shortest_cost_triangle_inequality(ray_session):
 
 
 def test_postings_layout_cached_and_exact(ray_session):
-    import time
+    import os
 
     from odinson_ray.pipelines.queries7 import (_postings_layout,
                                                 q_postings_layout_query)
 
     root1 = _postings_layout(SF)
-    t0 = time.monotonic()
+    meta = os.path.join(root1, "_meta.json")
+    stamp = os.stat(meta).st_mtime_ns
     root2 = _postings_layout(SF)
-    assert root2 == root1 and time.monotonic() - t0 < 0.5, \
-        "second build must hit the published layout"
+    assert root2 == root1
+    assert os.stat(meta).st_mtime_ns == stamp, \
+        "second build must reuse the published layout, not rewrite it"
 
     docs = pq.read_table(f"{SF}/documents.parquet",
                          columns=["doc_id", "text"]).to_pandas()
