@@ -1681,6 +1681,101 @@ def q_postings_append_query(sf_dir: str, token: str = "scan",
     return _bucket_token_query(root, token, n_buckets)
 
 
+
+
+# ===================================== regex token query (term dict)
+
+def _term_dictionary(root: str) -> list:
+    """The layout's term dictionary (sorted distinct tokens) — derived
+    once with a distributed distinct and cached ATOMICALLY next to the
+    layout (Lucene keeps exactly this artifact beside the postings; it
+    is vocabulary-sized, the one thing safe to hold whole)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    vocab_path = os.path.join(root, "_vocab.parquet")
+    if os.path.exists(vocab_path):
+        return pq.read_table(vocab_path)["tok"].to_pylist()
+    rd = _rd()
+    import json
+
+    with open(os.path.join(root, "_meta.json")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(root, f)
+             for fl in manifest["buckets"].values() for f in fl]
+    vocab = (rd.read_parquet(files)
+             .map_batches(lambda t: pa.TableGroupBy(
+                 t.select(["tok"]), ["tok"]).aggregate([]),
+                 batch_format="pyarrow")
+             .groupby("tok").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"])).to_pandas()["tok"].sort_values()
+    tmp = vocab_path + ".tmp"
+    pq.write_table(pa.table({"tok": pa.array(vocab, pa.string())}), tmp)
+    os.replace(tmp, vocab_path)
+    return vocab.tolist()
+
+
+def q_indexed_regex_query(sf_dir: str, pattern: str = "sca.*|j[a-z]in",
+                          n_buckets: int = 64):
+    """Regex token query FROM THE INDEX, the Lucene way: evaluate the
+    pattern against the TERM DICTIONARY (vocabulary-sized), expand to
+    the matching tokens, then read only those tokens' buckets — the
+    automaton-vs-term-dictionary execution of the reference's regex
+    token constraints (core/.../QueryCompiler regexp path), never a
+    corpus scan. Pattern dialect is the repo's Lucene-regex evaluator
+    (lang/lucene_regex.py), full-match semantics like the oracle's
+    regexp_full_match."""
+    import json
+    import os
+
+    import ray.data as rd_mod
+
+    from odinson_ray.lang.lucene_regex import compile_lucene
+    from odinson_ray.stages.layout import _bucket_ids
+
+    root = _postings_layout(sf_dir, n_buckets)
+    matcher = compile_lucene(pattern)
+    matching = [tk for tk in _term_dictionary(root)
+                if matcher.fullmatch(tk)]
+    if not matching:
+        return rd_mod.from_arrow(pa.table({
+            "token": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "sent_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64())}))
+
+    with open(os.path.join(root, "_meta.json")) as fh:
+        manifest = json.load(fh)
+    buckets = sorted({int(b) for b in _bucket_ids(pa.chunked_array(
+        [pa.array(matching, pa.string())]), n_buckets)})
+    files = [os.path.join(root, f)
+             for b in buckets for f in manifest["buckets"].get(str(b), [])]
+    want = pa.array(matching, pa.string())
+    rd = _rd()
+    def select_matches(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.is_in(t["tok"], value_set=want))
+        return pa.table({"token": kept["tok"], "doc_id": kept["doc_id"],
+                         "sent_id": kept["sent_id"], "pos": kept["pos"]})
+
+    return rd.read_parquet(files).map_batches(select_matches,
+                                              batch_format="pyarrow")
+
+
+ORACLE_INDEXED_REGEX = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+)
+SELECT tok AS token, doc_id,
+       CAST((p - 1) // 20 AS BIGINT) AS sent_id,
+       CAST((p - 1) % 20 AS BIGINT) AS pos
+FROM toks WHERE regexp_full_match(tok, 'sca.*|j[a-z]in')
+"""
+
+
 def register(QUERIES: dict, ORACLES: dict, kg_body: str,
              doc_body: str) -> None:
     QUERIES["kg_temporal_triples"] = q_kg_temporal_triples
@@ -1723,3 +1818,5 @@ def register(QUERIES: dict, ORACLES: dict, kg_body: str,
     ORACLES["indexed_phrase_query"] = ORACLE_INDEXED_PHRASE
     QUERIES["postings_append_query"] = q_postings_append_query
     ORACLES["postings_append_query"] = ORACLE_POSTINGS_QUERY
+    QUERIES["indexed_regex_query"] = q_indexed_regex_query
+    ORACLES["indexed_regex_query"] = ORACLE_INDEXED_REGEX

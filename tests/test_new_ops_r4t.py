@@ -390,3 +390,30 @@ def test_merge_layouts_guards_and_links(ray_session, tmp_path):
             rows.extend(pq.read_table(p).to_pylist())
     assert sorted((r["k"], r["v"]) for r in rows) == \
         [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5)]
+
+
+def test_indexed_regex_vocab_cache_and_bruteforce(ray_session):
+    import os
+
+    from odinson_ray.pipelines.queries7 import (_postings_layout,
+                                                _term_dictionary,
+                                                q_indexed_regex_query)
+
+    root = _postings_layout(SF)
+    vocab = _term_dictionary(root)
+    assert os.path.exists(os.path.join(root, "_vocab.parquet"))
+    assert _term_dictionary(root) == vocab  # second read hits the cache
+
+    import re
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    rx = re.compile(r"sca.*|j[a-z]in")
+    expect = set()
+    for r in docs.itertuples():
+        for i, tk in enumerate(r.text.split(" ")):
+            if rx.fullmatch(tk):
+                expect.add((tk, int(r.doc_id), i // 20, i % 20))
+    got = {(r["token"], r["doc_id"], r["sent_id"], r["pos"])
+           for r in q_indexed_regex_query(SF).take_all()}
+    assert got == expect
