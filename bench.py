@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "sorted_neighborhood_pairs",
     "dq_checks",
     "kg_temporal_triples",
+    "curation_funnel",
+    "er_funnel",
+    "indexed_phrase_query",
+    "kg_shortest_cost",
 ]
 
 
