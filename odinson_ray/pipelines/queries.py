@@ -7339,3 +7339,7 @@ FROM raw7
 from . import queries7 as _q7  # noqa: E402
 
 _q7.register(QUERIES, ORACLES, _KG_TRIPLES_BODY, _KG_DOC_TRIPLES_BODY)
+
+from . import queries8 as _q8  # noqa: E402
+
+_q8.register(QUERIES, ORACLES)
