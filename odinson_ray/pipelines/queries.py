@@ -7343,3 +7343,7 @@ _q7.register(QUERIES, ORACLES, _KG_TRIPLES_BODY, _KG_DOC_TRIPLES_BODY)
 from . import queries8 as _q8  # noqa: E402
 
 _q8.register(QUERIES, ORACLES)
+
+from . import queries9 as _q9  # noqa: E402
+
+_q9.register(QUERIES, ORACLES)

@@ -27,6 +27,7 @@ import tempfile
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .ann import _atomic_publish, _require_shared_root
 
@@ -511,3 +512,79 @@ def merge_layouts(root_a: str, root_b: str) -> str:
         json.dump({"key": ma["key"], "n_buckets": ma["n_buckets"],
                    "buckets": buckets}, fh)
     return _atomic_publish(tmp, out)
+
+
+def hive_layout(src_parquet: str, part_col: str, columns) -> str:
+    """Write ``src_parquet`` (projected to ``columns``) as a hive-style
+    VALUE-partitioned layout (``part_col=<value>/`` directories — the
+    Hive/Iceberg identity-partitioning counterpart to the hash buckets
+    above), with a ``_meta.json`` manifest mapping each partition value
+    to its file list so readers never list directories. Idempotent per
+    corpus version; atomic publish. The reference's per-corpus index
+    directories (extra/.../IndexDocuments.scala) are the analogous
+    pay-once layout.
+
+    Partition values are written verbatim into directory names — keep
+    ``part_col`` to identifier-ish strings (langs, sources, dates); a
+    value needing URL-escaping would round-trip through Ray's writer
+    encoding and is rejected here rather than silently re-encoded."""
+    from ..sources.io import clean_rd as rd
+
+    cols = sorted(set(columns) | {part_col})
+    out = _layout_dir(src_parquet, part_col, 0, ",".join(cols) + ":hive")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    _require_shared_root()
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".tmp.",
+                           dir=_CACHE_ROOT)
+    (rd.read_parquet(src_parquet, columns=cols)
+     .write_parquet(tmp, partition_cols=[part_col]))
+    parts: dict = {}
+    prefix = f"{part_col}="
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith(prefix):
+            continue
+        val = d[len(prefix):]
+        if f"{part_col}={val}" != d or "%" in val:
+            raise ValueError(
+                f"partition value not identifier-safe: {d!r}")
+        pdir = os.path.join(tmp, d)
+        files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        parts[val] = [f"{d}/{f}" for f in files]
+    with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+        json.dump({"part_col": part_col, "parts": parts}, fh)
+    return _atomic_publish(tmp, out)
+
+
+def hive_scan(root: str, value: str):
+    """Partition-pruned read: open ONLY the files of ``value``'s
+    partition (the manifest is the prune — no directory listing, no
+    footer reads for other partitions) and restore the partition column
+    the hive writer factored out into the directory name. Returns a
+    Dataset; empty partition -> an empty Dataset."""
+    import ray.data
+
+    from ..sources.io import clean_rd as rd
+
+    with open(os.path.join(root, "_meta.json")) as fh:
+        meta = json.load(fh)
+    part_col = meta["part_col"]
+    files = meta["parts"].get(str(value), [])
+    if not files:
+        return ray.data.from_arrow(
+            pa.table({part_col: pa.array([], pa.string())}))
+
+    def restore(t: pa.Table) -> pa.Table:
+        # Ray's parquet reader usually re-infers the hive column from the
+        # path; restore it only when inference didn't (and normalize the
+        # inferred type to plain string either way).
+        if part_col in t.column_names:
+            i = t.column_names.index(part_col)
+            return t.set_column(i, part_col,
+                                pc.cast(t[part_col], pa.string()))
+        return t.append_column(
+            part_col, pa.array([str(value)] * t.num_rows, pa.string()))
+
+    return (rd.read_parquet([os.path.join(root, f) for f in files])
+            .map_batches(restore, batch_format="pyarrow"))
