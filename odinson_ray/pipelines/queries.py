@@ -7347,3 +7347,7 @@ _q8.register(QUERIES, ORACLES)
 from . import queries9 as _q9  # noqa: E402
 
 _q9.register(QUERIES, ORACLES)
+
+from . import queries10 as _q10  # noqa: E402
+
+_q10.register(QUERIES, ORACLES)

@@ -180,3 +180,86 @@ def read_parquet_evolved(paths, target_schema=None, columns=None):
     for d in datasets[1:]:
         out = out.union(d)
     return out
+
+
+def write_ipc_layout(src_parquet: str, columns) -> str:
+    """Arrow IPC (Feather v2) sink: write ``src_parquet`` (projected) as
+    one IPC file per block under a stat-keyed cache root with a
+    ``_meta.json`` manifest — the same pay-once layout discipline as the
+    parquet bucket layouts (stages/layout), for the interchange format
+    Arrow-native consumers (Polars, DataFusion, Arrow Flight) mmap
+    zero-copy. Idempotent per corpus version; atomic publish."""
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+
+    from ..stages.ann import _atomic_publish, _require_shared_root
+    from ..stages.layout import _CACHE_ROOT, _layout_dir
+
+    cols = sorted(columns)
+    out = _layout_dir(src_parquet, "", 0, ",".join(cols) + ":ipc")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    _require_shared_root()
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".tmp.",
+                           dir=_CACHE_ROOT)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        name = f"part-{uuid.uuid4().hex}.arrow"
+        with pa.OSFile(os.path.join(tmp, name), "wb") as f:
+            with pa.ipc.new_file(f, t.schema) as w:
+                w.write_table(t)
+        return pa.table({"file": pa.array([name], pa.string()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    schema = _clean_schema_of(src_parquet, cols)
+    written = (clean_rd.read_parquet(src_parquet, columns=cols)
+               .map_batches(write_block, batch_format="pyarrow")
+               .to_pandas())
+    # an all-empty source yields zero summary batches -> no columns
+    files = (sorted(written["file"].tolist())
+             if "file" in written.columns else [])
+    n_rows = int(written["rows"].sum()) if "rows" in written.columns else 0
+    with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+        json.dump({"files": files,
+                   "rows": n_rows,
+                   "schema_hex": bytes((schema if schema is not None
+                                        else pa.schema([])).serialize()
+                                       ).hex()}, fh)
+    return _atomic_publish(tmp, out)
+
+
+def read_ipc(root: str):
+    """Arrow IPC source: a Dataset over an IPC layout's manifest. Files
+    are read whole in parallel tasks (``read_binary_files``) and decoded
+    with the zero-copy IPC reader inside each task — file granularity is
+    block granularity, exactly like the parquet reads. Empty layout ->
+    empty Dataset."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    with open(os.path.join(root, "_meta.json")) as fh:
+        meta = json.load(fh)
+    if not meta["files"]:
+        schema = pa.ipc.read_schema(
+            pa.BufferReader(bytes.fromhex(meta["schema_hex"])))
+        return ray.data.from_arrow(schema.empty_table())
+
+    def decode(t: pa.Table) -> pa.Table:
+        tables = [pa.ipc.open_file(pa.BufferReader(b.as_py())).read_all()
+                  for b in t["bytes"]]
+        return _strip_meta(pa.concat_tables(tables))
+
+    files = [os.path.join(root, f) for f in meta["files"]]
+    return (ray.data.read_binary_files(files)
+            .map_batches(decode, batch_format="pyarrow"))
