@@ -7351,3 +7351,7 @@ _q9.register(QUERIES, ORACLES)
 from . import queries10 as _q10  # noqa: E402
 
 _q10.register(QUERIES, ORACLES)
+
+from . import queries11 as _q11  # noqa: E402
+
+_q11.register(QUERIES, ORACLES)

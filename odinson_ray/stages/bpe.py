@@ -97,6 +97,15 @@ def bpe_top_merges(docs, k: int = 5, text_col: str = "text"):
     """The first ``k`` BPE merges learned from the corpus. Returns a
     small pyarrow Table (rank, left, right, n) — k rows on the driver,
     everything else stays distributed."""
+    merges, _ = bpe_fit(docs, k, text_col)
+    return merges
+
+
+def bpe_fit(docs, k: int = 5, text_col: str = "text"):
+    """Fit ``k`` merges and ALSO return the post-merge vocabulary
+    Dataset (syms, n) — each distinct word's encoded symbol sequence
+    with its corpus count. Encoding the corpus then never re-touches
+    the corpus: every occurrence of a word shares its vocab row."""
     from ray.data.aggregate import Sum
 
     from .shuffle import global_topk
@@ -131,9 +140,45 @@ def bpe_top_merges(docs, k: int = 5, text_col: str = "text"):
             lambda t, lf=lf, rt=rt: _apply_merge(t, lf, rt),
             batch_format="pyarrow").materialize()
 
-    return pa.table({
+    merges = pa.table({
         "rank": pa.array(ranks, pa.int64()),
         "left": pa.array(lefts, pa.string()),
         "right": pa.array(rights, pa.string()),
         "n": pa.array(counts, pa.int64()),
     })
+    return merges, vocab
+
+
+def bpe_encode_token_counts(docs, k: int = 5, text_col: str = "text",
+                            topk: int = 20):
+    """Corpus token counts AFTER encoding with ``k`` fitted merges —
+    the tokenizer-application step, done at VOCABULARY grain: the
+    fitted vocab Dataset already holds every distinct word's encoded
+    symbol sequence, so the corpus-wide token histogram is one explode
+    (symbols weighted by word count) + one groupby over vocab-sized
+    data. The corpus is read exactly once (by the fit's word-frequency
+    pass); encoding adds zero corpus-sized work. Returns the global
+    top-``topk`` (count DESC, token ASC) as a Dataset."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import global_topk
+
+    _, vocab = bpe_fit(docs, k, text_col)
+
+    def explode(t: pa.Table) -> pa.Table:
+        syms = pc.split_pattern(t["syms"].combine_chunks(), _SEP)
+        flat = pc.list_flatten(syms)
+        lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64())})
+        w = np.repeat(n, lens)
+        agg = pa.TableGroupBy(
+            pa.table({"token": flat, "w": pa.array(w, pa.int64())}),
+            ["token"]).aggregate([("w", "sum")])
+        return pa.table({"token": agg["token"], "pn": agg["w_sum"]})
+
+    counts = (vocab.map_batches(explode, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("pn", alias_name="n")))
+    return global_topk(counts, ["n", "token"], [True, False], topk)
