@@ -7355,3 +7355,7 @@ _q10.register(QUERIES, ORACLES)
 from . import queries11 as _q11  # noqa: E402
 
 _q11.register(QUERIES, ORACLES)
+
+from . import queries12 as _q12  # noqa: E402
+
+_q12.register(QUERIES, ORACLES)
