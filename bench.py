@@ -88,6 +88,16 @@ BENCH_QUERIES = [
     "er_funnel",
     "indexed_phrase_query",
     "kg_shortest_cost",
+    # session-5 additions
+    "media_caption_pairs",
+    "cep_conversions",
+    "tpch_q13",
+    "nation_trade",
+    "late_shipments",
+    "funnel3_users",
+    "returned_revenue_topk",
+    "rolling_p90_value",
+    "hive_pruned_agg",
 ]
 
 
