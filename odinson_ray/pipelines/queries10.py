@@ -17,7 +17,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from odinson_ray.stages.shuffle import global_topk, hash_join, rename_agg
+from odinson_ray.stages.shuffle import (adaptive_inner_join, global_topk,
+                                        rename_agg)
 
 
 def _rd():
@@ -33,12 +34,15 @@ def _cents(col) -> pa.ChunkedArray:
 
 # ===================================== TPC-H Q10-class: returned revenue
 
-def q_returned_revenue_topk(sf_dir: str, k: int = 20):
+def q_returned_revenue_topk(sf_dir: str, k: int = 20,
+                            gate: int = 5_000_000):
     """Top customers by revenue from RETURNED lineitems: the returned
     rows collapse through a map-side per-orderkey cents combiner before
     either join (the join input is bounded by |orders with returns|,
     not |lineitem|), then orderkey->custkey and custkey->name joins run
-    distributed, and the top-k is the pruned global selection."""
+    through the adaptive broadcast-vs-shuffle gate (dimension-sized ->
+    zero-shuffle broadcast; corpus-sized -> distributed hash join), and
+    the top-k is the pruned global selection."""
     from ray.data.aggregate import Sum
 
     rd = _rd()
@@ -59,8 +63,8 @@ def q_returned_revenue_topk(sf_dir: str, k: int = 20):
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
-    j1 = hash_join(
-        li, orders, on="l_orderkey", right_on="o_orderkey",
+    j1 = adaptive_inner_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", gate=gate,
         left_schema=pa.schema([("l_orderkey", pa.int64()),
                                ("pc_", pa.int64())]),
         right_schema=pa.schema([("o_orderkey", pa.int64()),
@@ -77,8 +81,8 @@ def q_returned_revenue_topk(sf_dir: str, k: int = 20):
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
-    j2 = hash_join(
-        per_cust, cust, on="o_custkey", right_on="c_custkey",
+    j2 = adaptive_inner_join(
+        per_cust, cust, on="o_custkey", right_on="c_custkey", gate=gate,
         left_schema=pa.schema([("o_custkey", pa.int64()),
                                ("revenue_cents", pa.int64())]),
         right_schema=pa.schema([("c_custkey", pa.int64()),

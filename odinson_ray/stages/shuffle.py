@@ -492,3 +492,84 @@ def rename_agg(agg: pa.Table, keys, names) -> pa.Table:
     keys = list(keys)
     assert agg.column_names[: len(keys)] == keys, (agg.column_names, keys)
     return agg.rename_columns(list(names))
+
+
+def adaptive_inner_join(left, right, on: str, right_on: str | None = None,
+                        right_suffix: str = "_r",
+                        left_schema: pa.Schema | None = None,
+                        right_schema: pa.Schema | None = None,
+                        gate: int = 5_000_000, partitions: int = 512,
+                        hot_chunk_rows: int = 10_000_000):
+    """Inner join with the repo's adaptive broadcast-vs-shuffle gate
+    made a first-class operator (previously re-implemented ad hoc by
+    tpch_q3's semi filter, the MinHash verify and the tf-idf vocab
+    path). The RIGHT side is materialized and counted (metadata-cheap);
+    at or under ``gate`` rows it is collected ONCE, key-sorted, and
+    ``ray.put`` — the join is then a zero-shuffle ``map_batches`` over
+    the left, resolving duplicates with two ``searchsorted`` calls and
+    pure index arithmetic. Above the gate (a web-scale right side), it
+    falls back to the distributed :func:`hash_join`. Output schema is
+    IDENTICAL on both paths (left names + right payload with
+    ``right_suffix`` on collisions; inner semantics: null keys never
+    match) — pinned by a both-paths pytest.
+
+    Use it when the right side is usually dimension-sized but must not
+    be ASSUMED so (customer/orders dims: small at bench scale, corpus
+    sized at 100 TB). Broadcast-path keys must be integers; other key
+    types take the hash_join path regardless of size."""
+    import ray
+
+    from .link import get_broadcast
+
+    right_on = right_on or on
+    ls = as_arrow_schema(left_schema if left_schema is not None
+                         else left.schema())
+    rs = as_arrow_schema(right_schema if right_schema is not None
+                         else right.schema())
+    ktype = dict(zip(ls.names, ls.types))[on]
+    r = right.materialize()
+    if not pa.types.is_integer(ktype) or r.count() > gate:
+        return hash_join(left, r, on=on, right_on=right_on,
+                         right_suffix=right_suffix, left_schema=ls,
+                         right_schema=rs, partitions=partitions,
+                         hot_chunk_rows=hot_chunk_rows)
+
+    rtypes = dict(zip(rs.names, rs.types))
+    batches = [b for b in r.iter_batches(batch_format="pyarrow",
+                                         batch_size=65536) if b.num_rows]
+    rt = (pa.concat_tables(batches).combine_chunks() if batches
+          else rs.empty_table())
+    rt = rt.filter(pc.is_valid(rt[right_on]))
+    rt = rt.set_column(rt.column_names.index(right_on), right_on,
+                       rt[right_on].cast(ktype))
+    keys = rt[right_on].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    rt = rt.take(pa.array(order, pa.int64()))
+    side_ref = ray.put((keys[order], rt))
+
+    lpay = [c for c in ls.names if c != on]
+    rpay = [c for c in rs.names if c != right_on]
+    rout = {c: (c + right_suffix if c in ls.names else c) for c in rpay}
+    ltypes = dict(zip(ls.names, ls.types))
+
+    def bjoin(t: pa.Table) -> pa.Table:
+        rkeys, rtab = get_broadcast(side_ref)
+        t = t.filter(pc.is_valid(t[on]))  # inner: null never matches
+        k = t[on].combine_chunks().cast(ktype).to_numpy(
+            zero_copy_only=False)
+        lo = np.searchsorted(rkeys, k, "left")
+        hi = np.searchsorted(rkeys, k, "right")
+        cnt = hi - lo
+        offs = np.concatenate(([0], np.cumsum(cnt)))
+        lidx = pa.array(np.repeat(np.arange(len(k)), cnt), pa.int64())
+        ridx = pa.array(np.repeat(lo, cnt)
+                        + (np.arange(offs[-1]) - np.repeat(offs[:-1], cnt)),
+                        pa.int64())
+        out = {on: t[on].combine_chunks().cast(ktype).take(lidx)}
+        for c in lpay:
+            out[c] = t[c].combine_chunks().cast(ltypes[c]).take(lidx)
+        for c in rpay:
+            out[rout[c]] = rtab[c].take(ridx)
+        return pa.Table.from_pydict(out)
+
+    return left.map_batches(bjoin, batch_format="pyarrow")
