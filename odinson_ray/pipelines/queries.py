@@ -7359,3 +7359,7 @@ _q11.register(QUERIES, ORACLES)
 from . import queries12 as _q12  # noqa: E402
 
 _q12.register(QUERIES, ORACLES)
+
+from . import queries13 as _q13  # noqa: E402
+
+_q13.register(QUERIES, ORACLES)
