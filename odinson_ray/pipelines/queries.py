@@ -7363,3 +7363,7 @@ _q12.register(QUERIES, ORACLES)
 from . import queries13 as _q13  # noqa: E402
 
 _q13.register(QUERIES, ORACLES)
+
+from . import queries14 as _q14  # noqa: E402
+
+_q14.register(QUERIES, ORACLES)
