@@ -247,6 +247,88 @@ FROM documents GROUP BY lang
 """
 
 
+# ===================================== RAG chunking with overlap
+
+def q_rag_chunks(sf_dir: str, width: int = 16, stride: int = 8):
+    """Overlapping retrieval chunks (the RAG ingestion step): windows of
+    ``width`` tokens every ``stride`` positions, last window ragged.
+    Fully batch-local: each token row is expanded to its width/stride
+    chunk memberships with index arithmetic, then one grouped join per
+    CHUNK (line_dedup's assembly trick) — no per-token Python, no
+    shuffle; chunk ids/offsets are deterministic for downstream joins
+    back to documents or into an embedding stage."""
+    import pandas as pd
+
+    assert width % stride == 0, "width must be a multiple of stride"
+    rd = _rd()
+    memberships = width // stride
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks).to_pandas()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "n_tok": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string())})
+        parent = np.repeat(np.arange(len(t)), lens)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        gids, toks_rep = [], []
+        for m in range(memberships):
+            cid = pos // stride - m
+            ok = cid >= 0  # (cid*stride < n_tok holds: cid*stride <= pos)
+            gids.append((parent[ok].astype(np.int64) << 22) + cid[ok])
+            toks_rep.append(flat[ok])
+        gid = np.concatenate(gids)
+        tok_all = pd.concat(toks_rep, ignore_index=True)
+        # sort=True groups by gid; intra-group order follows the input
+        # order, which is position order within each membership copy —
+        # concat order (m=0 first) never interleaves copies of the SAME
+        # chunk because a token belongs to a chunk in exactly one m
+        order = np.argsort(gid, kind="stable")
+        joined = (tok_all.iloc[order].groupby(gid[order], sort=True)
+                  .agg(" ".join))
+        g = joined.index.to_numpy()
+        sizes = pd.Series(1, index=gid[order]).groupby(level=0).sum()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        cid = (g & ((1 << 22) - 1)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[g >> 22], pa.int64()),
+            "chunk_id": pa.array(cid, pa.int64()),
+            "start_tok": pa.array(cid * stride, pa.int64()),
+            "n_tok": pa.array(sizes.to_numpy().astype(np.int64)),
+            "chunk": pa.array(joined.to_numpy(), pa.string())})
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        to_chunks, batch_format="pyarrow")
+
+
+ORACLE_RAG_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tk, n,
+         unnest(range((n - 1) // 8 + 1)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 8 AS BIGINT) AS start_tok,
+       CAST(least(16, n - chunk_id * 8) AS BIGINT) AS n_tok,
+       array_to_string(tk[chunk_id * 8 + 1 : least(chunk_id * 8 + 16, n)],
+                       ' ') AS chunk
+FROM c
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["indexed_bool_query"] = q_indexed_bool_query
     oracles["indexed_bool_query"] = ORACLE_INDEXED_BOOL
@@ -254,3 +336,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["bootstrap_means"] = ORACLE_BOOTSTRAP
     queries["federated_union_counts"] = q_federated_union_counts
     oracles["federated_union_counts"] = ORACLE_FEDERATED_UNION
+    queries["rag_chunks"] = q_rag_chunks
+    oracles["rag_chunks"] = ORACLE_RAG_CHUNKS

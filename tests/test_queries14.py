@@ -82,3 +82,20 @@ def test_federated_union_triples_counts(tmp_path):
     assert got["n_docs"].tolist() == [9]
     assert got["chars"].tolist() == [3 * sum(
         len(t) for t in ["aaa bbb", "cc", "dddd eee ff"])]
+
+
+def test_rag_chunks_overlap_and_ragged_tail(tmp_path):
+    from odinson_ray.pipelines.queries14 import q_rag_chunks
+
+    toks = [f"t{i}" for i in range(20)]
+    _write_docs(tmp_path / "documents.parquet", [" ".join(toks), "solo"])
+    got = (q_rag_chunks(str(tmp_path)).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    d0 = got[got.doc_id == 0]
+    assert d0["start_tok"].tolist() == [0, 8, 16]
+    assert d0["n_tok"].tolist() == [16, 12, 4]
+    assert d0["chunk"].tolist() == [" ".join(toks[0:16]),
+                                    " ".join(toks[8:20]),
+                                    " ".join(toks[16:20])]
+    d1 = got[got.doc_id == 1]
+    assert d1["chunk"].tolist() == ["solo"] and d1["n_tok"].tolist() == [1]
