@@ -7367,3 +7367,7 @@ _q13.register(QUERIES, ORACLES)
 from . import queries14 as _q14  # noqa: E402
 
 _q14.register(QUERIES, ORACLES)
+
+from . import queries15 as _q15  # noqa: E402
+
+_q15.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)

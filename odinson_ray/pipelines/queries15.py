@@ -1,0 +1,600 @@
+"""Round-4 session-6 batch H: TPC-H correlated-subquery classes the
+inventory still lacked (Q21 waiting-supplier EXISTS/NOT-EXISTS, Q2
+min-cost-per-group join-back, Q15 HAVING-=-global-max), an ORC
+source/sink roundtrip (pyarrow.orc over read_binary_files — Ray Data has
+no native ORC reader), a trained-and-applied naive-Bayes language
+classifier with an integer-quantized log-likelihood so the DuckDB oracle
+is hash-exact, and multi-source harmonic centrality over the KG.
+
+Registered by ``pipelines/queries.py``; each ``q_*`` takes ``sf_dir``;
+oracle column names match exactly. Money/score comparisons are
+quantized to int64 (FLOOR of the same double expression both sides) so
+every sum is order-independent and exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from odinson_ray.stages.shuffle import (
+    global_topk,
+    grouped_topk,
+    hash_join,
+    rename_agg,
+)
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def _rd():
+    from ..sources.io import clean_rd
+
+    return clean_rd
+
+
+# ===================================== TPC-H Q21 class: waiting suppliers
+
+def q_waiting_suppliers(sf_dir: str, late_days: int = 60, k: int = 10):
+    """Suppliers who were the SOLE late shipper on a multi-supplier
+    finished order (TPC-H Q21's EXISTS / NOT-EXISTS pair, re-expressed
+    as one per-order aggregate): late = shipped more than ``late_days``
+    after the order date.
+
+    Distributed shape: one corpus x corpus hash join on orderkey (orders
+    pre-filtered to status 'F' and pruned to two columns at the read);
+    the per-order EXISTS/NOT-EXISTS logic runs INSIDE the join's
+    ``merge_post`` — every lineitem of an order is already co-located in
+    its key partition, so distinct-supplier / distinct-late-supplier
+    counts per order never shuffle again, and the partition emits only
+    per-supplier partial wait counts. Final stage is a supplier-sized
+    groupby + top-k. No driver materialization anywhere."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F"))
+        .select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    late_us = late_days * _DAY_US
+
+    def per_order(g: pa.Table) -> pa.Table:
+        ship = pc.cast(g["l_shipdate"].cast(pa.timestamp("us")), pa.int64())
+        od = pc.cast(g["o_orderdate"].cast(pa.timestamp("us")), pa.int64())
+        late = pc.greater(ship, pc.add(od, late_us))
+        base = pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_suppkey": g["l_suppkey"]})
+        n_supp = rename_agg(
+            pa.TableGroupBy(base, ["l_orderkey"]).aggregate(
+                [("l_suppkey", "count_distinct")]),
+            ["l_orderkey"], ["l_orderkey", "n_supp"])
+        late_t = base.filter(late)
+        if late_t.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "pw": pa.array([], pa.int64())})
+        n_late = rename_agg(
+            pa.TableGroupBy(late_t, ["l_orderkey"]).aggregate(
+                [("l_suppkey", "count_distinct"), ("l_suppkey", "max")]),
+            ["l_orderkey"], ["l_orderkey", "n_late", "late_supp"])
+        j = n_supp.join(n_late, keys=["l_orderkey"], join_type="inner")
+        qual = j.filter(pc.and_(pc.greater(j["n_supp"], 1),
+                                pc.equal(j["n_late"], 1)))
+        part = pa.TableGroupBy(
+            pa.table({"l_suppkey": qual["late_supp"]}),
+            ["l_suppkey"]).aggregate([([], "count_all")])
+        return rename_agg(part, ["l_suppkey"], ["l_suppkey", "pw"])
+
+    partials = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]),
+        merge_post=per_order)
+    agg = partials.groupby("l_suppkey").aggregate(
+        Sum("pw", alias_name="numwait"))
+    return global_topk(agg, ["numwait", "l_suppkey"], [True, False], k)
+
+
+ORACLE_WAITING_SUPPLIERS = """
+WITH j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY l_orderkey
+)
+SELECT late_supp AS l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order WHERE n_supp > 1 AND n_late = 1
+GROUP BY late_supp ORDER BY numwait DESC, l_suppkey ASC LIMIT 10
+"""
+
+
+# ===================================== TPC-H Q2 class: min-cost supplier
+
+def q_cheapest_supplier(sf_dir: str):
+    """Per part, the supplier offering the lowest observed unit price
+    (TPC-H Q2's correlated MIN subquery re-expressed as a per-group
+    argmin): unit price is quantized to int64 micro-units with the SAME
+    double expression FLOOR(ext/qty*1e6) the oracle uses, so comparisons
+    are exact; ties break to the smallest suppkey.
+
+    Shape: one pruned lineitem scan -> per-batch rank-1 combiner ->
+    coarse-partition resolve (``grouped_topk`` k=1) — the shuffle moves
+    at most one row per (part, batch), never raw lineitems."""
+    rd = _rd()
+
+    def unitize(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        um = np.floor(ext / qty * 1_000_000.0).astype(np.int64)
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "unit_micro": pa.array(um, pa.int64()),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    ).map_batches(unitize, batch_format="pyarrow")
+    return grouped_topk(ds, by="l_partkey",
+                        cols=["unit_micro", "l_suppkey"],
+                        descending=[False, False], k=1)
+
+
+ORACLE_CHEAPEST_SUPPLIER = """
+WITH u AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(FLOOR(l_extendedprice / l_quantity * 1000000) AS BIGINT)
+           AS unit_micro
+  FROM lineitem
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY l_partkey ORDER BY unit_micro, l_suppkey) AS rn
+  FROM u
+)
+SELECT l_partkey, l_suppkey, unit_micro FROM r WHERE rn = 1
+"""
+
+
+# ===================================== TPC-H Q15 class: top supplier(s)
+
+def q_top_supplier_revenue(sf_dir: str):
+    """Supplier(s) with the maximum revenue in 1996Q1 (TPC-H Q15's view +
+    HAVING = (SELECT MAX ...)): revenue is summed in int64 cents
+    (FLOOR(ext*(1-disc)*100), same double expression as the oracle) so
+    the distributed sum is order-independent and the =max filter exact.
+
+    Shape: predicate + column pruning at the read, map-side per-supplier
+    combiner, one supplier-sized groupby (materialized — it is bounded
+    by the supplier catalog, not the corpus), one scalar max, one
+    filter. The only driver value is the max scalar."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1996-04-01", "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"].cast(pa.timestamp("us")), pa.int64())
+        keep = pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi))
+        t = t.filter(keep)
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ext * (1.0 - disc) * 100.0).astype(np.int64)
+        base = pa.table({"l_suppkey": t["l_suppkey"],
+                         "c": pa.array(cents, pa.int64())})
+        g = pa.TableGroupBy(base, ["l_suppkey"]).aggregate([("c", "sum")])
+        return rename_agg(g, ["l_suppkey"], ["l_suppkey", "pc"])
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_suppkey", "l_extendedprice",
+                                 "l_discount", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("pc", alias_name="total_cents"))
+    ).materialize()
+    best = agg.max("total_cents")
+    return agg.map_batches(
+        lambda t: t.filter(pc.equal(t["total_cents"], best)),
+        batch_format="pyarrow").sort("l_suppkey")
+
+
+ORACLE_TOP_SUPPLIER_REVENUE = """
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey, CAST(total_cents AS BIGINT) AS total_cents
+FROM r WHERE total_cents = (SELECT MAX(total_cents) FROM r)
+ORDER BY l_suppkey
+"""
+
+
+# ===================================== ORC source/sink roundtrip
+
+def q_orc_roundtrip_agg(sf_dir: str):
+    """Source/sink parity for ORC: project documents to (lang, n_chars),
+    write sharded .orc files (one per block, pyarrow.orc — Ray Data has
+    no native ORC writer), read them back DISTRIBUTED via
+    ``read_binary_files`` + a per-file pyarrow.orc decode inside
+    ``map_batches`` (each task decodes only its own files; nothing
+    round-trips through the driver), and aggregate per-lang counts and
+    total characters. The decode emits per-batch partials directly, so
+    decoded rows never re-shuffle raw."""
+    import os
+    import tempfile
+    import uuid
+
+    import ray.data as rdn
+    from pyarrow import orc as paorc
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    out_dir = tempfile.mkdtemp(prefix="orc_rt_", dir="/tmp")
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.orc")
+        paorc.write_table(
+            t.select(["lang", "n_chars"]).replace_schema_metadata(None),
+            path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                     columns=["lang", "n_chars"])
+     .map_batches(write_block, batch_format="pyarrow")).materialize()
+
+    def decode_partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for buf in t["bytes"].to_pylist():
+            tbl = paorc.ORCFile(pa.BufferReader(buf)).read()
+            parts.append(tbl)
+        if not parts:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64()),
+                             "pchars": pa.array([], pa.int64())})
+        whole = pa.concat_tables(parts)
+        whole = pa.table({
+            "lang": whole["lang"],
+            "n_chars": whole["n_chars"].cast(pa.int64()),
+        })
+        g = pa.TableGroupBy(whole, ["lang"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")])
+        return rename_agg(g, ["lang"], ["lang", "pn", "pchars"])
+
+    agg = (rdn.read_binary_files(out_dir)
+           .map_batches(decode_partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("pn", alias_name="n"),
+                      Sum("pchars", alias_name="total_chars")))
+    return agg
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ===================================== naive-Bayes language classifier
+
+def _nb_model(sf_dir: str):
+    """Train the multinomial NB model: per-(lang, tok) counts via the
+    map-side combiner + one groupby, then the driver quantizes
+    log-likelihoods with ``math.log`` (libm — the SAME function DuckDB's
+    ln() calls, so FLOOR(1e6*ln(x)) agrees bit-for-bit; numpy's SIMD log
+    can differ by 1 ulp and is deliberately NOT used here).
+
+    The model (vocab x n_langs int64 matrix) is broadcast once via
+    ray.put. Its size is the classifier vocabulary — bounded in practice
+    by a min-count prune exactly like tf-idf's ``min_df``; for open-web
+    vocabularies past the broadcast gate the scoring join would follow
+    tfidf_top_term's hash-join path (stages/text.py:269)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        rows = pa.table({
+            "lang": t["lang"].take(pc.list_parent_indices(toks)),
+            "tok": pc.list_flatten(toks),
+        })
+        g = pa.TableGroupBy(rows, ["lang", "tok"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(g, ["lang", "tok"], ["lang", "tok", "pc"])
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "text"])
+        .map_batches(tok_partial, batch_format="pyarrow")
+        .groupby(["lang", "tok"])
+        .aggregate(Sum("pc", alias_name="c"))
+    )
+    pri = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .groupby("lang").count()
+    )
+
+    langs_l, toks_l, cs_l = [], [], []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        langs_l.extend(b["lang"].to_pylist())
+        toks_l.extend(b["tok"].to_pylist())
+        cs_l.extend(b["c"].to_pylist())
+    doc_counts = {}
+    for b in pri.iter_batches(batch_format="pyarrow"):
+        for lg, n in zip(b["lang"].to_pylist(), b["count()"].to_pylist()):
+            doc_counts[lg] = int(n)
+
+    langs = sorted(doc_counts)
+    lidx = {lg: i for i, lg in enumerate(langs)}
+    vocab = np.array(sorted(set(toks_l)), dtype=object)
+    vidx = {tk: i for i, tk in enumerate(vocab)}
+    V = len(vocab)
+    totals = np.zeros(len(langs), dtype=np.int64)
+    cmat = np.zeros((V, len(langs)), dtype=np.int64)
+    for lg, tk, c in zip(langs_l, toks_l, cs_l):
+        cmat[vidx[tk], lidx[lg]] = c
+        totals[lidx[lg]] += c
+    nd = sum(doc_counts.values())
+    model = np.empty((V, len(langs)), dtype=np.int64)
+    defaults = np.empty(len(langs), dtype=np.int64)
+    priors = np.empty(len(langs), dtype=np.int64)
+    for j in range(len(langs)):
+        denom = int(totals[j]) + V
+        defaults[j] = math.floor(1e6 * math.log(1.0 / denom))
+        priors[j] = math.floor(
+            1e6 * math.log(doc_counts[langs[j]] / nd))
+        for i in range(V):
+            model[i, j] = math.floor(
+                1e6 * math.log((int(cmat[i, j]) + 1) / denom))
+    return langs, vocab, model, defaults, priors
+
+
+def q_nb_lang_confusion(sf_dir: str):
+    """Train a multinomial naive-Bayes language classifier on the corpus
+    and self-classify it, reporting the (lang, lang_pred, n) confusion
+    matrix. Scores are int64 micro-log-units (FLOOR(1e6*ln(p)) summed
+    over token OCCURRENCES plus the prior), so the distributed sums are
+    order-independent and the argmax (ties -> lexicographically first
+    lang) is exactly the oracle's ROW_NUMBER pick."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.link import get_broadcast
+
+    rd = _rd()
+    langs, vocab, model, defaults, priors = _nb_model(sf_dir)
+    ref = ray.put((langs, vocab, model, defaults, priors))
+
+    def classify(t: pa.Table) -> pa.Table:
+        langs_b, vocab_b, model_b, def_b, pri_b = get_broadcast(ref)
+        L = len(langs_b)
+        toks = pc.split_pattern(t["text"], " ")
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ndocs = t.num_rows
+        scores = np.tile(pri_b, (ndocs, 1))
+        if len(flat):
+            pos = np.searchsorted(vocab_b, flat)
+            pos = np.minimum(pos, max(len(vocab_b) - 1, 0))
+            known = vocab_b[pos] == flat
+            tok_scores = np.where(known[:, None], model_b[pos],
+                                  def_b[None, :])
+            for j in range(L):
+                np.add.at(scores[:, j], parent, tok_scores[:, j])
+        pred = np.argmax(scores, axis=1)  # first max = smallest lang
+        rows = pa.table({
+            "lang": t["lang"],
+            "lang_pred": pa.array([langs_b[p] for p in pred], pa.string()),
+        })
+        g = pa.TableGroupBy(rows, ["lang", "lang_pred"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(g, ["lang", "lang_pred"],
+                          ["lang", "lang_pred", "pn"])
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "text"])
+        .map_batches(classify, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+ORACLE_NB_LANG_CONFUSION = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+vv AS (SELECT COUNT(DISTINCT tok) AS v FROM tok),
+langs AS (SELECT DISTINCT lang FROM documents),
+counts AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok),
+totals AS (SELECT lang, COUNT(*) AS t FROM tok GROUP BY lang),
+priors AS (SELECT lang, COUNT(*) AS d FROM documents GROUP BY lang),
+nd AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+  SELECT dt.doc_id, l.lang AS cand,
+         SUM(CAST(FLOOR(1e6 * ln(
+               (COALESCE(c.c, 0) + 1)::DOUBLE / (t.t + vv.v)
+             )) AS BIGINT)) AS s
+  FROM tok dt
+  CROSS JOIN langs l
+  JOIN totals t ON t.lang = l.lang
+  CROSS JOIN vv
+  LEFT JOIN counts c ON c.lang = l.lang AND c.tok = dt.tok
+  GROUP BY dt.doc_id, l.lang
+),
+with_prior AS (
+  SELECT s.doc_id, s.cand,
+         s.s + CAST(FLOOR(1e6 * ln(p.d::DOUBLE / nd.nd)) AS BIGINT)
+           AS score
+  FROM scored s JOIN priors p ON p.lang = s.cand CROSS JOIN nd
+),
+pred AS (
+  SELECT doc_id, cand AS lang_pred,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand ASC) AS rn
+  FROM with_prior
+)
+SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred p JOIN documents d USING (doc_id)
+WHERE p.rn = 1
+GROUP BY d.lang, p.lang_pred
+"""
+
+
+# ===================================== multi-source harmonic centrality
+
+def q_kg_harmonic(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
+    """Harmonic centrality contribution from the ``n_seeds``
+    highest-out-degree entities: h(v) = sum over seeds s of 1/d(s, v)
+    (d <= ``rounds``), in exact integer micro-units (1000000 // d).
+    The sampled-seeds formulation is the standard scale approximation
+    (full harmonic is all-pairs); seeds are deterministic (degree desc,
+    id asc).
+
+    Shape: multi-source BFS — the frontier Dataset carries (seed,
+    entity) pairs, each round is one hash join frontier x edges plus an
+    anti join against the visited set on a packed (seed, entity) key.
+    Everything stays a Dataset; per-round materialize pins only the
+    (new) frontier, never the edge list twice."""
+    from ray.data.aggregate import Count, Sum
+
+    from .kg import triples_dataset
+
+    import ray.data as rdn
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        e = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"]})
+        return pa.TableGroupBy(e, ["src", "dst"]).aggregate([])
+
+    edges = (
+        triples_dataset(sf_dir)
+        .map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    ).materialize()
+
+    deg = edges.groupby("src").aggregate(Count(alias_name="d"))
+    seeds = global_topk(deg, ["d", "src"], [True, False], n_seeds)
+    seed_tbl = pa.concat_tables(
+        [b for b in seeds.iter_batches(batch_format="pyarrow")])
+    seed_vals = seed_tbl["src"].to_pylist()
+
+    SEP = "\x1f"
+
+    def pack(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(t["seed"], t["entity"], SEP)
+        return t.append_column("_k", k)
+
+    visited = rdn.from_arrow(pa.table({
+        "seed": pa.array(seed_vals, pa.string()),
+        "entity": pa.array(seed_vals, pa.string()),
+        "level": pa.array([0] * len(seed_vals), pa.int64()),
+    })).materialize()
+    frontier = visited
+
+    for r in range(1, rounds + 1):
+        nxt = hash_join(
+            frontier.map_batches(lambda t: t.select(["seed", "entity"]),
+                                 batch_format="pyarrow"),
+            edges, on="entity", right_on="src")
+
+        def distinct_pair(t: pa.Table) -> pa.Table:
+            return pa.TableGroupBy(
+                pa.table({"seed": t["seed"], "entity": t["dst"]}),
+                ["seed", "entity"]).aggregate([])
+
+        nxt = (nxt.map_batches(distinct_pair, batch_format="pyarrow")
+               .groupby(["seed", "entity"])
+               .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+               .map_batches(pack, batch_format="pyarrow"))
+        vis_k = visited.map_batches(
+            lambda t: pack(t).select(["_k"]), batch_format="pyarrow")
+        new = hash_join(nxt, vis_k, on="_k", how="anti")
+        lvl = r
+        new = new.map_batches(
+            lambda t, lvl=lvl: pa.table({
+                "seed": t["seed"], "entity": t["entity"],
+                "level": pa.array(np.full(t.num_rows, lvl), pa.int64()),
+            }),
+            batch_format="pyarrow").materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+
+    def contrib(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["level"], 0))
+        lv = t["level"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "entity": t["entity"],
+            "h": pa.array(1_000_000 // lv, pa.int64()),
+        })
+
+    return (visited.map_batches(contrib, batch_format="pyarrow")
+            .groupby("entity").aggregate(Sum("h", alias_name="h_micro")))
+
+
+def _harmonic_oracle(kg_body: str, n_seeds: int = 3, rounds: int = 3) -> str:
+    return f"""
+WITH RECURSIVE trip AS ({kg_body}),
+edges AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst FROM trip),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+seeds AS (SELECT src FROM deg ORDER BY d DESC, src LIMIT {n_seeds}),
+bfs(s, v, lvl) AS (
+  SELECT src, src, 0 FROM seeds
+  UNION ALL
+  SELECT b.s, e.dst, b.lvl + 1 FROM bfs b JOIN edges e ON e.src = b.v
+  WHERE b.lvl < {rounds}
+),
+dist AS (SELECT s, v, MIN(lvl) AS d FROM bfs GROUP BY s, v)
+SELECT v AS entity, CAST(SUM(1000000 // d) AS BIGINT) AS h_micro
+FROM dist WHERE d > 0 GROUP BY v
+"""
+
+
+def register(queries: dict, oracles: dict, kg_body: str) -> None:
+    queries["waiting_suppliers"] = q_waiting_suppliers
+    oracles["waiting_suppliers"] = ORACLE_WAITING_SUPPLIERS
+    queries["cheapest_supplier"] = q_cheapest_supplier
+    oracles["cheapest_supplier"] = ORACLE_CHEAPEST_SUPPLIER
+    queries["top_supplier_revenue"] = q_top_supplier_revenue
+    oracles["top_supplier_revenue"] = ORACLE_TOP_SUPPLIER_REVENUE
+    queries["orc_roundtrip_agg"] = q_orc_roundtrip_agg
+    oracles["orc_roundtrip_agg"] = ORACLE_ORC_ROUNDTRIP
+    queries["nb_lang_confusion"] = q_nb_lang_confusion
+    oracles["nb_lang_confusion"] = ORACLE_NB_LANG_CONFUSION
+    queries["kg_harmonic"] = q_kg_harmonic
+    oracles["kg_harmonic"] = _harmonic_oracle(kg_body)

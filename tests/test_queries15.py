@@ -1,0 +1,179 @@
+"""Session-6 batch H: TPC-H Q21/Q2/Q15 classes, ORC roundtrip, naive
+Bayes, multi-source harmonic centrality — semantic pins on hand-built
+inputs (the sf0.01 DuckDB oracles cover the full-scale equivalence)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _ts(s):
+    return pd.Timestamp(s)
+
+
+def test_waiting_suppliers_sole_late_on_multi_supplier_f_orders(tmp_path):
+    """Qualifies only when the order is status F, has >1 distinct
+    supplier, and EXACTLY ONE distinct supplier shipped late — the
+    Q21 EXISTS/NOT-EXISTS pair. Duplicate late lines from the same
+    supplier count once (distinct semantics)."""
+    from odinson_ray.pipelines.queries15 import q_waiting_suppliers
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_orderdate": pa.array([_ts("2020-01-01")] * 5,
+                                pa.timestamp("us")),
+        "o_orderstatus": pa.array(["F", "F", "F", "O", "F"], pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+    rows = [
+        (1, 1, "2020-06-01"),  # late           } order 1: supp {1,2},
+        (1, 1, "2020-07-01"),  # late dup supp  }  only 1 late -> supp 1
+        (1, 2, "2020-01-15"),  # on time        }
+        (2, 1, "2020-06-01"),  # single-supplier order -> excluded
+        (3, 1, "2020-06-01"),  # both late -> excluded
+        (3, 2, "2020-06-01"),
+        (4, 1, "2020-06-01"),  # status O -> excluded
+        (4, 2, "2020-01-15"),
+        (5, 2, "2020-01-15"),  # order 5: only supp 3 late -> supp 3
+        (5, 3, "2020-06-01"),
+    ]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_shipdate": pa.array([_ts(r[2]) for r in rows],
+                               pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    got = q_waiting_suppliers(str(tmp_path)).to_pandas()
+    assert list(zip(got["l_suppkey"], got["numwait"])) == [(1, 1), (3, 1)]
+
+
+def test_cheapest_supplier_argmin_with_suppkey_tiebreak(tmp_path):
+    from odinson_ray.pipelines.queries15 import q_cheapest_supplier
+
+    rows = [  # (part, supp, ext, qty) -> unit micro
+        (1, 5, 20.0, 10.0),   # 2.0
+        (1, 3, 4.0, 2.0),     # 2.0 (tie, smaller supp — but 7 is cheaper)
+        (1, 7, 3.0, 2.0),     # 1.5 -> winner
+        (2, 9, 7.0, 2.0),     # 3.5
+        (3, 6, 4.0, 2.0),     # 2.0 } exact tie at part 3:
+        (3, 4, 4.0, 2.0),     # 2.0 }  smaller suppkey 4 wins
+    ]
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
+        "l_quantity": pa.array([r[3] for r in rows], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    got = (q_cheapest_supplier(str(tmp_path)).to_pandas()
+           .sort_values("l_partkey").reset_index(drop=True))
+    assert list(zip(got["l_partkey"], got["l_suppkey"],
+                    got["unit_micro"])) == [
+        (1, 7, 1_500_000), (2, 9, 3_500_000), (3, 4, 2_000_000)]
+
+
+def test_top_supplier_revenue_window_and_max_ties(tmp_path):
+    """Out-of-window rows are pruned; ALL suppliers tied at the max are
+    returned (Q15 returns every supplier matching the max view row)."""
+    from odinson_ray.pipelines.queries15 import q_top_supplier_revenue
+
+    rows = [  # (supp, ext, disc, shipdate)
+        (1, 100.0, 0.0, "1996-02-01"),
+        (2, 50.0, 0.0, "1996-02-10"),
+        (2, 50.0, 0.0, "1996-03-01"),
+        (3, 999.0, 0.0, "1997-01-01"),  # outside the window
+    ]
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+        "l_discount": pa.array([r[2] for r in rows], pa.float64()),
+        "l_shipdate": pa.array([_ts(r[3]) for r in rows],
+                               pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    got = q_top_supplier_revenue(str(tmp_path)).to_pandas()
+    assert list(zip(got["l_suppkey"], got["total_cents"])) == [
+        (1, 10_000), (2, 10_000)]
+
+
+def test_orc_roundtrip_matches_direct_agg(tmp_path):
+    from odinson_ray.pipelines.queries15 import q_orc_roundtrip_agg
+
+    langs = ["en", "en", "de", "fr", "de", "en"]
+    texts = ["a b", "ccc", "dd", "e", "ff ff", "ggg g"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * 6, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = (q_orc_roundtrip_agg(str(tmp_path)).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    want = (pd.DataFrame({"lang": langs,
+                          "n_chars": [len(t) for t in texts]})
+            .groupby("lang").agg(n=("lang", "size"),
+                                 total_chars=("n_chars", "sum"))
+            .reset_index())
+    assert list(got["lang"]) == list(want["lang"])
+    assert list(got["n"]) == list(want["n"])
+    assert list(got["total_chars"]) == list(want["total_chars"])
+
+
+def test_nb_lang_confusion_separable_corpus_is_diagonal(tmp_path):
+    """Disjoint vocabularies per language -> the self-classification
+    confusion matrix is exactly diagonal."""
+    from odinson_ray.pipelines.queries15 import q_nb_lang_confusion
+
+    docs = [("en", "the cat"), ("en", "the dog"), ("en", "the cow"),
+            ("de", "der hund"), ("de", "der baum")]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+        "lang": pa.array([l for l, _ in docs], pa.string()),
+        "source": pa.array(["s"] * len(docs), pa.string()),
+        "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = (q_nb_lang_confusion(str(tmp_path)).to_pandas()
+           .sort_values(["lang", "lang_pred"]).reset_index(drop=True))
+    assert list(zip(got["lang"], got["lang_pred"], got["n"])) == [
+        ("de", "de", 2), ("en", "en", 3)]
+
+
+def test_kg_harmonic_multi_source_min_distances(tmp_path, monkeypatch):
+    """Hand-built graph: seeds are the top-3 out-degree vertices; each
+    reachable vertex accumulates 1000000 // min-distance per seed; a
+    vertex reachable from no seed is absent; level-0 self rows
+    contribute nothing."""
+    import ray.data as rd
+
+    import odinson_ray.pipelines.kg as kg_mod
+    from odinson_ray.pipelines.queries15 import q_kg_harmonic
+
+    edges = [("S1", "A"), ("S1", "B"), ("S1", "C"), ("S1", "S2"),
+             ("S2", "A"), ("S2", "E"), ("S2", "F"),
+             ("S3", "G"), ("S3", "H"),
+             ("A", "P"), ("P", "Q"), ("G", "P"),
+             ("X", "Y")]
+    trip = pa.table({
+        "subj_canon": [s for s, _ in edges],
+        "obj_canon": [o for _, o in edges],
+    })
+    monkeypatch.setattr(kg_mod, "triples_dataset",
+                        lambda sf_dir: rd.from_arrow(trip))
+    got = (q_kg_harmonic(str(tmp_path)).to_pandas()
+           .set_index("entity")["h_micro"].to_dict())
+    assert got == {
+        "A": 2_000_000, "B": 1_000_000, "C": 1_000_000,
+        "S2": 1_000_000, "E": 1_500_000, "F": 1_500_000,
+        "P": 1_500_000, "Q": 999_999, "G": 1_000_000, "H": 1_000_000,
+    }
