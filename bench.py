@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     "returned_revenue_topk",
     "rolling_p90_value",
     "hive_pruned_agg",
+    # session-6 additions
+    "waiting_suppliers",
+    "cheapest_supplier",
+    "nb_lang_confusion",
+    "orc_roundtrip_agg",
 ]
 
 

@@ -598,3 +598,225 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["nb_lang_confusion"] = ORACLE_NB_LANG_CONFUSION
     queries["kg_harmonic"] = q_kg_harmonic
     oracles["kg_harmonic"] = _harmonic_oracle(kg_body)
+    queries["kg_stress_paths"] = q_kg_stress_paths
+    oracles["kg_stress_paths"] = _stress_oracle(kg_body)
+
+
+# ===================================== stress centrality (path-through)
+
+def _pack_pair(t: pa.Table, a: str = "seed", b: str = "entity",
+               out: str = "_k") -> pa.Table:
+    k = pc.binary_join_element_wise(t[a], t[b], "\x1f")
+    return t.append_column(out, k)
+
+
+def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
+    """Stress-centrality contribution from the ``n_seeds`` top-out-degree
+    entities: for each vertex v, the NUMBER of shortest paths from a
+    seed that pass THROUGH v (Brandes' sigma forward sweep + the
+    reverse continuation count g(v) = sum over shortest-path-DAG
+    successors w of (1 + g(w)); through(v) = sigma(v) * g(v)). Unlike
+    betweenness' fractional pair-dependencies, every quantity here is
+    an INTEGER, so the distributed sums are order-independent and the
+    DuckDB oracle hash-exact. Horizon = ``rounds`` (the sampled-seed +
+    bounded-radius formulation is the standard scale approximation).
+
+    Shape: one BFS whose frontier CARRIES sigma (the per-round
+    anti-join against the visited set is what restricts sigma to
+    shortest-path-DAG edges), then one reverse sweep per level — each
+    round is hash joins + a (seed, vertex) groupby-sum; everything
+    stays a Dataset, only per-round frontiers are pinned."""
+    from ray.data.aggregate import Count, Sum
+
+    import ray.data as rdn
+
+    from .kg import triples_dataset
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        e = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"]})
+        return pa.TableGroupBy(e, ["src", "dst"]).aggregate([])
+
+    edges = (
+        triples_dataset(sf_dir)
+        .map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    ).materialize()
+
+    deg = edges.groupby("src").aggregate(Count(alias_name="d"))
+    seeds = global_topk(deg, ["d", "src"], [True, False], n_seeds)
+    seed_vals = pa.concat_tables(
+        [b for b in seeds.iter_batches(batch_format="pyarrow")]
+    )["src"].to_pylist()
+
+    lvl0 = rdn.from_arrow(pa.table({
+        "seed": pa.array(seed_vals, pa.string()),
+        "entity": pa.array(seed_vals, pa.string()),
+        "sig": pa.array([1] * len(seed_vals), pa.int64()),
+    })).materialize()
+    sig_levels = [lvl0]          # sig_levels[r]: (seed, entity, sig)
+    visited = lvl0.map_batches(
+        lambda t: _pack_pair(t).select(["_k"]), batch_format="pyarrow"
+    ).materialize()
+
+    for r in range(1, rounds + 1):
+        expanded = hash_join(
+            sig_levels[r - 1].map_batches(
+                lambda t: t.select(["seed", "entity", "sig"]),
+                batch_format="pyarrow"),
+            edges, on="entity", right_on="src")
+
+        def sum_partial(t: pa.Table) -> pa.Table:
+            base = pa.table({"seed": t["seed"], "entity": t["dst"],
+                             "sig": t["sig"]})
+            g = pa.TableGroupBy(base, ["seed", "entity"]).aggregate(
+                [("sig", "sum")])
+            return rename_agg(g, ["seed", "entity"],
+                              ["seed", "entity", "ps"])
+
+        sums = (expanded.map_batches(sum_partial, batch_format="pyarrow")
+                .groupby(["seed", "entity"])
+                .aggregate(Sum("ps", alias_name="sig"))
+                .map_batches(_pack_pair, batch_format="pyarrow"))
+        new = hash_join(sums, visited, on="_k", how="anti").map_batches(
+            lambda t: t.select(["seed", "entity", "sig"]),
+            batch_format="pyarrow").materialize()
+        if new.count() == 0:
+            break
+        sig_levels.append(new)
+        visited = visited.union(new.map_batches(
+            lambda t: _pack_pair(t).select(["_k"]),
+            batch_format="pyarrow")).materialize()
+
+    deepest = len(sig_levels) - 1
+    # reverse continuation counts g[r]; deepest level has no in-horizon
+    # successors by construction
+    g_levels = {deepest: sig_levels[deepest].map_batches(
+        lambda t: pa.table({
+            "seed": t["seed"], "entity": t["entity"],
+            "g": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+        }), batch_format="pyarrow").materialize()}
+    for r in range(deepest - 1, -1, -1):
+        cand = hash_join(
+            sig_levels[r].map_batches(
+                lambda t: t.select(["seed", "entity"]),
+                batch_format="pyarrow"),
+            edges, on="entity", right_on="src")
+        # keep only DAG edges: dst must live at level r+1 for this seed
+        cand = cand.map_batches(
+            lambda t: _pack_pair(t, "seed", "dst"), batch_format="pyarrow")
+        g_next = g_levels[r + 1].map_batches(
+            lambda t: _pack_pair(t).select(["_k", "g"]),
+            batch_format="pyarrow")
+        contrib = hash_join(cand, g_next, on="_k")
+
+        def g_partial(t: pa.Table) -> pa.Table:
+            base = pa.table({
+                "seed": t["seed"], "entity": t["entity"],
+                "c": pc.add(t["g"], 1).cast(pa.int64()),
+            })
+            g = pa.TableGroupBy(base, ["seed", "entity"]).aggregate(
+                [("c", "sum")])
+            return rename_agg(g, ["seed", "entity"],
+                              ["seed", "entity", "pg"])
+
+        gr = (contrib.map_batches(g_partial, batch_format="pyarrow")
+              .groupby(["seed", "entity"])
+              .aggregate(Sum("pg", alias_name="g"))
+              .map_batches(_pack_pair, batch_format="pyarrow"))
+        # vertices at level r with no DAG successor: g = 0
+        zeros = hash_join(
+            sig_levels[r].map_batches(_pack_pair, batch_format="pyarrow"),
+            gr.map_batches(lambda t: t.select(["_k"]),
+                           batch_format="pyarrow"),
+            on="_k", how="anti").map_batches(
+            lambda t: pa.table({
+                "seed": t["seed"], "entity": t["entity"],
+                "g": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            }), batch_format="pyarrow")
+        g_levels[r] = gr.map_batches(
+            lambda t: t.select(["seed", "entity", "g"]),
+            batch_format="pyarrow").union(zeros).materialize()
+
+    # through(v) = sum over seeds of sig * g, interior vertices only
+    parts = []
+    for r in range(1, deepest + 1):
+        sig_k = sig_levels[r].map_batches(
+            lambda t: _pack_pair(t).select(["_k", "sig"]),
+            batch_format="pyarrow")
+        g_k = g_levels[r].map_batches(
+            lambda t: _pack_pair(t).select(["_k", "g", "entity"]),
+            batch_format="pyarrow")
+        parts.append(hash_join(g_k, sig_k, on="_k").map_batches(
+            lambda t: pa.table({
+                "entity": t["entity"],
+                "tp": pc.multiply(t["sig"], t["g"]).cast(pa.int64()),
+            }), batch_format="pyarrow"))
+    if not parts:
+        return rdn.from_arrow(pa.table({
+            "entity": pa.array([], pa.string()),
+            "through_paths": pa.array([], pa.int64())}))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.groupby("entity").aggregate(
+        Sum("tp", alias_name="through_paths"))
+
+
+def _stress_oracle(kg_body: str, n_seeds: int = 3) -> str:
+    """Unrolled 3-level Brandes forward/backward over the min-distance
+    DAG; every aggregate is an integer count."""
+    return f"""
+WITH RECURSIVE trip AS ({kg_body}),
+edges AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst FROM trip),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+seeds AS (SELECT src FROM deg ORDER BY d DESC, src LIMIT {n_seeds}),
+bfs(s, v, lvl) AS (
+  SELECT src, src, 0 FROM seeds
+  UNION ALL
+  SELECT b.s, e.dst, b.lvl + 1 FROM bfs b JOIN edges e ON e.src = b.v
+  WHERE b.lvl < 3
+),
+dist AS (SELECT s, v, MIN(lvl) AS d FROM bfs GROUP BY s, v),
+sig0 AS (SELECT s, v, 1 AS sig FROM dist WHERE d = 0),
+sig1 AS (
+  SELECT d1.s, d1.v, SUM(sig0.sig) AS sig
+  FROM sig0 JOIN edges e ON e.src = sig0.v
+  JOIN dist d1 ON d1.s = sig0.s AND d1.v = e.dst AND d1.d = 1
+  GROUP BY d1.s, d1.v),
+sig2 AS (
+  SELECT d2.s, d2.v, SUM(sig1.sig) AS sig
+  FROM sig1 JOIN edges e ON e.src = sig1.v
+  JOIN dist d2 ON d2.s = sig1.s AND d2.v = e.dst AND d2.d = 2
+  GROUP BY d2.s, d2.v),
+sig3 AS (
+  SELECT d3.s, d3.v, SUM(sig2.sig) AS sig
+  FROM sig2 JOIN edges e ON e.src = sig2.v
+  JOIN dist d3 ON d3.s = sig2.s AND d3.v = e.dst AND d3.d = 3
+  GROUP BY d3.s, d3.v),
+g3 AS (SELECT s, v, 0 AS g FROM dist WHERE d = 3),
+g2 AS (
+  SELECT d2.s, d2.v,
+         COALESCE(SUM(CASE WHEN g3.v IS NULL THEN NULL
+                           ELSE 1 + g3.g END), 0) AS g
+  FROM dist d2
+  LEFT JOIN edges e ON e.src = d2.v
+  LEFT JOIN g3 ON g3.s = d2.s AND g3.v = e.dst
+  WHERE d2.d = 2 GROUP BY d2.s, d2.v),
+g1 AS (
+  SELECT d1.s, d1.v,
+         COALESCE(SUM(CASE WHEN g2.v IS NULL THEN NULL
+                           ELSE 1 + g2.g END), 0) AS g
+  FROM dist d1
+  LEFT JOIN edges e ON e.src = d1.v
+  LEFT JOIN g2 ON g2.s = d1.s AND g2.v = e.dst
+  WHERE d1.d = 1 GROUP BY d1.s, d1.v),
+sig AS (SELECT * FROM sig1 UNION ALL SELECT * FROM sig2
+        UNION ALL SELECT * FROM sig3),
+g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+      UNION ALL SELECT * FROM g3)
+SELECT sig.v AS entity,
+       CAST(SUM(sig.sig * g.g) AS BIGINT) AS through_paths
+FROM sig JOIN g ON g.s = sig.s AND g.v = sig.v
+GROUP BY sig.v
+"""

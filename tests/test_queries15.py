@@ -177,3 +177,25 @@ def test_kg_harmonic_multi_source_min_distances(tmp_path, monkeypatch):
         "S2": 1_000_000, "E": 1_500_000, "F": 1_500_000,
         "P": 1_500_000, "Q": 999_999, "G": 1_000_000, "H": 1_000_000,
     }
+
+
+def test_kg_stress_paths_diamond_with_tail(tmp_path, monkeypatch):
+    """Diamond S->{A,B}->C->D: sigma(C)=2, g(C)=1 (only D continues),
+    g(A)=g(B)=2 (C then D), so A/B/C each carry 2 through-paths and the
+    sink D carries 0; the disconnected component is absent."""
+    import ray.data as rd
+
+    import odinson_ray.pipelines.kg as kg_mod
+    from odinson_ray.pipelines.queries15 import q_kg_stress_paths
+
+    edges = [("S", "A"), ("S", "B"), ("A", "C"), ("B", "C"),
+             ("C", "D"), ("X", "Y")]
+    trip = pa.table({
+        "subj_canon": [s for s, _ in edges],
+        "obj_canon": [o for _, o in edges],
+    })
+    monkeypatch.setattr(kg_mod, "triples_dataset",
+                        lambda sf_dir: rd.from_arrow(trip))
+    got = (q_kg_stress_paths(str(tmp_path), n_seeds=1).to_pandas()
+           .set_index("entity")["through_paths"].to_dict())
+    assert got == {"A": 2, "B": 2, "C": 2, "D": 0}
