@@ -600,6 +600,10 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["kg_harmonic"] = _harmonic_oracle(kg_body)
     queries["kg_stress_paths"] = q_kg_stress_paths
     oracles["kg_stress_paths"] = _stress_oracle(kg_body)
+    queries["seq3_patterns"] = q_seq3_patterns
+    oracles["seq3_patterns"] = ORACLE_SEQ3_PATTERNS
+    queries["value_cume_dist"] = q_value_cume_dist
+    oracles["value_cume_dist"] = ORACLE_VALUE_CUME_DIST
 
 
 # ===================================== stress centrality (path-through)
@@ -819,4 +823,209 @@ SELECT sig.v AS entity,
        CAST(SUM(sig.sig * g.g) AS BIGINT) AS through_paths
 FROM sig JOIN g ON g.s = sig.s AND g.v = sig.v
 GROUP BY sig.v
+"""
+
+
+# ===================================== length-3 sequential pattern mining
+
+def q_seq3_patterns(sf_dir: str, bucket_s: int = 86400):
+    """Contiguous length-3 event-type sequences per user (sequential
+    pattern mining's fixed-length core; generalizes event_transitions'
+    bigrams): counts of (a, b, c) over each user's (ts, event_id)-sorted
+    stream.
+
+    Skew-safe two-stage (the event_transitions discipline extended to
+    width-3 windows): stage 1 groups by (user, day-bucket) and counts
+    within-bucket triples, emitting ONE boundary row per bucket whose
+    payload is the bucket's first two + last two event types (count<=4
+    buckets carry everything — a 4-event bucket is fully reconstructible
+    from first2+last2; bigger buckets insert a gap sentinel). Stage 2
+    groups the boundary rows by user (O(#buckets) rows per user),
+    rebuilds the reduced stream in bucket order, and counts ONLY windows
+    that span a bucket change — every triple of the true stream is
+    counted exactly once. No task ever holds more than one bucket of one
+    user plus that user's boundary rows."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.window import _with_bucket
+
+    rd = _rd()
+    GAP = "\x00"
+    SEP = "\x1f"
+
+    def partials(g: pa.Table) -> pa.Table:
+        tsv = pc.cast(pc.cast(g["ts"], pa.timestamp("us")),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        ids = pc.cast(g["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        types = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        o = np.lexsort((ids, tsv))
+        t = types[o]
+        uid, bv = g["user_id"][0].as_py(), g["_bucket"][0].as_py()
+        rows_a, rows_b, rows_c, rows_n = [], [], [], []
+        if len(t) >= 3:
+            trip = pa.table({
+                "_a": pa.array(t[:-2].tolist(), pa.string()),
+                "_b": pa.array(t[1:-1].tolist(), pa.string()),
+                "_c": pa.array(t[2:].tolist(), pa.string()),
+            })
+            agg = pa.TableGroupBy(trip, ["_a", "_b", "_c"]).aggregate(
+                [([], "count_all")])
+            agg = rename_agg(agg, ["_a", "_b", "_c"],
+                             ["_a", "_b", "_c", "_n"])
+            rows_a = agg["_a"].to_pylist()
+            rows_b = agg["_b"].to_pylist()
+            rows_c = agg["_c"].to_pylist()
+            rows_n = [int(x) for x in agg["_n"].to_pylist()]
+        payload = (SEP.join(t.tolist()) if len(t) <= 4 else
+                   SEP.join([t[0], t[1], GAP, t[-2], t[-1]]))
+        n = len(rows_n)
+        return pa.table({
+            "_kind": pa.array([0] * n + [1], pa.int8()),
+            "user_id": pa.array([uid] * (n + 1)),
+            "_bucket": pa.array([bv] * (n + 1), pa.int64()),
+            "_a": pa.array(rows_a + [payload], pa.string()),
+            "_b": pa.array(rows_b + [""], pa.string()),
+            "_c": pa.array(rows_c + [""], pa.string()),
+            "_n": pa.array(rows_n + [0], pa.int64()),
+        })
+
+    stage1 = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(lambda t: _with_bucket(t, "ts", bucket_s),
+                     batch_format="pyarrow")
+        .groupby(["user_id", "_bucket"])
+        .map_groups(partials, batch_format="pyarrow")
+    ).materialize()
+
+    within = stage1.map_batches(
+        lambda t: t.filter(pc.equal(t["_kind"], 0))
+        .select(["_a", "_b", "_c", "_n"]),
+        batch_format="pyarrow")
+
+    def boundary_merge(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.equal(g["_kind"], 1))
+        o = pc.sort_indices(g["_bucket"])
+        payloads = g["_a"].take(o).to_pylist()
+        stream, buckets = [], []
+        for bi, p in enumerate(payloads):
+            for ev in p.split(SEP):
+                stream.append(ev)
+                buckets.append(bi)
+        a_l, b_l, c_l = [], [], []
+        for i in range(len(stream) - 2):
+            w = stream[i:i + 3]
+            if GAP in w:
+                continue
+            if buckets[i] != buckets[i + 2]:  # spans a bucket change
+                a_l.append(w[0]); b_l.append(w[1]); c_l.append(w[2])
+        if not a_l:
+            return pa.table({"_a": pa.array([], pa.string()),
+                             "_b": pa.array([], pa.string()),
+                             "_c": pa.array([], pa.string()),
+                             "_n": pa.array([], pa.int64())})
+        trip = pa.table({"_a": pa.array(a_l, pa.string()),
+                         "_b": pa.array(b_l, pa.string()),
+                         "_c": pa.array(c_l, pa.string())})
+        agg = pa.TableGroupBy(trip, ["_a", "_b", "_c"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(agg, ["_a", "_b", "_c"],
+                          ["_a", "_b", "_c", "_n"])
+
+    across = stage1.groupby("user_id").map_groups(
+        boundary_merge, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t, ["_a", "_b", "_c"]).aggregate(
+            [("_n", "sum")])
+        return rename_agg(agg, ["_a", "_b", "_c"],
+                          ["_a", "_b", "_c", "_n"])
+
+    return (within.union(across)
+            .map_batches(combine, batch_format="pyarrow")
+            .groupby(["_a", "_b", "_c"]).aggregate(Sum("_n", alias_name="n"))
+            .map_batches(lambda t: pa.table({
+                "t1": t["_a"], "t2": t["_b"], "t3": t["_c"], "n": t["n"]}),
+                batch_format="pyarrow"))
+
+
+ORACLE_SEQ3_PATTERNS = """
+WITH w AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER win AS t2,
+         LEAD(event_type, 2) OVER win AS t3
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM w WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY t1, t2, t3
+"""
+
+
+# ===================================== CUME_DIST window function
+
+def q_value_cume_dist(sf_dir: str):
+    """CUME_DIST() OVER (PARTITION BY event_type ORDER BY value) for
+    every event — the value_percent_rank machinery with the inclusive
+    numerator: the 2dp-quantized distinct-value histogram yields
+    cd(v) = (#smaller + #equal) / n per (type, value), then one
+    distributed join back onto the event stream. No per-key sort of raw
+    rows, no driver materialization."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["event_type", "value"]),
+                            ["event_type", "value"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(g, ["event_type", "value"],
+                          ["event_type", "value", "pn"])
+
+    hist = (events.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["event_type", "value"])
+            .aggregate(Sum("pn", alias_name="c")))
+
+    def ranks(g: pa.Table) -> pa.Table:
+        o = pc.sort_indices(g["value"])
+        v = g["value"].take(o)
+        c = g["c"].take(o).to_numpy(zero_copy_only=False)
+        n = int(c.sum())
+        cume = np.cumsum(c)
+        cd = np.round(cume / n, 6)
+        key = pc.binary_join_element_wise(
+            g["event_type"].take(o).cast(pa.string()),
+            pc.cast(v, pa.string()), "|")
+        return pa.table({"_ck": key, "cd": pa.array(cd, pa.float64())})
+
+    rank_table = hist.groupby("event_type").map_groups(
+        ranks, batch_format="pyarrow")
+
+    def with_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t["event_type"].cast(pa.string()),
+            pc.cast(t["value"], pa.string()), "|")
+        return t.append_column("_ck", key)
+
+    joined = hash_join(
+        events.map_batches(with_key, batch_format="pyarrow"),
+        rank_table, on="_ck",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("event_type", pa.string()),
+                               ("value", pa.float64()),
+                               ("_ck", pa.string())]),
+        right_schema=pa.schema([("_ck", pa.string()),
+                                ("cd", pa.float64())]))
+    return joined.select_columns(["event_id", "event_type", "value", "cd"])
+
+
+ORACLE_VALUE_CUME_DIST = """
+SELECT event_id, event_type, value,
+       round(cume_dist() OVER (PARTITION BY event_type ORDER BY value),
+             6) AS cd
+FROM events
 """

@@ -199,3 +199,67 @@ def test_kg_stress_paths_diamond_with_tail(tmp_path, monkeypatch):
     got = (q_kg_stress_paths(str(tmp_path), n_seeds=1).to_pandas()
            .set_index("entity")["through_paths"].to_dict())
     assert got == {"A": 2, "B": 2, "C": 2, "D": 0}
+
+
+def _brute_seq3(df):
+    out = {}
+    for _, g in df.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id"):
+        t = list(g["event_type"])
+        for i in range(len(t) - 2):
+            out[(t[i], t[i + 1], t[i + 2])] = out.get(
+                (t[i], t[i + 1], t[i + 2]), 0) + 1
+    return out
+
+
+def test_seq3_patterns_boundary_and_gap_paths(tmp_path):
+    """Tiny bucket width forces triples to span 2 and 3 buckets, and one
+    bucket holds >4 events to exercise the gap-sentinel payload; result
+    must equal the brute-force sliding window over the full stream."""
+    from odinson_ray.pipelines.queries15 import q_seq3_patterns
+
+    rows = []
+    eid = 0
+    # user 1: 7 events in one bucket (gap path), then 1 + 1 + 2 events
+    # in later buckets (cross-bucket triples incl. a 3-bucket span)
+    for k, (ts_s, et) in enumerate([
+            (0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"),
+            (5, "a"), (6, "b"),          # bucket 0 (7 events)
+            (10, "c"),                   # bucket 1 (1 event)
+            (20, "d"),                   # bucket 2 (1 event)
+            (30, "e"), (31, "a")]):      # bucket 3 (2 events)
+        rows.append((eid, ts_s, 1, et)); eid += 1
+    # user 2: exactly 3 events split 2|1 across buckets
+    for ts_s, et in [(0, "x"), (1, "y"), (10, "z")]:
+        rows.append((eid, ts_s, 2, et)); eid += 1
+
+    df = pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "ts": [pd.Timestamp("2020-01-01") + pd.Timedelta(seconds=r[1])
+               for r in rows],
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[3] for r in rows],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = (q_seq3_patterns(str(tmp_path), bucket_s=10).to_pandas())
+    got_d = {(r.t1, r.t2, r.t3): r.n for r in got.itertuples()}
+    assert got_d == _brute_seq3(df)
+
+
+def test_value_cume_dist_matches_pandas(tmp_path):
+    from odinson_ray.pipelines.queries15 import q_value_cume_dist
+
+    vals = [1.0, 2.0, 2.0, 3.0, 1.0, 5.0]
+    types = ["A", "A", "A", "A", "B", "B"]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+
+    got = (q_value_cume_dist(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # A: [1,2,2,3] -> cd(1)=.25, cd(2)=.75, cd(3)=1; B: [1,5] -> .5, 1
+    assert list(got["cd"]) == [0.25, 0.75, 0.75, 1.0, 0.5, 1.0]
