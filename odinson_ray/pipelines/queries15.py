@@ -604,6 +604,8 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["seq3_patterns"] = ORACLE_SEQ3_PATTERNS
     queries["value_cume_dist"] = q_value_cume_dist
     oracles["value_cume_dist"] = ORACLE_VALUE_CUME_DIST
+    queries["market_share"] = q_market_share
+    oracles["market_share"] = ORACLE_MARKET_SHARE
 
 
 # ===================================== stress centrality (path-through)
@@ -1028,4 +1030,156 @@ SELECT event_id, event_type, value,
        round(cume_dist() OVER (PARTITION BY event_type ORDER BY value),
              6) AS cd
 FROM events
+"""
+
+
+# ===================================== TPC-H Q8 class: market share
+
+def q_market_share(sf_dir: str, region: str = "ASIA",
+                   target_nation: str = "NATION_2"):
+    """Per order-year market share of ``target_nation``'s suppliers
+    within orders placed by customers of ``region`` (TPC-H Q8's
+    snowflake: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region on the
+    demand side, lineitem ⋈ supplier ⋈ nation on the supply side).
+
+    Distributed shape: nation/region/supplier are CATALOG-sized —
+    nation+region fold to a nationkey set, supplier to a target-supplier
+    key set, each broadcast once via ray.put (an adaptive gate à la
+    tfidf would kick in were the supplier catalog ever too big).
+    customer and orders are corpus-sized: customer is filtered to the
+    region IN PLACE (broadcast set lookup, no shuffle) and semi-joined
+    into orders with one distributed hash join; lineitem joins the
+    surviving (orderkey, year) pairs with a second hash join whose
+    merge_post immediately folds each partition to (year, total_cents,
+    target_cents) partials — the year groupby input is partition-count
+    sized. Revenue is int64 cents (FLOOR, same expression as the
+    oracle); the share is one division per output row."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.link import get_broadcast
+
+    rd = _rd()
+
+    def read_small(name, cols):
+        ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=cols)
+        return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+    nat = read_small("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    reg = read_small("region", ["r_regionkey", "r_name"])
+    region_keys = {rk for rk, rn in zip(reg["r_regionkey"].to_pylist(),
+                                        reg["r_name"].to_pylist())
+                   if rn == region}
+    region_nations = {nk for nk, rk in zip(nat["n_nationkey"].to_pylist(),
+                                           nat["n_regionkey"].to_pylist())
+                      if rk in region_keys}
+    target_nk = {nk for nk, nn in zip(nat["n_nationkey"].to_pylist(),
+                                      nat["n_name"].to_pylist())
+                 if nn == target_nation}
+    sup = read_small("supplier", ["s_suppkey", "s_nationkey"])
+    target_supps = np.sort(np.asarray(
+        [sk for sk, nk in zip(sup["s_suppkey"].to_pylist(),
+                              sup["s_nationkey"].to_pylist())
+         if nk in target_nk], dtype=np.int64))
+    nations_ref = ray.put(np.sort(np.asarray(list(region_nations),
+                                             dtype=np.int64)))
+    supps_ref = ray.put(target_supps)
+
+    def region_custs(t: pa.Table) -> pa.Table:
+        nk = get_broadcast(nations_ref)
+        c = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(c, nk)
+        return pa.table({"c_custkey": t["c_custkey"].filter(pa.array(keep))})
+
+    custs = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"]
+                            ).map_batches(region_custs,
+                                          batch_format="pyarrow")
+
+    def order_year(g: pa.Table) -> pa.Table:
+        yr = pc.year(g["o_orderdate"].cast(pa.timestamp("us"))).cast(
+            pa.int64())
+        return pa.table({"o_orderkey": g["o_orderkey"], "o_year": yr})
+
+    orders = hash_join(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        custs, on="o_custkey", right_on="c_custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+        merge_post=order_year)
+
+    def year_partial(g: pa.Table) -> pa.Table:
+        supps = get_broadcast(supps_ref)
+        ext = g["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = g["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ext * (1.0 - disc) * 100.0).astype(np.int64)
+        sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(supps, sk)
+        pos = np.minimum(pos, max(len(supps) - 1, 0))
+        is_t = (supps[pos] == sk) if len(supps) else np.zeros(len(sk), bool)
+        base = pa.table({
+            "o_year": g["o_year"],
+            "c": pa.array(cents, pa.int64()),
+            "tc": pa.array(np.where(is_t, cents, 0), pa.int64()),
+        })
+        agg = pa.TableGroupBy(base, ["o_year"]).aggregate(
+            [("c", "sum"), ("tc", "sum")])
+        return rename_agg(agg, ["o_year"], ["o_year", "pc", "ptc"])
+
+    partials = hash_join(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount"]),
+        orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_year", pa.int64())]),
+        merge_post=year_partial)
+
+    agg = partials.groupby("o_year").aggregate(
+        Sum("pc", alias_name="total"), Sum("ptc", alias_name="tgt"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t["total"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tgt = t["tgt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "o_year": t["o_year"],
+            "mkt_share": pa.array(np.round(tgt / tot, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("o_year")
+
+
+ORACLE_MARKET_SHARE = """
+WITH rc AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+o AS (
+  SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+           AS o_year
+  FROM orders JOIN rc ON o_custkey = rc.c_custkey
+),
+l AS (
+  SELECT o.o_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents,
+         CASE WHEN n_name = 'NATION_2' THEN 1 ELSE 0 END AS is_t
+  FROM lineitem
+  JOIN o ON l_orderkey = o.o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT o_year,
+       round(SUM(CASE WHEN is_t = 1 THEN cents ELSE 0 END)::DOUBLE
+             / SUM(cents)::DOUBLE, 6) AS mkt_share
+FROM l GROUP BY o_year ORDER BY o_year
 """

@@ -263,3 +263,44 @@ def test_value_cume_dist_matches_pandas(tmp_path):
            .sort_values("event_id").reset_index(drop=True))
     # A: [1,2,2,3] -> cd(1)=.25, cd(2)=.75, cd(3)=1; B: [1,5] -> .5, 1
     assert list(got["cd"]) == [0.25, 0.75, 0.75, 1.0, 0.5, 1.0]
+
+
+def test_market_share_snowflake(tmp_path):
+    """Hand-built Q8 snowflake: only region-ASIA customers' orders count;
+    the target nation's supplier carries 100 of the 400 revenue ->
+    share 0.25; the out-of-region order is excluded entirely."""
+    from odinson_ray.pipelines.queries15 import q_market_share
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["ASIA", "EUROPE"], pa.string()),
+    }), str(tmp_path / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "n_name": pa.array(["NATION_2", "NATION_X", "NATION_Y"],
+                           pa.string()),
+        "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_nationkey": pa.array([0, 2], pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_nationkey": pa.array([0, 1], pa.int64()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 20], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([_ts("1995-05-01"), _ts("1995-06-01")],
+                                pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 20], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 300.0, 999.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    got = q_market_share(str(tmp_path)).to_pandas()
+    assert list(zip(got["o_year"], got["mkt_share"])) == [(1995, 0.25)]
