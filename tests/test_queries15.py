@@ -304,3 +304,27 @@ def test_market_share_snowflake(tmp_path):
 
     got = q_market_share(str(tmp_path)).to_pandas()
     assert list(zip(got["o_year"], got["mkt_share"])) == [(1995, 0.25)]
+
+
+def test_seq3_patterns_property_random_streams(tmp_path):
+    """Randomized pin: any mix of users, duplicate timestamps and bucket
+    widths must reproduce the brute-force sliding-window counts."""
+    rng = np.random.default_rng(77)
+    from odinson_ray.pipelines.queries15 import q_seq3_patterns
+
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [pd.Timestamp("2020-01-01")
+               + pd.Timedelta(seconds=int(s))
+               for s in rng.integers(0, 120, n)],
+        "user_id": rng.integers(1, 6, n).astype(np.int64),
+        "event_type": rng.choice(list("abc"), n),
+    })
+    sub = tmp_path / "prop"
+    sub.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(sub / "events.parquet"))
+    got = q_seq3_patterns(str(sub), bucket_s=13).to_pandas()
+    got_d = {(r.t1, r.t2, r.t3): r.n for r in got.itertuples()}
+    assert got_d == _brute_seq3(df)
