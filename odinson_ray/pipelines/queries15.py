@@ -606,6 +606,8 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["value_cume_dist"] = ORACLE_VALUE_CUME_DIST
     queries["market_share"] = q_market_share
     oracles["market_share"] = ORACLE_MARKET_SHARE
+    queries["bloom_pruned_agg"] = q_bloom_pruned_agg
+    oracles["bloom_pruned_agg"] = ORACLE_BLOOM_PRUNED
 
 
 # ===================================== stress centrality (path-through)
@@ -1182,4 +1184,47 @@ SELECT o_year,
        round(SUM(CASE WHEN is_t = 1 THEN cents ELSE 0 END)::DOUBLE
              / SUM(cents)::DOUBLE, 6) AS mkt_share
 FROM l GROUP BY o_year ORDER BY o_year
+"""
+
+
+# ===================================== bloom-filter data skipping
+
+_BLOOM_PROBES = (17, 4242, 9001)
+
+
+def q_bloom_pruned_agg(sf_dir: str):
+    """Point lookups through the bloom-filter layout: the events table
+    is laid out as 16 natural-order shards with a per-file bloom on
+    event_id (stages/layout.bloom_layout); probing 3 event_ids opens
+    ONLY the shards whose filter matches (typically 3 of 16 — the
+    manifest is driver-side bit arithmetic, skipped shards cost zero
+    I/O), then the exact residual filter runs inside the read tasks.
+    The zonemap layout covers clustered range predicates; this covers
+    unclustered high-cardinality membership — together they are the
+    Iceberg/ORC data-skipping pair."""
+    import ray.data as rdn
+
+    from odinson_ray.stages.layout import bloom_layout, bloom_scan
+
+    root = bloom_layout(f"{sf_dir}/events.parquet", "event_id",
+                        ["event_id", "event_type", "value"])
+    probes = np.asarray(_BLOOM_PROBES, dtype=np.int64)
+    ds, n_read, n_total = bloom_scan(root, probes)
+    if ds is None:
+        return rdn.from_arrow(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64())}))
+
+    def residual(t: pa.Table) -> pa.Table:
+        keep = np.isin(t["event_id"].to_numpy(zero_copy_only=False), probes)
+        return t.filter(pa.array(keep)).select(
+            ["event_id", "event_type", "value"])
+
+    return ds.map_batches(residual, batch_format="pyarrow").sort("event_id")
+
+
+ORACLE_BLOOM_PRUNED = """
+SELECT event_id, event_type, value FROM events
+WHERE event_id IN (17, 4242, 9001) ORDER BY event_id
 """

@@ -588,3 +588,90 @@ def hive_scan(root: str, value: str):
 
     return (rd.read_parquet([os.path.join(root, f) for f in files])
             .map_batches(restore, batch_format="pyarrow"))
+
+
+# ===================================== bloom-filter file skipping
+
+def _bloom_hashes(keys: "np.ndarray", m_bits: int, k: int) -> "np.ndarray":
+    """k double-hashed bit positions per key (h1 + i*h2 mod m), from two
+    independent splitmix64 streams — deterministic, vectorized."""
+    from .sketch import _splitmix64
+
+    u = keys.astype(np.uint64)
+    h1 = _splitmix64(u)
+    h2 = _splitmix64(u ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits))
+
+
+def bloom_layout(src_parquet: str, key_col: str, columns,
+                 n_shards: int = 16, bits_per_key: int = 16,
+                 k_hashes: int = 4) -> str:
+    """Write a table as ``n_shards`` parquet files in natural order with
+    a per-file BLOOM FILTER on ``key_col`` in the manifest — the
+    point-lookup complement of ``zonemap_layout`` (zone maps skip by
+    range on clustered columns; blooms skip by membership on
+    high-cardinality keys regardless of ordering). Build cost is one
+    key-column scan per file; the filter is a base16 bitset in
+    _meta.json. Idempotent per corpus version; atomic publish."""
+    import pyarrow.parquet as pq
+
+    from ..sources.io import clean_rd as rd
+
+    out = _layout_dir(src_parquet, key_col, n_shards,
+                      f"bloom{bits_per_key}x{k_hashes}:"
+                      + ",".join(sorted(columns)))
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    _require_shared_root()
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".tmp.",
+                           dir=_CACHE_ROOT)
+    (rd.read_parquet(src_parquet, columns=list(columns))
+     .repartition(n_shards)
+     .write_parquet(tmp))
+    files = []
+    for f in sorted(os.listdir(tmp)):
+        if not f.endswith(".parquet"):
+            continue
+        col = pq.read_table(os.path.join(tmp, f), columns=[key_col])
+        keys = col[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = max(len(np.unique(keys)), 1)
+        m_bits = 1 << int(np.ceil(np.log2(max(n * bits_per_key, 64))))
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        pos = _bloom_hashes(keys, m_bits, k_hashes).ravel()
+        np.bitwise_or.at(bits, (pos // 8).astype(np.int64),
+                         (1 << (pos % 8)).astype(np.uint8))
+        files.append({"file": f, "m_bits": int(m_bits),
+                      "bloom": bits.tobytes().hex()})
+    with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+        json.dump({"key_col": key_col, "k_hashes": k_hashes,
+                   "files": files}, fh)
+    return _atomic_publish(tmp, out)
+
+
+def bloom_scan(root: str, probe_keys):
+    """Dataset over only the files whose bloom filter matches AT LEAST
+    ONE probe key (a superset guarantee — the caller applies the exact
+    residual filter). Returns (dataset_or_None, n_files_read,
+    n_files_total). The manifest is KBs per file; probing is driver-side
+    bit arithmetic, no file I/O for skipped shards."""
+    from ..sources.io import clean_rd as rd
+
+    with open(os.path.join(root, "_meta.json")) as fh:
+        meta = json.load(fh)
+    k = meta["k_hashes"]
+    probes = np.asarray(list(probe_keys), dtype=np.int64)
+    keep = []
+    for entry in meta["files"]:
+        bits = np.frombuffer(bytes.fromhex(entry["bloom"]), dtype=np.uint8)
+        pos = _bloom_hashes(probes, entry["m_bits"], k)  # (k, n_probes)
+        hit = (bits[(pos // 8).astype(np.int64)]
+               >> (pos % 8).astype(np.uint8)) & 1
+        if bool(hit.all(axis=0).any()):  # some probe has all k bits set
+            keep.append(entry["file"])
+    total = len(meta["files"])
+    if not keep:
+        return None, 0, total
+    ds = rd.read_parquet([os.path.join(root, f) for f in keep])
+    return ds, len(keep), total

@@ -328,3 +328,33 @@ def test_seq3_patterns_property_random_streams(tmp_path):
     got = q_seq3_patterns(str(sub), bucket_s=13).to_pandas()
     got_d = {(r.t1, r.t2, r.t3): r.n for r in got.itertuples()}
     assert got_d == _brute_seq3(df)
+
+
+def test_bloom_layout_skips_files_and_stays_exact(tmp_path, monkeypatch):
+    """Shuffled high-cardinality keys across 16 shards: probing 2 keys
+    must open only the shards whose bloom matches (far fewer than 16)
+    and return exactly the probed rows; a never-inserted probe opens
+    nothing extra beyond false positives."""
+    import odinson_ray.stages.layout as L
+
+    monkeypatch.setattr(L, "_CACHE_ROOT", str(tmp_path / "cache"))
+    rng = np.random.default_rng(5)
+    n = 4000
+    ids = rng.permutation(n).astype(np.int64)  # unclustered
+    pq.write_table(pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "event_type": pa.array(["t"] * n, pa.string()),
+        "value": pa.array(np.round(rng.uniform(0, 9, n), 2), pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+
+    root = L.bloom_layout(str(tmp_path / "events.parquet"), "event_id",
+                          ["event_id", "event_type", "value"])
+    ds, n_read, n_total = L.bloom_scan(root, [7, 3999])
+    assert n_total == 16
+    assert 1 <= n_read <= 6  # 2 true shards + a few false positives max
+    got = ds.to_pandas()
+    hit = got[got["event_id"].isin([7, 3999])]
+    assert sorted(hit["event_id"]) == [7, 3999]
+
+    ds2, n_read2, _ = L.bloom_scan(root, [10 ** 9])  # absent key
+    assert ds2 is None or n_read2 <= 2  # at most bloom false positives
