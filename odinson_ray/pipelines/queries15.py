@@ -608,6 +608,8 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["market_share"] = ORACLE_MARKET_SHARE
     queries["bloom_pruned_agg"] = q_bloom_pruned_agg
     oracles["bloom_pruned_agg"] = ORACLE_BLOOM_PRUNED
+    queries["mmr_rerank"] = q_mmr_rerank
+    oracles["mmr_rerank"] = _mmr_oracle()
 
 
 # ===================================== stress centrality (path-through)
@@ -1228,3 +1230,119 @@ ORACLE_BLOOM_PRUNED = """
 SELECT event_id, event_type, value FROM events
 WHERE event_id IN (17, 4242, 9001) ORDER BY event_id
 """
+
+
+# ===================================== MMR diversified re-ranking (RAG)
+
+def q_mmr_rerank(sf_dir: str, pool: int = 50, k: int = 5,
+                 lam: float = 0.7):
+    """Maximal Marginal Relevance re-ranking — the RAG retrieval step
+    after ANN: fetch a ``pool``-sized cosine top-k DISTRIBUTED (per-batch
+    matmul + prune, the ann_topk machinery, embeddings carried through
+    the sort), then greedily select ``k`` results maximizing
+    lam*sim(q,d) - (1-lam)*max sim(d, selected).
+
+    The greedy stage is inherently sequential and runs on the driver
+    over the POOL ONLY (<= ``pool`` rows — k-bounded like every other
+    final selection here; the corpus-sized work is all in the
+    distributed candidate stage). All similarities are rounded to 6dp
+    BEFORE the greedy arithmetic, the exact values the oracle's
+    list_cosine_similarity produces, so the argmax sequence (ties ->
+    smaller vec_id) is reproducible bit-for-bit."""
+    import ray
+    import ray.data as rdn
+
+    from odinson_ray.stages.link import get_broadcast
+    from .queries import _query_vec
+
+    rd = _rd()
+    qv = _query_vec(sf_dir)
+    qref = ray.put(qv / np.linalg.norm(qv))
+
+    def score(t: pa.Table) -> pa.Table:
+        q = get_broadcast(qref)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "embedding": t["embedding"]})
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ q) / np.where(norms == 0, 1.0, norms)
+        return pa.table({"vec_id": t["vec_id"],
+                         "s": pa.array(np.round(cos, 6), pa.float64()),
+                         "embedding": t["embedding"]})
+
+    cands = global_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow"),
+        ["s", "vec_id"], [True, False], pool)
+    tbl = pa.concat_tables(list(cands.iter_batches(batch_format="pyarrow")))
+
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    sq = tbl["s"].to_numpy(zero_copy_only=False)
+    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+    pair = np.round(unit @ unit.T, 6)  # pool x pool, 6dp like the oracle
+
+    n = len(ids)
+    selected: list[int] = []
+    remaining = np.ones(n, dtype=bool)
+    for _ in range(min(k, n)):
+        if not selected:
+            mmr = lam * sq.copy()
+        else:
+            div = pair[:, selected].max(axis=1)
+            mmr = lam * sq - (1.0 - lam) * div
+        mmr = np.where(remaining, mmr, -np.inf)
+        pick = np.lexsort((ids, -mmr))[0]
+        selected.append(int(pick))
+        remaining[pick] = False
+
+    return rdn.from_arrow(pa.table({
+        "rank": pa.array(range(1, len(selected) + 1), pa.int64()),
+        "vec_id": pa.array(ids[selected], pa.int64()),
+        "s": pa.array(sq[selected], pa.float64()),
+    }))
+
+
+def _mmr_oracle(pool: int = 50, k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled greedy: p1 = relevance argmax; each later step keeps the
+    running max-similarity-to-selected (GREATEST fold) and re-argmaxes
+    the MMR expression. Same 6dp rounding as the Ray side."""
+    steps = []
+    prev_r = "cand_r0"
+    sel = ["SELECT 1 AS rank, vec_id, s FROM p1"]
+    head = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.v),
+               6) AS s
+  FROM embeddings, q
+  ORDER BY s DESC, vec_id LIMIT {pool}
+),
+p1 AS (SELECT vec_id, v, s FROM cand ORDER BY s DESC, vec_id LIMIT 1),
+cand_r0 AS (
+  SELECT c.vec_id, c.v, c.s,
+         round(list_cosine_similarity(c.v, p1.v), 6) AS m
+  FROM cand c, p1 WHERE c.vec_id != p1.vec_id
+)"""
+    for i in range(2, k + 1):
+        steps.append(f"""
+p{i} AS (SELECT vec_id, v, s FROM {prev_r}
+       ORDER BY {lam}*s - {1.0 - lam}*m DESC, vec_id LIMIT 1)""")
+        sel.append(f"SELECT {i} AS rank, vec_id, s FROM p{i}")
+        if i < k:
+            steps.append(f"""
+cand_r{i - 1} AS (
+  SELECT r.vec_id, r.v, r.s,
+         GREATEST(r.m, round(list_cosine_similarity(r.v, p{i}.v), 6)) AS m
+  FROM {prev_r} r, p{i} WHERE r.vec_id != p{i}.vec_id
+)""")
+            prev_r = f"cand_r{i - 1}"
+    return (head + "," + ",".join(steps)
+            + "\nSELECT CAST(rank AS BIGINT) AS rank, vec_id, s FROM ("
+            + " UNION ALL ".join(sel) + ") ORDER BY rank")

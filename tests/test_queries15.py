@@ -358,3 +358,29 @@ def test_bloom_layout_skips_files_and_stays_exact(tmp_path, monkeypatch):
 
     ds2, n_read2, _ = L.bloom_scan(root, [10 ** 9])  # absent key
     assert ds2 is None or n_read2 <= 2  # at most bloom false positives
+
+
+def test_mmr_rerank_diversifies_vs_pure_relevance(tmp_path):
+    """vec2 is nearly identical to vec1, vec3 is diverse: at lam=0.5 the
+    third MMR pick must be the diverse vec3, while lam=1.0 degrades to
+    pure relevance order (0, 1, 2)."""
+    from odinson_ray.pipelines.queries15 import q_mmr_rerank
+
+    vecs = {
+        0: [1.0, 0.0],            # the query row itself (sim 1 -> rank 1)
+        1: [0.9, 0.436],          # top non-query candidate
+        2: [0.895, 0.446],        # near-duplicate of 1
+        3: [0.85, -0.527],        # diverse
+    }
+    pq.write_table(pa.table({
+        "vec_id": pa.array(sorted(vecs), pa.int64()),
+        "embedding": pa.array([vecs[i] for i in sorted(vecs)],
+                              pa.list_(pa.float64())),
+        "label": pa.array([0] * 4, pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    got = q_mmr_rerank(str(tmp_path), pool=4, k=3, lam=0.5).to_pandas()
+    assert list(got["vec_id"]) == [0, 1, 3]
+
+    pure = q_mmr_rerank(str(tmp_path), pool=4, k=3, lam=1.0).to_pandas()
+    assert list(pure["vec_id"]) == [0, 1, 2]
