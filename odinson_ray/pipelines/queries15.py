@@ -610,6 +610,10 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["bloom_pruned_agg"] = ORACLE_BLOOM_PRUNED
     queries["mmr_rerank"] = q_mmr_rerank
     oracles["mmr_rerank"] = _mmr_oracle()
+    queries["top_orders_with_ties"] = q_top_orders_with_ties
+    oracles["top_orders_with_ties"] = ORACLE_TOP_ORDERS_WITH_TIES
+    queries["missing_days"] = q_missing_days
+    oracles["missing_days"] = ORACLE_MISSING_DAYS
 
 
 # ===================================== stress centrality (path-through)
@@ -1346,3 +1350,140 @@ cand_r{i - 1} AS (
     return (head + "," + ",".join(steps)
             + "\nSELECT CAST(rank AS BIGINT) AS rank, vec_id, s FROM ("
             + " UNION ALL ".join(sel) + ") ORDER BY rank")
+
+
+# ===================================== top-k WITH TIES semantics
+
+def q_top_orders_with_ties(sf_dir: str, k: int = 10):
+    """FETCH FIRST k ROWS WITH TIES over orders by total price (RANK()
+    <= k semantics: every row tying the k-th value is returned). Two
+    pruned passes: a per-batch rank<=k combiner feeds a k-row global
+    top-k whose LAST row is the threshold value (rank<=k ⟺ value >=
+    the k-th row's value in duplicate-counting desc order); the second
+    pass is a stateless filter at that scalar. Only the threshold
+    crosses the driver."""
+    rd = _rd()
+
+    def rank_prune(t: pa.Table) -> pa.Table:
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("o_totalprice", "descending")])
+        t = t.take(idx)
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v >= v[k - 1]))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    pruned = orders.map_batches(rank_prune, batch_format="pyarrow")
+    kth = global_topk(pruned, ["o_totalprice", "o_orderkey"],
+                      [True, False], k)
+    rows = pa.concat_tables(
+        list(kth.iter_batches(batch_format="pyarrow")))
+    thresh = rows["o_totalprice"].to_numpy(zero_copy_only=False).min()
+    return pruned.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["o_totalprice"], thresh)),
+        batch_format="pyarrow").sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False])
+
+
+ORACLE_TOP_ORDERS_WITH_TIES = """
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         RANK() OVER (ORDER BY o_totalprice DESC) AS r
+  FROM orders
+) WHERE r <= 10
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+# ===================================== calendar gap detection (backfill)
+
+def q_missing_days(sf_dir: str):
+    """Backfill planner: (event_type, day) cells inside the corpus'
+    [min day, max day] span with ZERO events — the calendar anti-join
+    every ingestion pipeline runs before a backfill. The observed cell
+    set is a combiner groupby (bounded by types x active days, never
+    event count); the expected grid is types x span days — CALENDAR-
+    bounded (decades are ~10^4 rows), built once and anti-joined
+    distributed against the observed cells."""
+    import ray.data as rdn
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    day_us = 86_400 * 1_000_000
+
+    def day_cells(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.multiply(pc.floor(pc.divide(us, day_us)), day_us)
+        cells = pa.table({"event_type": t["event_type"],
+                          "day": pc.cast(day, pa.int64())})
+        return pa.TableGroupBy(cells, ["event_type", "day"]).aggregate([])
+
+    observed = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["ts", "event_type"])
+        .map_batches(day_cells, batch_format="pyarrow")
+        .groupby(["event_type", "day"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    ).materialize()
+
+    lo = observed.min("day")
+    hi = observed.max("day")
+    types = sorted(set(
+        x for b in observed.iter_batches(batch_format="pyarrow")
+        for x in b["event_type"].to_pylist()))
+    days = np.arange(lo, hi + day_us, day_us, dtype=np.int64)
+    grid = pa.table({
+        "event_type": pa.array(np.repeat(types, len(days)).tolist(),
+                               pa.string()),
+        "day": pa.array(np.tile(days, len(types)), pa.int64()),
+    })
+
+    def pack(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t["event_type"], pc.cast(t["day"], pa.string()), "|")
+        return t.append_column("_k", k)
+
+    missing = hash_join(
+        rdn.from_arrow(grid).map_batches(pack, batch_format="pyarrow"),
+        observed.map_batches(lambda t: pack(t).select(["_k"]),
+                             batch_format="pyarrow"),
+        on="_k", how="anti")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "missing_day": pc.cast(t["day"], pa.timestamp("us")),
+        })
+
+    missing = missing.map_batches(finish, batch_format="pyarrow"
+                                  ).materialize()
+    if missing.count() == 0:
+        # a fully-covered calendar is the healthy case; an empty Ray
+        # Dataset loses its schema even through from_arrow, so return
+        # the schema-pinned Arrow table directly (a legal result type)
+        return pa.table({
+            "event_type": pa.array([], pa.string()),
+            "missing_day": pa.array([], pa.timestamp("us"))})
+    return missing.sort(["event_type", "missing_day"])
+
+
+ORACLE_MISSING_DAYS = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+),
+lim AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+grid AS (
+  SELECT t.event_type, g.day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(lim.lo, lim.hi, INTERVAL 1 DAY))
+          AS day FROM lim) g
+)
+SELECT g.event_type, g.day AS missing_day
+FROM grid g ANTI JOIN d ON d.event_type = g.event_type AND d.day = g.day
+ORDER BY g.event_type, missing_day
+"""

@@ -384,3 +384,34 @@ def test_mmr_rerank_diversifies_vs_pure_relevance(tmp_path):
 
     pure = q_mmr_rerank(str(tmp_path), pool=4, k=3, lam=1.0).to_pandas()
     assert list(pure["vec_id"]) == [0, 1, 2]
+
+
+def test_top_orders_with_ties_returns_all_tied_rows(tmp_path):
+    """k=2 over values with a 3-way tie at the 2nd rank -> 4 rows (RANK
+    <= k semantics), not 2."""
+    from odinson_ray.pipelines.queries15 import q_top_orders_with_ties
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_totalprice": pa.array([9.0, 7.0, 7.0, 7.0, 1.0], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    got = q_top_orders_with_ties(str(tmp_path), k=2).to_pandas()
+    assert list(zip(got["o_orderkey"], got["o_totalprice"])) == [
+        (1, 9.0), (2, 7.0), (3, 7.0), (4, 7.0)]
+
+
+def test_missing_days_detects_calendar_gaps(tmp_path):
+    """Type A active on days 1 and 3 (day 2 missing); type B active on
+    all three days -> exactly one gap cell."""
+    from odinson_ray.pipelines.queries15 import q_missing_days
+
+    rows = [("A", "2020-01-01"), ("A", "2020-01-03"),
+            ("B", "2020-01-01"), ("B", "2020-01-02"), ("B", "2020-01-03")]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_ts(d) for _, d in rows], pa.timestamp("us")),
+        "event_type": pa.array([t for t, _ in rows], pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    got = q_missing_days(str(tmp_path)).to_pandas()
+    assert list(zip(got["event_type"], got["missing_day"])) == [
+        ("A", pd.Timestamp("2020-01-02"))]
