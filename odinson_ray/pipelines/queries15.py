@@ -506,6 +506,10 @@ def q_kg_harmonic(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
         .drop_columns(["_c"])
     ).materialize()
 
+    # shuffle width scales with the graph: 512-way partitioning is the
+    # web-scale default, but on a small graph it is pure dispatch
+    # overhead (the oracle-sized run spends its wall in empty partitions)
+    parts = int(min(512, max(8, edges.count() // 5_000)))
     deg = edges.groupby("src").aggregate(Count(alias_name="d"))
     seeds = global_topk(deg, ["d", "src"], [True, False], n_seeds)
     seed_tbl = pa.concat_tables(
@@ -529,7 +533,7 @@ def q_kg_harmonic(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
         nxt = hash_join(
             frontier.map_batches(lambda t: t.select(["seed", "entity"]),
                                  batch_format="pyarrow"),
-            edges, on="entity", right_on="src")
+            edges, on="entity", right_on="src", partitions=parts)
 
         def distinct_pair(t: pa.Table) -> pa.Table:
             return pa.TableGroupBy(
@@ -542,7 +546,8 @@ def q_kg_harmonic(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
                .map_batches(pack, batch_format="pyarrow"))
         vis_k = visited.map_batches(
             lambda t: pack(t).select(["_k"]), batch_format="pyarrow")
-        new = hash_join(nxt, vis_k, on="_k", how="anti")
+        new = hash_join(nxt, vis_k, on="_k", how="anti",
+                        partitions=parts)
         lvl = r
         new = new.map_batches(
             lambda t, lvl=lvl: pa.table({
@@ -657,6 +662,7 @@ def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
         .drop_columns(["_c"])
     ).materialize()
 
+    parts = int(min(512, max(8, edges.count() // 5_000)))  # see harmonic
     deg = edges.groupby("src").aggregate(Count(alias_name="d"))
     seeds = global_topk(deg, ["d", "src"], [True, False], n_seeds)
     seed_vals = pa.concat_tables(
@@ -678,7 +684,7 @@ def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
             sig_levels[r - 1].map_batches(
                 lambda t: t.select(["seed", "entity", "sig"]),
                 batch_format="pyarrow"),
-            edges, on="entity", right_on="src")
+            edges, on="entity", right_on="src", partitions=parts)
 
         def sum_partial(t: pa.Table) -> pa.Table:
             base = pa.table({"seed": t["seed"], "entity": t["dst"],
@@ -692,7 +698,8 @@ def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
                 .groupby(["seed", "entity"])
                 .aggregate(Sum("ps", alias_name="sig"))
                 .map_batches(_pack_pair, batch_format="pyarrow"))
-        new = hash_join(sums, visited, on="_k", how="anti").map_batches(
+        new = hash_join(sums, visited, on="_k", how="anti",
+                        partitions=parts).map_batches(
             lambda t: t.select(["seed", "entity", "sig"]),
             batch_format="pyarrow").materialize()
         if new.count() == 0:
@@ -715,14 +722,14 @@ def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
             sig_levels[r].map_batches(
                 lambda t: t.select(["seed", "entity"]),
                 batch_format="pyarrow"),
-            edges, on="entity", right_on="src")
+            edges, on="entity", right_on="src", partitions=parts)
         # keep only DAG edges: dst must live at level r+1 for this seed
         cand = cand.map_batches(
             lambda t: _pack_pair(t, "seed", "dst"), batch_format="pyarrow")
         g_next = g_levels[r + 1].map_batches(
             lambda t: _pack_pair(t).select(["_k", "g"]),
             batch_format="pyarrow")
-        contrib = hash_join(cand, g_next, on="_k")
+        contrib = hash_join(cand, g_next, on="_k", partitions=parts)
 
         def g_partial(t: pa.Table) -> pa.Table:
             base = pa.table({
@@ -743,7 +750,7 @@ def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
             sig_levels[r].map_batches(_pack_pair, batch_format="pyarrow"),
             gr.map_batches(lambda t: t.select(["_k"]),
                            batch_format="pyarrow"),
-            on="_k", how="anti").map_batches(
+            on="_k", how="anti", partitions=parts).map_batches(
             lambda t: pa.table({
                 "seed": t["seed"], "entity": t["entity"],
                 "g": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
@@ -753,7 +760,7 @@ def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
             batch_format="pyarrow").union(zeros).materialize()
 
     # through(v) = sum over seeds of sig * g, interior vertices only
-    parts = []
+    out_parts = []
     for r in range(1, deepest + 1):
         sig_k = sig_levels[r].map_batches(
             lambda t: _pack_pair(t).select(["_k", "sig"]),
@@ -761,17 +768,18 @@ def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
         g_k = g_levels[r].map_batches(
             lambda t: _pack_pair(t).select(["_k", "g", "entity"]),
             batch_format="pyarrow")
-        parts.append(hash_join(g_k, sig_k, on="_k").map_batches(
+        out_parts.append(hash_join(g_k, sig_k, on="_k",
+                                   partitions=parts).map_batches(
             lambda t: pa.table({
                 "entity": t["entity"],
                 "tp": pc.multiply(t["sig"], t["g"]).cast(pa.int64()),
             }), batch_format="pyarrow"))
-    if not parts:
+    if not out_parts:
         return rdn.from_arrow(pa.table({
             "entity": pa.array([], pa.string()),
             "through_paths": pa.array([], pa.int64())}))
-    out = parts[0]
-    for p in parts[1:]:
+    out = out_parts[0]
+    for p in out_parts[1:]:
         out = out.union(p)
     return out.groupby("entity").aggregate(
         Sum("tp", alias_name="through_paths"))
