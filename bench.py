@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "cheapest_supplier",
     "nb_lang_confusion",
     "orc_roundtrip_agg",
+    "market_share",
+    "seq3_patterns",
+    "mmr_rerank",
 ]
 
 
