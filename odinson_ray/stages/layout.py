@@ -630,11 +630,17 @@ def bloom_layout(src_parquet: str, key_col: str, columns,
     (rd.read_parquet(src_parquet, columns=list(columns))
      .repartition(n_shards)
      .write_parquet(tmp))
-    files = []
-    for f in sorted(os.listdir(tmp)):
-        if not f.endswith(".parquet"):
-            continue
-        col = pq.read_table(os.path.join(tmp, f), columns=[key_col])
+
+    import ray
+
+    @ray.remote
+    def _file_bloom(path: str, fname: str) -> dict:
+        # one task per shard: the key-column scan and bit fold run where
+        # the data is — the driver only ever sees the finished bitsets
+        # (KBs each), never a key column
+        import pyarrow.parquet as pq2
+
+        col = pq2.read_table(path, columns=[key_col])
         keys = col[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = max(len(np.unique(keys)), 1)
         m_bits = 1 << int(np.ceil(np.log2(max(n * bits_per_key, 64))))
@@ -642,8 +648,12 @@ def bloom_layout(src_parquet: str, key_col: str, columns,
         pos = _bloom_hashes(keys, m_bits, k_hashes).ravel()
         np.bitwise_or.at(bits, (pos // 8).astype(np.int64),
                          (1 << (pos % 8)).astype(np.uint8))
-        files.append({"file": f, "m_bits": int(m_bits),
-                      "bloom": bits.tobytes().hex()})
+        return {"file": fname, "m_bits": int(m_bits),
+                "bloom": bits.tobytes().hex()}
+
+    names = [f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")]
+    files = ray.get([_file_bloom.remote(os.path.join(tmp, f), f)
+                     for f in names])
     with open(os.path.join(tmp, "_meta.json"), "w") as fh:
         json.dump({"key_col": key_col, "k_hashes": k_hashes,
                    "files": files}, fh)

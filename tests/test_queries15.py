@@ -415,3 +415,38 @@ def test_missing_days_detects_calendar_gaps(tmp_path):
     got = q_missing_days(str(tmp_path)).to_pandas()
     assert list(zip(got["event_type"], got["missing_day"])) == [
         ("A", pd.Timestamp("2020-01-02"))]
+
+
+def test_nb_min_count_prunes_model_to_priors(tmp_path):
+    """min_count above every token count empties the broadcast matrix:
+    every doc scores priors + n_tok * per-lang default, which favors the
+    lang with the LARGER token total's smaller denominator — here 'en'
+    for every doc (hand-computed). The driver held zero vocab rows."""
+    from odinson_ray.pipelines.queries15 import (_nb_model,
+                                                 q_nb_lang_confusion)
+
+    docs = [("en", "the cat"), ("en", "the dog"), ("en", "the cow"),
+            ("de", "der hund baum wald")]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+        "lang": pa.array([l for l, _ in docs], pa.string()),
+        "source": pa.array(["s"] * len(docs), pa.string()),
+        "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    langs, vocab, model, defaults, priors = _nb_model(
+        str(tmp_path), min_count=100)
+    assert len(vocab) == 0 and model.shape == (0, 2)
+    # smoothing constants still reflect the FULL distribution
+    # (V=8 distinct toks; totals en=6, de=4)
+    import math
+    assert defaults[langs.index("en")] == math.floor(1e6 * math.log(1 / 14))
+    assert defaults[langs.index("de")] == math.floor(1e6 * math.log(1 / 12))
+
+    got = (q_nb_lang_confusion(str(tmp_path), min_count=100).to_pandas()
+           .sort_values(["lang", "lang_pred"]).reset_index(drop=True))
+    # en doc (2 toks): en = ln(.75)+2ln(1/14) > de = ln(.25)+2ln(1/12)
+    # de doc (4 toks): en = ln(.75)+4ln(1/14) > de = ln(.25)+4ln(1/12)
+    assert list(zip(got["lang"], got["lang_pred"], got["n"])) == [
+        ("de", "en", 1), ("en", "en", 3)]
