@@ -498,9 +498,33 @@ GROUP BY d.lang, p.lang_pred
 """
 
 
+def _iter_pin(checkpoint_dir):
+    """Round-pin strategy for the iterative graph sweeps: object-store
+    materialize by default, parquet spill when ``checkpoint_dir`` is set
+    (the connected_components/PageRank discipline, canon.py:164) —
+    bounds object-store residency on long iterations and makes each
+    round restartable."""
+    import ray.data as rdn
+
+    def pin(lazy_ds, name):
+        if checkpoint_dir is None:
+            return lazy_ds.materialize()
+        import os
+        import shutil
+
+        path = os.path.join(checkpoint_dir, name)
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        lazy_ds.write_parquet(path)
+        return rdn.read_parquet(path)
+
+    return pin
+
+
 # ===================================== multi-source harmonic centrality
 
-def q_kg_harmonic(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
+def q_kg_harmonic(sf_dir: str, n_seeds: int = 3, rounds: int = 3,
+                  checkpoint_dir: "str | None" = None):
     """Harmonic centrality contribution from the ``n_seeds``
     highest-out-degree entities: h(v) = sum over seeds s of 1/d(s, v)
     (d <= ``rounds``), in exact integer micro-units (1000000 // d).
@@ -530,6 +554,7 @@ def q_kg_harmonic(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
         .drop_columns(["_c"])
     ).materialize()
 
+    pin = _iter_pin(checkpoint_dir)
     # shuffle width scales with the graph: 512-way partitioning is the
     # web-scale default, but on a small graph it is pure dispatch
     # overhead (the oracle-sized run spends its wall in empty partitions)
@@ -578,10 +603,11 @@ def q_kg_harmonic(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
                 "seed": t["seed"], "entity": t["entity"],
                 "level": pa.array(np.full(t.num_rows, lvl), pa.int64()),
             }),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
+        new = pin(new, f"frontier_{r}")
         if new.count() == 0:
             break
-        visited = visited.union(new).materialize()
+        visited = pin(visited.union(new), f"visited_{r}")
         frontier = new
 
     def contrib(t: pa.Table) -> pa.Table:
@@ -653,7 +679,8 @@ def _pack_pair(t: pa.Table, a: str = "seed", b: str = "entity",
     return t.append_column(out, k)
 
 
-def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
+def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3,
+                      checkpoint_dir: "str | None" = None):
     """Stress-centrality contribution from the ``n_seeds`` top-out-degree
     entities: for each vertex v, the NUMBER of shortest paths from a
     seed that pass THROUGH v (Brandes' sigma forward sweep + the
@@ -693,6 +720,7 @@ def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
         [b for b in seeds.iter_batches(batch_format="pyarrow")]
     )["src"].to_pylist()
 
+    pin = _iter_pin(checkpoint_dir)
     lvl0 = rdn.from_arrow(pa.table({
         "seed": pa.array(seed_vals, pa.string()),
         "entity": pa.array(seed_vals, pa.string()),
@@ -722,25 +750,25 @@ def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
                 .groupby(["seed", "entity"])
                 .aggregate(Sum("ps", alias_name="sig"))
                 .map_batches(_pack_pair, batch_format="pyarrow"))
-        new = hash_join(sums, visited, on="_k", how="anti",
-                        partitions=parts).map_batches(
+        new = pin(hash_join(sums, visited, on="_k", how="anti",
+                            partitions=parts).map_batches(
             lambda t: t.select(["seed", "entity", "sig"]),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow"), f"sig_{r}")
         if new.count() == 0:
             break
         sig_levels.append(new)
-        visited = visited.union(new.map_batches(
+        visited = pin(visited.union(new.map_batches(
             lambda t: _pack_pair(t).select(["_k"]),
-            batch_format="pyarrow")).materialize()
+            batch_format="pyarrow")), f"svisited_{r}")
 
     deepest = len(sig_levels) - 1
     # reverse continuation counts g[r]; deepest level has no in-horizon
     # successors by construction
-    g_levels = {deepest: sig_levels[deepest].map_batches(
+    g_levels = {deepest: pin(sig_levels[deepest].map_batches(
         lambda t: pa.table({
             "seed": t["seed"], "entity": t["entity"],
             "g": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
-        }), batch_format="pyarrow").materialize()}
+        }), batch_format="pyarrow"), f"g_{deepest}")}
     for r in range(deepest - 1, -1, -1):
         cand = hash_join(
             sig_levels[r].map_batches(
@@ -779,9 +807,9 @@ def q_kg_stress_paths(sf_dir: str, n_seeds: int = 3, rounds: int = 3):
                 "seed": t["seed"], "entity": t["entity"],
                 "g": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
             }), batch_format="pyarrow")
-        g_levels[r] = gr.map_batches(
+        g_levels[r] = pin(gr.map_batches(
             lambda t: t.select(["seed", "entity", "g"]),
-            batch_format="pyarrow").union(zeros).materialize()
+            batch_format="pyarrow").union(zeros), f"g_{r}")
 
     # through(v) = sum over seeds of sig * g, interior vertices only
     out_parts = []

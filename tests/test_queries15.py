@@ -450,3 +450,38 @@ def test_nb_min_count_prunes_model_to_priors(tmp_path):
     # de doc (4 toks): en = ln(.75)+4ln(1/14) > de = ln(.25)+4ln(1/12)
     assert list(zip(got["lang"], got["lang_pred"], got["n"])) == [
         ("de", "en", 1), ("en", "en", 3)]
+
+
+def test_graph_sweeps_with_forced_spill_match_default(tmp_path, monkeypatch):
+    """checkpoint_dir routes every round pin through parquet; results
+    must equal the object-store path exactly."""
+    import ray.data as rd
+
+    import odinson_ray.pipelines.kg as kg_mod
+    from odinson_ray.pipelines.queries15 import (q_kg_harmonic,
+                                                 q_kg_stress_paths)
+
+    edges = [("S", "A"), ("S", "B"), ("A", "C"), ("B", "C"),
+             ("C", "D"), ("X", "Y")]
+    trip = pa.table({
+        "subj_canon": [s for s, _ in edges],
+        "obj_canon": [o for _, o in edges],
+    })
+    monkeypatch.setattr(kg_mod, "triples_dataset",
+                        lambda sf_dir: rd.from_arrow(trip))
+
+    base_s = (q_kg_stress_paths(str(tmp_path), n_seeds=1).to_pandas()
+              .set_index("entity")["through_paths"].to_dict())
+    spill_s = (q_kg_stress_paths(str(tmp_path), n_seeds=1,
+                                 checkpoint_dir=str(tmp_path / "ck1"))
+               .to_pandas().set_index("entity")["through_paths"].to_dict())
+    assert base_s == spill_s
+
+    base_h = (q_kg_harmonic(str(tmp_path), n_seeds=1).to_pandas()
+              .set_index("entity")["h_micro"].to_dict())
+    spill_h = (q_kg_harmonic(str(tmp_path), n_seeds=1,
+                             checkpoint_dir=str(tmp_path / "ck2"))
+               .to_pandas().set_index("entity")["h_micro"].to_dict())
+    assert base_h == spill_h
+    import os
+    assert os.path.isdir(tmp_path / "ck1" / "sig_1")  # spill actually ran
