@@ -898,75 +898,110 @@ GROUP BY sig.v
 
 # ===================================== length-3 sequential pattern mining
 
-def q_seq3_patterns(sf_dir: str, bucket_s: int = 86400):
+def q_seq3_patterns(sf_dir: str, bucket_s: int = 86400,
+                    partitions: int = 256):
     """Contiguous length-3 event-type sequences per user (sequential
     pattern mining's fixed-length core; generalizes event_transitions'
     bigrams): counts of (a, b, c) over each user's (ts, event_id)-sorted
     stream.
 
-    Skew-safe two-stage (the event_transitions discipline extended to
-    width-3 windows): stage 1 groups by (user, day-bucket) and counts
-    within-bucket triples, emitting ONE boundary row per bucket whose
-    payload is the bucket's first two + last two event types (count<=4
-    buckets carry everything — a 4-event bucket is fully reconstructible
-    from first2+last2; bigger buckets insert a gap sentinel). Stage 2
-    groups the boundary rows by user (O(#buckets) rows per user),
-    rebuilds the reduced stream in bucket order, and counts ONLY windows
-    that span a bucket change — every triple of the true stream is
-    counted exactly once. No task ever holds more than one bucket of one
-    user plus that user's boundary rows."""
+    Skew-safe two-stage under the SEGMENTED tiny-group rule (the
+    asof/sessionize lesson: never one task per (user, bucket)): stage 1
+    shuffles on hash(user, day-bucket) % ``partitions`` — COARSE
+    partitions — and one sort + segment arithmetic per partition counts
+    every within-bucket triple and emits ONE boundary row per segment
+    whose payload is the bucket's first two + last two event types
+    (count<=4 buckets carry everything — reconstructible from
+    first2+last2; bigger buckets insert a gap sentinel). Stage 2
+    shuffles the boundary rows on hash(user) % ``partitions`` and per
+    user rebuilds the reduced stream in bucket order, counting ONLY
+    windows that span a bucket change — every triple of the true stream
+    is counted exactly once. No task ever holds more than one coarse
+    partition's rows, and group dispatch never scales with user count."""
     from ray.data.aggregate import Sum
 
+    from odinson_ray.stages.sketch import _splitmix64
     from odinson_ray.stages.window import _with_bucket
 
     rd = _rd()
     GAP = "\x00"
     SEP = "\x1f"
 
-    def partials(g: pa.Table) -> pa.Table:
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["_bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(u ^ _splitmix64(b))
+        return t.append_column(
+            "_p", pa.array((h % np.uint64(partitions)).astype(np.int64)))
+
+    def seg_partials(g: pa.Table) -> pa.Table:
         tsv = pc.cast(pc.cast(g["ts"], pa.timestamp("us")),
                       pa.int64()).to_numpy(zero_copy_only=False)
         ids = pc.cast(g["event_id"], pa.int64()).to_numpy(
             zero_copy_only=False)
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        buckets = g["_bucket"].to_numpy(zero_copy_only=False)
         types = np.asarray(g["event_type"].to_pylist(), dtype=object)
-        o = np.lexsort((ids, tsv))
-        t = types[o]
-        uid, bv = g["user_id"][0].as_py(), g["_bucket"][0].as_py()
-        rows_a, rows_b, rows_c, rows_n = [], [], [], []
-        if len(t) >= 3:
-            trip = pa.table({
-                "_a": pa.array(t[:-2].tolist(), pa.string()),
-                "_b": pa.array(t[1:-1].tolist(), pa.string()),
-                "_c": pa.array(t[2:].tolist(), pa.string()),
-            })
-            agg = pa.TableGroupBy(trip, ["_a", "_b", "_c"]).aggregate(
-                [([], "count_all")])
-            agg = rename_agg(agg, ["_a", "_b", "_c"],
-                             ["_a", "_b", "_c", "_n"])
-            rows_a = agg["_a"].to_pylist()
-            rows_b = agg["_b"].to_pylist()
-            rows_c = agg["_c"].to_pylist()
-            rows_n = [int(x) for x in agg["_n"].to_pylist()]
-        payload = (SEP.join(t.tolist()) if len(t) <= 4 else
-                   SEP.join([t[0], t[1], GAP, t[-2], t[-1]]))
-        n = len(rows_n)
+        o = np.lexsort((ids, tsv, buckets, users))
+        t, u, b = types[o], users[o], buckets[o]
+        n = len(t)
+        change = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (b[1:] != b[:-1])])
+        seg = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, n))
+
+        cols = {"_kind": [], "user_id": [], "_bucket": [],
+                "_a": [], "_b": [], "_c": [], "_n": []}
+        if n >= 3:
+            ok = seg[:-2] == seg[2:]  # window stays inside one segment
+            if ok.any():
+                trip = pa.table({
+                    "_a": pa.array(t[:-2][ok].tolist(), pa.string()),
+                    "_b": pa.array(t[1:-1][ok].tolist(), pa.string()),
+                    "_c": pa.array(t[2:][ok].tolist(), pa.string()),
+                })
+                agg = pa.TableGroupBy(trip, ["_a", "_b", "_c"]).aggregate(
+                    [([], "count_all")])
+                agg = rename_agg(agg, ["_a", "_b", "_c"],
+                                 ["_a", "_b", "_c", "_n"])
+                m = agg.num_rows
+                cols["_kind"].extend([0] * m)
+                cols["user_id"].extend([0] * m)
+                cols["_bucket"].extend([0] * m)
+                cols["_a"].extend(agg["_a"].to_pylist())
+                cols["_b"].extend(agg["_b"].to_pylist())
+                cols["_c"].extend(agg["_c"].to_pylist())
+                cols["_n"].extend(int(x) for x in agg["_n"].to_pylist())
+        for st, ln in zip(starts, lens):  # one boundary row per segment
+            sl = t[st:st + ln]
+            payload = (SEP.join(sl.tolist()) if ln <= 4 else
+                       SEP.join([sl[0], sl[1], GAP, sl[-2], sl[-1]]))
+            cols["_kind"].append(1)
+            cols["user_id"].append(int(u[st]))
+            cols["_bucket"].append(int(b[st]))
+            cols["_a"].append(payload)
+            cols["_b"].append("")
+            cols["_c"].append("")
+            cols["_n"].append(0)
         return pa.table({
-            "_kind": pa.array([0] * n + [1], pa.int8()),
-            "user_id": pa.array([uid] * (n + 1)),
-            "_bucket": pa.array([bv] * (n + 1), pa.int64()),
-            "_a": pa.array(rows_a + [payload], pa.string()),
-            "_b": pa.array(rows_b + [""], pa.string()),
-            "_c": pa.array(rows_c + [""], pa.string()),
-            "_n": pa.array(rows_n + [0], pa.int64()),
+            "_kind": pa.array(cols["_kind"], pa.int8()),
+            "user_id": pa.array(cols["user_id"], pa.int64()),
+            "_bucket": pa.array(cols["_bucket"], pa.int64()),
+            "_a": pa.array(cols["_a"], pa.string()),
+            "_b": pa.array(cols["_b"], pa.string()),
+            "_c": pa.array(cols["_c"], pa.string()),
+            "_n": pa.array(cols["_n"], pa.int64()),
         })
 
     stage1 = (
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["event_id", "ts", "user_id", "event_type"])
-        .map_batches(lambda t: _with_bucket(t, "ts", bucket_s),
+        .map_batches(lambda t: add_part(_with_bucket(t, "ts", bucket_s)),
                      batch_format="pyarrow")
-        .groupby(["user_id", "_bucket"])
-        .map_groups(partials, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda g: seg_partials(g.drop_columns(["_p"])),
+                    batch_format="pyarrow")
     ).materialize()
 
     within = stage1.map_batches(
@@ -974,22 +1009,37 @@ def q_seq3_patterns(sf_dir: str, bucket_s: int = 86400):
         .select(["_a", "_b", "_c", "_n"]),
         batch_format="pyarrow")
 
-    def boundary_merge(g: pa.Table) -> pa.Table:
+    def add_upart(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_p", pa.array((_splitmix64(u) % np.uint64(partitions))
+                           .astype(np.int64)))
+
+    def seg_merge(g: pa.Table) -> pa.Table:
         g = g.filter(pc.equal(g["_kind"], 1))
-        o = pc.sort_indices(g["_bucket"])
-        payloads = g["_a"].take(o).to_pylist()
-        stream, buckets = [], []
-        for bi, p in enumerate(payloads):
-            for ev in p.split(SEP):
-                stream.append(ev)
-                buckets.append(bi)
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        b = g["_bucket"].to_numpy(zero_copy_only=False)
+        payloads = np.asarray(g["_a"].to_pylist(), dtype=object)
+        o = np.lexsort((b, u))
+        u, payloads = u[o], payloads[o]
         a_l, b_l, c_l = [], [], []
-        for i in range(len(stream) - 2):
-            w = stream[i:i + 3]
-            if GAP in w:
-                continue
-            if buckets[i] != buckets[i + 2]:  # spans a bucket change
-                a_l.append(w[0]); b_l.append(w[1]); c_l.append(w[2])
+        i = 0
+        while i < len(u):
+            j = i
+            while j < len(u) and u[j] == u[i]:
+                j += 1
+            stream, buckets = [], []
+            for bi in range(i, j):
+                for ev in payloads[bi].split(SEP):
+                    stream.append(ev)
+                    buckets.append(bi)
+            for k in range(len(stream) - 2):
+                w = stream[k:k + 3]
+                if GAP in w:
+                    continue
+                if buckets[k] != buckets[k + 2]:  # spans a bucket change
+                    a_l.append(w[0]); b_l.append(w[1]); c_l.append(w[2])
+            i = j
         if not a_l:
             return pa.table({"_a": pa.array([], pa.string()),
                              "_b": pa.array([], pa.string()),
@@ -1003,8 +1053,10 @@ def q_seq3_patterns(sf_dir: str, bucket_s: int = 86400):
         return rename_agg(agg, ["_a", "_b", "_c"],
                           ["_a", "_b", "_c", "_n"])
 
-    across = stage1.groupby("user_id").map_groups(
-        boundary_merge, batch_format="pyarrow")
+    across = (stage1.map_batches(add_upart, batch_format="pyarrow")
+              .groupby("_p")
+              .map_groups(lambda g: seg_merge(g.drop_columns(["_p"])),
+                          batch_format="pyarrow"))
 
     def combine(t: pa.Table) -> pa.Table:
         agg = pa.TableGroupBy(t, ["_a", "_b", "_c"]).aggregate(
@@ -1115,13 +1167,15 @@ def q_market_share(sf_dir: str, region: str = "ASIA",
     key set, each broadcast once via ray.put (an adaptive gate à la
     tfidf would kick in were the supplier catalog ever too big).
     customer and orders are corpus-sized: customer is filtered to the
-    region IN PLACE (broadcast set lookup, no shuffle) and semi-joined
-    into orders with one distributed hash join; lineitem joins the
-    surviving (orderkey, year) pairs with a second hash join whose
-    merge_post immediately folds each partition to (year, total_cents,
-    target_cents) partials — the year groupby input is partition-count
-    sized. Revenue is int64 cents (FLOOR, same expression as the
-    oracle); the share is one division per output row."""
+    region IN PLACE (broadcast set lookup, no shuffle) and joined into
+    orders through the adaptive broadcast-vs-shuffle gate
+    (adaptive_inner_join — zero-shuffle when the region customer set is
+    under the gate, distributed hash join when it is corpus-sized);
+    lineitem joins the surviving (orderkey, year) pairs through the
+    same gate, and a per-batch combiner immediately folds to (year,
+    total_cents, target_cents) partials — the year groupby input is
+    batch-count sized. Revenue is int64 cents (FLOOR, same expression
+    as the oracle); the share is one division per output row."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1169,7 +1223,13 @@ def q_market_share(sf_dir: str, region: str = "ASIA",
             pa.int64())
         return pa.table({"o_orderkey": g["o_orderkey"], "o_year": yr})
 
-    orders = hash_join(
+    from odinson_ray.stages.shuffle import adaptive_inner_join
+
+    # both joins ride the first-class broadcast-vs-shuffle gate: the
+    # region customer set and the surviving (orderkey, year) pairs are
+    # usually far under the gate (zero-shuffle broadcast joins) but the
+    # fallback is the distributed hash join when they are corpus-sized
+    orders = adaptive_inner_join(
         rd.read_parquet(f"{sf_dir}/orders.parquet",
                         columns=["o_orderkey", "o_custkey", "o_orderdate"]),
         custs, on="o_custkey", right_on="c_custkey",
@@ -1177,7 +1237,7 @@ def q_market_share(sf_dir: str, region: str = "ASIA",
                                ("o_custkey", pa.int64()),
                                ("o_orderdate", pa.timestamp("us"))]),
         right_schema=pa.schema([("c_custkey", pa.int64())]),
-        merge_post=order_year)
+    ).map_batches(order_year, batch_format="pyarrow")
 
     def year_partial(g: pa.Table) -> pa.Table:
         supps = get_broadcast(supps_ref)
@@ -1197,7 +1257,7 @@ def q_market_share(sf_dir: str, region: str = "ASIA",
             [("c", "sum"), ("tc", "sum")])
         return rename_agg(agg, ["o_year"], ["o_year", "pc", "ptc"])
 
-    partials = hash_join(
+    partials = adaptive_inner_join(
         rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                         columns=["l_orderkey", "l_suppkey",
                                  "l_extendedprice", "l_discount"]),
@@ -1208,7 +1268,7 @@ def q_market_share(sf_dir: str, region: str = "ASIA",
                                ("l_discount", pa.float64())]),
         right_schema=pa.schema([("o_orderkey", pa.int64()),
                                 ("o_year", pa.int64())]),
-        merge_post=year_partial)
+    ).map_batches(year_partial, batch_format="pyarrow")
 
     agg = partials.groupby("o_year").aggregate(
         Sum("pc", alias_name="total"), Sum("ptc", alias_name="tgt"))
