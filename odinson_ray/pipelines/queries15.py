@@ -68,26 +68,36 @@ def q_waiting_suppliers(sf_dir: str, late_days: int = 60, k: int = 10):
     def per_order(g: pa.Table) -> pa.Table:
         ship = pc.cast(g["l_shipdate"].cast(pa.timestamp("us")), pa.int64())
         od = pc.cast(g["o_orderdate"].cast(pa.timestamp("us")), pa.int64())
-        late = pc.greater(ship, pc.add(od, late_us))
-        base = pa.table({"l_orderkey": g["l_orderkey"],
-                         "l_suppkey": g["l_suppkey"]})
-        n_supp = rename_agg(
-            pa.TableGroupBy(base, ["l_orderkey"]).aggregate(
-                [("l_suppkey", "count_distinct")]),
-            ["l_orderkey"], ["l_orderkey", "n_supp"])
-        late_t = base.filter(late)
-        if late_t.num_rows == 0:
+        late = pc.cast(pc.greater(ship, pc.add(od, late_us)), pa.int8())
+        # distinct (order, supplier) pairs with their any-late flag,
+        # then ONE per-order groupby: n_supp = pair count, n_late =
+        # sum(any_late), late_supp = max(supp where late) via a
+        # null-masked column (max skips nulls) — no per-partition join
+        pairs = rename_agg(
+            pa.TableGroupBy(pa.table({
+                "l_orderkey": g["l_orderkey"],
+                "l_suppkey": g["l_suppkey"],
+                "late": late,
+            }), ["l_orderkey", "l_suppkey"]).aggregate([("late", "max")]),
+            ["l_orderkey", "l_suppkey"],
+            ["l_orderkey", "l_suppkey", "late_any"])
+        supp_if_late = pc.if_else(
+            pc.equal(pairs["late_any"], 1), pairs["l_suppkey"],
+            pa.scalar(None, pa.int64()))
+        pairs = pairs.append_column("supp_if_late", supp_if_late)
+        per = rename_agg(
+            pa.TableGroupBy(pairs, ["l_orderkey"]).aggregate(
+                [("l_suppkey", "count"), ("late_any", "sum"),
+                 ("supp_if_late", "max")]),
+            ["l_orderkey"],
+            ["l_orderkey", "n_supp", "n_late", "late_supp"])
+        qual = per.filter(pc.and_(pc.greater(per["n_supp"], 1),
+                                  pc.equal(per["n_late"], 1)))
+        if qual.num_rows == 0:
             return pa.table({"l_suppkey": pa.array([], pa.int64()),
                              "pw": pa.array([], pa.int64())})
-        n_late = rename_agg(
-            pa.TableGroupBy(late_t, ["l_orderkey"]).aggregate(
-                [("l_suppkey", "count_distinct"), ("l_suppkey", "max")]),
-            ["l_orderkey"], ["l_orderkey", "n_late", "late_supp"])
-        j = n_supp.join(n_late, keys=["l_orderkey"], join_type="inner")
-        qual = j.filter(pc.and_(pc.greater(j["n_supp"], 1),
-                                pc.equal(j["n_late"], 1)))
         part = pa.TableGroupBy(
-            pa.table({"l_suppkey": qual["late_supp"]}),
+            pa.table({"l_suppkey": qual["late_supp"].cast(pa.int64())}),
             ["l_suppkey"]).aggregate([([], "count_all")])
         return rename_agg(part, ["l_suppkey"], ["l_suppkey", "pw"])
 
