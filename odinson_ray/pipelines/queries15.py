@@ -679,6 +679,10 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["top_orders_with_ties"] = ORACLE_TOP_ORDERS_WITH_TIES
     queries["missing_days"] = q_missing_days
     oracles["missing_days"] = ORACLE_MISSING_DAYS
+    queries["ab_test_metrics"] = q_ab_test_metrics
+    oracles["ab_test_metrics"] = ORACLE_AB_TEST_METRICS
+    queries["kg_sp_tree"] = q_kg_sp_tree
+    oracles["kg_sp_tree"] = _sp_tree_oracle(kg_body)
 
 
 # ===================================== stress centrality (path-through)
@@ -1616,4 +1620,226 @@ grid AS (
 SELECT g.event_type, g.day AS missing_day
 FROM grid g ANTI JOIN d ON d.event_type = g.event_type AND d.day = g.day
 ORDER BY g.event_type, missing_day
+"""
+
+
+# ===================================== A/B experiment metrics
+
+def q_ab_test_metrics(sf_dir: str):
+    """Experiment readout: users are assigned to variant A/B by a pure
+    hash of user_id (parallelism/retry-invariant, the domain_mix
+    discipline), and per event_type the two variants' value means and
+    the Welch t-statistic are computed from INTEGER sufficient
+    statistics (values quantized to cents; n, sum, sum-of-squares are
+    int64 sums — order-independent), so the final floats are the same
+    IEEE expressions the oracle evaluates on the same integers.
+
+    One pass, one map-side combiner, one (event_type)-sized groupby —
+    the classic six-sufficient-stats shape (corr/regress family)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # md5 of the decimal string: process-stable, seedless, and the
+        # exact expression the oracle evaluates (repo md5 idiom)
+        variant = np.array(
+            [int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16) & 1
+             for x in u], dtype=np.int64)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        base = pa.table({
+            "event_type": t["event_type"],
+            "variant": pa.array(variant, pa.int64()),
+            "n": pa.array(np.ones(len(u), np.int64)),
+            "s": pa.array(cents, pa.int64()),
+            "ss": pa.array(cents * cents, pa.int64()),
+        })
+        g = pa.TableGroupBy(base, ["event_type", "variant"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return rename_agg(g, ["event_type", "variant"],
+                          ["event_type", "variant", "pn", "ps", "pss"])
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "variant"])
+        .aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="s"),
+                   Sum("pss", alias_name="ss"))
+    )
+
+    def welch(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        out = []
+        for et, g in df.groupby("event_type", sort=True):
+            g = g.set_index("variant")
+            if 0 not in g.index or 1 not in g.index:
+                continue
+            n0, s0, ss0 = (float(g.loc[0, c]) for c in ("n", "s", "ss"))
+            n1, s1, ss1 = (float(g.loc[1, c]) for c in ("n", "s", "ss"))
+            m0, m1 = s0 / n0, s1 / n1
+            v0 = (ss0 - s0 * s0 / n0) / (n0 - 1.0)
+            v1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+            tstat = (m0 - m1) / (v0 / n0 + v1 / n1) ** 0.5
+            out.append((et, int(n0), int(n1), round(m0 / 100.0, 6),
+                        round(m1 / 100.0, 6), round(tstat, 6)))
+        return pa.table({
+            "event_type": pa.array([r[0] for r in out], pa.string()),
+            "n_a": pa.array([r[1] for r in out], pa.int64()),
+            "n_b": pa.array([r[2] for r in out], pa.int64()),
+            "mean_a": pa.array([r[3] for r in out], pa.float64()),
+            "mean_b": pa.array([r[4] for r in out], pa.float64()),
+            "t_stat": pa.array([r[5] for r in out], pa.float64()),
+        })
+
+    return (agg.repartition(1)
+            .map_batches(welch, batch_format="pyarrow").sort("event_type"))
+
+
+ORACLE_AB_TEST_METRICS = """
+WITH v AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 2 AS variant,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+agg AS (
+  SELECT event_type, variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) AS BIGINT) AS ss
+  FROM v GROUP BY event_type, variant
+),
+w AS (
+  SELECT a.event_type,
+         a.n AS n_a, b.n AS n_b,
+         a.s / (a.n * 1.0) AS m0, b.s / (b.n * 1.0) AS m1,
+         (a.ss - a.s * 1.0 * a.s / a.n) / (a.n - 1.0) AS v0,
+         (b.ss - b.s * 1.0 * b.s / b.n) / (b.n - 1.0) AS v1
+  FROM agg a JOIN agg b ON a.event_type = b.event_type
+  WHERE a.variant = 0 AND b.variant = 1
+)
+SELECT event_type, n_a, n_b,
+       round(m0 / 100.0, 6) AS mean_a,
+       round(m1 / 100.0, 6) AS mean_b,
+       round((m0 - m1) / sqrt(v0 / n_a + v1 / n_b), 6) AS t_stat
+FROM w ORDER BY event_type
+"""
+
+
+# ===================================== shortest-path tree (reconstruction)
+
+def q_kg_sp_tree(sf_dir: str, rounds: int = 3):
+    """The BFS shortest-path TREE from the top-out-degree seed: for
+    every entity within ``rounds``, its min level plus the
+    lexicographically smallest predecessor on a shortest path —
+    the parent-pointer table that makes path reconstruction a
+    ≤``rounds``-step walk (the provenance answer to "WHY is this
+    entity connected to the seed"). Deterministic: min level via the
+    visited anti-join, min parent via a groupby Min.
+
+    Shape: the kg_bfs frontier expansion, plus one parent resolution
+    per level — a frontier x edges hash join semi-filtered to the next
+    level, folded by a (dst -> min src) groupby. Integer/string only."""
+    from ray.data.aggregate import Count, Min
+
+    import ray.data as rdn
+
+    from .kg import triples_dataset
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        e = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"]})
+        return pa.TableGroupBy(e, ["src", "dst"]).aggregate([])
+
+    edges = (
+        triples_dataset(sf_dir)
+        .map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    ).materialize()
+    parts = int(min(512, max(8, edges.count() // 5_000)))
+
+    deg = edges.groupby("src").aggregate(Count(alias_name="d"))
+    seed = pa.concat_tables(list(
+        global_topk(deg, ["d", "src"], [True, False], 1)
+        .iter_batches(batch_format="pyarrow")))["src"][0].as_py()
+
+    level_ds = {0: rdn.from_arrow(pa.table({
+        "entity": pa.array([seed], pa.string())})).materialize()}
+    visited = level_ds[0].materialize()
+    tree_parts = []
+    for r in range(1, rounds + 1):
+        exp = hash_join(level_ds[r - 1], edges, on="entity",
+                        right_on="src", partitions=parts)
+
+        def dd(t: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(pa.table({"entity": t["dst"]}),
+                                ["entity"]).aggregate([])
+            return g
+
+        nxt = (exp.map_batches(dd, batch_format="pyarrow")
+               .groupby("entity").aggregate(Count(alias_name="_c"))
+               .drop_columns(["_c"]))
+        new = hash_join(nxt, visited, on="entity", how="anti",
+                        partitions=parts).materialize()
+        if new.count() == 0:
+            break
+        # parent = min predecessor at level r-1 among edges into the
+        # NEW frontier
+        preds = hash_join(
+            exp.map_batches(lambda t: pa.table(
+                {"entity": t["dst"], "parent": t["entity"]}),
+                batch_format="pyarrow"),
+            new, on="entity", how="semi", partitions=parts)
+        lvl = r
+        tree_parts.append(
+            preds.groupby("entity").aggregate(Min("parent",
+                                                  alias_name="parent"))
+            .map_batches(lambda t, lvl=lvl: pa.table({
+                "entity": t["entity"],
+                "level": pa.array(np.full(t.num_rows, lvl), pa.int64()),
+                "parent": t["parent"],
+            }), batch_format="pyarrow"))
+        level_ds[r] = new
+        visited = visited.union(new).materialize()
+
+    if not tree_parts:
+        return pa.table({"entity": pa.array([], pa.string()),
+                         "level": pa.array([], pa.int64()),
+                         "parent": pa.array([], pa.string())})
+    out = tree_parts[0]
+    for p in tree_parts[1:]:
+        out = out.union(p)
+    return out.sort(["level", "entity"])
+
+
+def _sp_tree_oracle(kg_body: str, rounds: int = 3) -> str:
+    return f"""
+WITH RECURSIVE trip AS ({kg_body}),
+edges AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst FROM trip),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+seed AS (SELECT src FROM deg ORDER BY d DESC, src LIMIT 1),
+bfs(v, lvl) AS (
+  SELECT src, 0 FROM seed
+  UNION ALL
+  SELECT e.dst, b.lvl + 1 FROM bfs b JOIN edges e ON e.src = b.v
+  WHERE b.lvl < {rounds}
+),
+dist AS (SELECT v, MIN(lvl) AS d FROM bfs GROUP BY v)
+SELECT d2.v AS entity, CAST(d2.d AS BIGINT) AS level,
+       MIN(e.src) AS parent
+FROM dist d2
+JOIN edges e ON e.dst = d2.v
+JOIN dist d1 ON d1.v = e.src AND d1.d = d2.d - 1
+WHERE d2.d > 0
+GROUP BY d2.v, d2.d
+ORDER BY level, entity
 """

@@ -485,3 +485,53 @@ def test_graph_sweeps_with_forced_spill_match_default(tmp_path, monkeypatch):
     assert base_h == spill_h
     import os
     assert os.path.isdir(tmp_path / "ck1" / "sig_1")  # spill actually ran
+
+
+def test_ab_test_metrics_matches_hand_computation(tmp_path):
+    """Two users per variant with hand-picked values: means and the
+    Welch t-statistic must equal the closed-form numbers."""
+    import hashlib
+
+    from odinson_ray.pipelines.queries15 import q_ab_test_metrics
+
+    def variant(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) & 1
+
+    a_users = [u for u in range(40) if variant(u) == 0][:2]
+    b_users = [u for u in range(40) if variant(u) == 1][:2]
+    rows = [(a_users[0], 10.0), (a_users[1], 20.0),
+            (b_users[0], 30.0), (b_users[1], 50.0)]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["x"] * 4, pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+
+    got = q_ab_test_metrics(str(tmp_path)).to_pandas()
+    assert list(got["event_type"]) == ["x"]
+    r = got.iloc[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert (r["mean_a"], r["mean_b"]) == (15.0, 40.0)
+    # welch: v0=50, v1=200 (cents^2 scaled: 500000, 2000000);
+    # t = (1500-4000)/sqrt(250000+1000000) = -2500/1118.03... = -2.236068
+    assert r["t_stat"] == pytest.approx(-2.236068, abs=1e-6)
+
+
+def test_kg_sp_tree_min_parent_diamond(tmp_path, monkeypatch):
+    """Diamond S->{A,B}->C: C's parent is the lexicographically smaller
+    predecessor A; D chains through C; the seed row itself is absent."""
+    import ray.data as rd
+
+    import odinson_ray.pipelines.kg as kg_mod
+    from odinson_ray.pipelines.queries15 import q_kg_sp_tree
+
+    edges = [("S", "A"), ("S", "B"), ("A", "C"), ("B", "C"), ("C", "D")]
+    trip = pa.table({
+        "subj_canon": [s for s, _ in edges],
+        "obj_canon": [o for _, o in edges],
+    })
+    monkeypatch.setattr(kg_mod, "triples_dataset",
+                        lambda sf_dir: rd.from_arrow(trip))
+    got = q_kg_sp_tree(str(tmp_path)).to_pandas()
+    assert list(zip(got["entity"], got["level"], got["parent"])) == [
+        ("A", 1, "S"), ("B", 1, "S"), ("C", 2, "A"), ("D", 3, "C")]
