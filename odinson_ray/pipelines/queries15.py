@@ -683,6 +683,8 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["ab_test_metrics"] = ORACLE_AB_TEST_METRICS
     queries["kg_sp_tree"] = q_kg_sp_tree
     oracles["kg_sp_tree"] = _sp_tree_oracle(kg_body)
+    queries["revenue_pareto"] = q_revenue_pareto
+    oracles["revenue_pareto"] = ORACLE_REVENUE_PARETO
 
 
 # ===================================== stress centrality (path-through)
@@ -1842,4 +1844,124 @@ JOIN dist d1 ON d1.v = e.src AND d1.d = d2.d - 1
 WHERE d2.d > 0
 GROUP BY d2.v, d2.d
 ORDER BY level, entity
+"""
+
+
+# ===================================== Pareto concentration (80/20)
+
+def q_revenue_pareto(sf_dir: str, n_buckets: int = 256):
+    """The Pareto question: how many top customers cover 80% of total
+    order revenue? Customers are enumerated globally by (spend DESC,
+    custkey ASC) with the weighted-prefix machinery (length_batches'
+    shape: sketch boundaries -> per-bucket spend sums -> driver prefix
+    of n_buckets offsets -> one groupby pass), and the 80% crossing is
+    an ALL-INTEGER test (cum*5 >= total*4 on int64 cents) evaluated
+    inside each bucket — exactly one row survives globally. The driver
+    holds n_buckets offsets and the one-row answer."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.sketch import approx_quantile_values
+
+    rd = _rd()
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = pa.TableGroupBy(pa.table({
+            "o_custkey": t["o_custkey"],
+            "c": pa.array(cents, pa.int64()),
+        }), ["o_custkey"]).aggregate([("c", "sum")])
+        return rename_agg(g, ["o_custkey"], ["o_custkey", "pc"])
+
+    spend = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+        .map_batches(spend_partial, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("pc", alias_name="spend"))
+    ).materialize()
+    total = int(spend.sum("spend"))
+
+    boundaries = np.unique(approx_quantile_values(
+        spend, "spend", np.arange(1, n_buckets) / n_buckets))
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.searchsorted(boundaries, v, side="left")
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t["spend"].to_numpy(zero_copy_only=False)
+        b = bucket_of(v)
+        s = np.bincount(b, weights=v, minlength=len(boundaries) + 1
+                        ).astype(np.int64)
+        n = np.bincount(b, minlength=len(boundaries) + 1)
+        nz = np.nonzero(n)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "ps": pa.array(s[nz], pa.int64()),
+                         "pn": pa.array(n[nz].astype(np.int64))})
+
+    rows = (spend.map_batches(partials, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("ps", alias_name="s"),
+                                         Sum("pn", alias_name="n"))
+            ).take_all()
+    sums = {r["bucket"]: (r["s"], r["n"]) for r in rows}
+    # descending spend order => consume buckets from high id to low id
+    offsets, acc_s, acc_n = {}, 0, 0
+    for b in range(len(boundaries), -1, -1):
+        offsets[b] = (acc_s, acc_n)
+        s_b, n_b = sums.get(b, (0, 0))
+        acc_s += s_b
+        acc_n += n_b
+    ref = ray.put(offsets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = bucket_of(t["spend"].to_numpy(zero_copy_only=False))
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def crossing(g: pa.Table) -> pa.Table:
+        off_s, off_n = get_broadcast(ref)[g["bucket"][0].as_py()]
+        v = g["spend"].to_numpy(zero_copy_only=False)
+        k = g["o_custkey"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((k, -v))
+        cum = off_s + np.cumsum(v[o])
+        excl = cum - v[o]
+        hit = (cum * 5 >= total * 4) & (excl * 5 < total * 4)
+        if not hit.any():
+            return pa.table({"n_customers": pa.array([], pa.int64()),
+                             "covered_cents": pa.array([], pa.int64()),
+                             "total_cents": pa.array([], pa.int64()),
+                             "share": pa.array([], pa.float64())})
+        i = int(np.flatnonzero(hit)[0])
+        rn = off_n + i + 1
+        cov = int(cum[i])
+        return pa.table({
+            "n_customers": pa.array([rn], pa.int64()),
+            "covered_cents": pa.array([cov], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+            "share": pa.array([round(cov / total, 6)], pa.float64()),
+        })
+
+    return (spend.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket").map_groups(crossing, batch_format="pyarrow"))
+
+
+ORACLE_REVENUE_PARETO = """
+WITH s AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS spend
+  FROM orders GROUP BY o_custkey
+),
+t AS (SELECT CAST(SUM(spend) AS BIGINT) AS total FROM s),
+r AS (
+  SELECT o_custkey, spend,
+         SUM(spend) OVER (ORDER BY spend DESC, o_custkey) AS cum,
+         ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rn
+  FROM s
+)
+SELECT CAST(rn AS BIGINT) AS n_customers,
+       CAST(cum AS BIGINT) AS covered_cents,
+       t.total AS total_cents,
+       round(cum * 1.0 / t.total, 6) AS share
+FROM r, t WHERE cum * 5 >= t.total * 4 AND (cum - spend) * 5 < t.total * 4
 """

@@ -535,3 +535,18 @@ def test_kg_sp_tree_min_parent_diamond(tmp_path, monkeypatch):
     got = q_kg_sp_tree(str(tmp_path)).to_pandas()
     assert list(zip(got["entity"], got["level"], got["parent"])) == [
         ("A", 1, "S"), ("B", 1, "S"), ("C", 2, "A"), ("D", 3, "C")]
+
+
+def test_revenue_pareto_crossing_exactness(tmp_path):
+    """Hand case: spends 50, 30, 15, 5 (total 100); 80% is crossed by
+    the THIRD customer inclusive (50+30=80 < 80? no: 80*5=400 >= 400 ->
+    the SECOND customer crosses exactly at 80%)."""
+    from odinson_ray.pipelines.queries15 import q_revenue_pareto
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([0.50, 0.30, 0.15, 0.05], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    got = q_revenue_pareto(str(tmp_path)).to_pandas()
+    assert list(zip(got["n_customers"], got["covered_cents"],
+                    got["total_cents"], got["share"])) == [(2, 80, 100, 0.8)]
