@@ -685,6 +685,8 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["kg_sp_tree"] = _sp_tree_oracle(kg_body)
     queries["revenue_pareto"] = q_revenue_pareto
     oracles["revenue_pareto"] = ORACLE_REVENUE_PARETO
+    queries["gini_value"] = q_gini_value
+    oracles["gini_value"] = ORACLE_GINI_VALUE
 
 
 # ===================================== stress centrality (path-through)
@@ -1964,4 +1966,116 @@ SELECT CAST(rn AS BIGINT) AS n_customers,
        t.total AS total_cents,
        round(cum * 1.0 / t.total, 6) AS share
 FROM r, t WHERE cum * 5 >= t.total * 4 AND (cum - spend) * 5 < t.total * 4
+"""
+
+
+# ===================================== Gini coefficient (inequality)
+
+def q_gini_value(sf_dir: str, n_buckets: int = 256):
+    """Gini coefficient of customer spend: G = 2*sum(rank_i * x_i) /
+    (n * sum(x)) - (n + 1)/n over the ascending (spend, custkey) total
+    order. The rank-weighted sum reuses the weighted-prefix enumeration
+    (sketch buckets -> driver offsets); each bucket's partial splits as
+    off_n * sum(x_local) + sum(local_rank * x_local) — the second term
+    is a safe int64 numpy sum (local ranks are bucket-bounded), the
+    first multiplies PYTHON ints, and partials travel as decimal
+    strings so 128-bit magnitudes survive Arrow. Every arithmetic step
+    before the final division is exact integer math; the oracle's
+    HUGEINT path computes the identical values."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.sketch import approx_quantile_values
+
+    rd = _rd()
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = pa.TableGroupBy(pa.table({
+            "o_custkey": t["o_custkey"],
+            "c": pa.array(cents, pa.int64()),
+        }), ["o_custkey"]).aggregate([("c", "sum")])
+        return rename_agg(g, ["o_custkey"], ["o_custkey", "pc"])
+
+    spend = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+        .map_batches(spend_partial, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("pc", alias_name="spend"))
+    ).materialize()
+
+    boundaries = np.unique(approx_quantile_values(
+        spend, "spend", np.arange(1, n_buckets) / n_buckets))
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.searchsorted(boundaries, v, side="left")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        v = t["spend"].to_numpy(zero_copy_only=False)
+        b = bucket_of(v)
+        n = np.bincount(b, minlength=len(boundaries) + 1)
+        nz = np.nonzero(n)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "pn": pa.array(n[nz].astype(np.int64))})
+
+    counts = {r["bucket"]: r["n"] for r in
+              spend.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("pn", alias_name="n"))
+              .take_all()}
+    offsets, acc = {}, 0
+    for b in range(len(boundaries) + 1):  # ascending spend order
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    n_total = acc
+    ref = ray.put(offsets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = bucket_of(t["spend"].to_numpy(zero_copy_only=False))
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def ws_partial(g: pa.Table) -> pa.Table:
+        off = get_broadcast(ref)[g["bucket"][0].as_py()]
+        v = g["spend"].to_numpy(zero_copy_only=False)
+        k = g["o_custkey"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((k, v))
+        local = int(np.sum((np.arange(len(o)) + 1) * v[o]))
+        total = int(v.sum())
+        ws = off * total + local  # python int: 128-bit safe
+        return pa.table({
+            "ws": pa.array([str(ws)], pa.string()),
+            "sx": pa.array([str(total)], pa.string()),
+        })
+
+    parts = (spend.map_batches(tag, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(ws_partial, batch_format="pyarrow")).take_all()
+    ws = sum(int(r["ws"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    gini = round((2.0 * ws) / (n_total * sx) - (n_total + 1.0) / n_total, 6)
+    return pa.table({
+        "n_customers": pa.array([n_total], pa.int64()),
+        "gini": pa.array([gini], pa.float64()),
+    })
+
+
+ORACLE_GINI_VALUE = """
+WITH s AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS spend
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT spend,
+         ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS rn
+  FROM s
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(spend) AS tot, SUM(rn * spend) AS ws FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round((2.0 * ws) / (n * tot) - (n + 1.0) / n, 6) AS gini
+FROM agg
 """

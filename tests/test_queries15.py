@@ -550,3 +550,27 @@ def test_revenue_pareto_crossing_exactness(tmp_path):
     got = q_revenue_pareto(str(tmp_path)).to_pandas()
     assert list(zip(got["n_customers"], got["covered_cents"],
                     got["total_cents"], got["share"])) == [(2, 80, 100, 0.8)]
+
+
+def test_gini_extremes(tmp_path):
+    """Perfect equality -> gini 0; extreme concentration -> near
+    (n-1)/n. Checked against the closed-form rank formula."""
+    from odinson_ray.pipelines.queries15 import q_gini_value
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([5.0] * 4, pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    eq = q_gini_value(str(tmp_path)).to_pandas()
+    assert eq.iloc[0]["gini"] == 0.0
+
+    sub = tmp_path / "skew"
+    sub.mkdir()
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([0.01, 0.01, 0.01, 99.97], pa.float64()),
+    }), str(sub / "orders.parquet"))
+    sk = q_gini_value(str(sub)).to_pandas()
+    # exact: ws = 1+2+3+4*9997 = 39994, sx=10000, n=4
+    want = round(2 * 39994 / (4 * 10000) - 5 / 4, 6)
+    assert sk.iloc[0]["gini"] == want
