@@ -574,3 +574,67 @@ def test_gini_extremes(tmp_path):
     # exact: ws = 1+2+3+4*9997 = 39994, sx=10000, n=4
     want = round(2 * 39994 / (4 * 10000) - 5 / 4, 6)
     assert sk.iloc[0]["gini"] == want
+
+
+def test_waiting_suppliers_property_random(tmp_path):
+    """Randomized Q21 pin: brute-force pandas evaluation of the
+    EXISTS/NOT-EXISTS semantics over random orders/lineitems must match
+    exactly (including distinct-supplier multiplicity cases)."""
+    rng = np.random.default_rng(11)
+    from odinson_ray.pipelines.queries15 import q_waiting_suppliers
+
+    n_orders, n_lines = 60, 400
+    status = rng.choice(["F", "O"], n_orders, p=[0.7, 0.3])
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n_orders), pa.int64()),
+        "o_orderdate": pa.array([_ts("2020-01-01")] * n_orders,
+                                pa.timestamp("us")),
+        "o_orderstatus": pa.array(status, pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+    ok = rng.integers(0, n_orders, n_lines)
+    sk = rng.integers(1, 8, n_lines)
+    late = rng.random(n_lines) < 0.4
+    ship = [
+        _ts("2020-06-01") if is_late else _ts("2020-01-10")
+        for is_late in late]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_suppkey": pa.array(sk, pa.int64()),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    df = pd.DataFrame({"ok": ok, "sk": sk, "late": late,
+                       "st": status[ok]})
+    df = df[df["st"] == "F"]
+    want = {}
+    for o, g in df.groupby("ok"):
+        n_supp = g["sk"].nunique()
+        late_supps = g.loc[g["late"], "sk"].unique()
+        if n_supp > 1 and len(late_supps) == 1:
+            s = int(late_supps[0])
+            want[s] = want.get(s, 0) + 1
+    want_sorted = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = q_waiting_suppliers(str(tmp_path)).to_pandas()
+    assert list(zip(got["l_suppkey"], got["numwait"])) == want_sorted
+
+
+def test_top_orders_with_ties_property_random(tmp_path):
+    """Randomized WITH TIES pin vs pandas RANK()<=k."""
+    rng = np.random.default_rng(23)
+    from odinson_ray.pipelines.queries15 import q_top_orders_with_ties
+
+    n = 500
+    price = np.round(rng.integers(1, 40, n) * 1.0, 2)  # many ties
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_totalprice": pa.array(price, pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+
+    df = pd.DataFrame({"k": range(n), "p": price})
+    df["r"] = df["p"].rank(method="min", ascending=False)
+    want = (df[df["r"] <= 10].sort_values(["p", "k"],
+                                          ascending=[False, True]))
+    got = q_top_orders_with_ties(str(tmp_path), k=10).to_pandas()
+    assert list(got["o_orderkey"]) == list(want["k"])
+    assert list(got["o_totalprice"]) == list(want["p"])
