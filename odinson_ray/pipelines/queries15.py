@@ -687,6 +687,10 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["revenue_pareto"] = ORACLE_REVENUE_PARETO
     queries["gini_value"] = q_gini_value
     oracles["gini_value"] = ORACLE_GINI_VALUE
+    import odinson_ray.pipelines.queries as _q
+
+    queries["kg_delta_report"] = q_kg_delta_report
+    oracles["kg_delta_report"] = _delta_oracle(_q._CANON_SQL)
 
 
 # ===================================== stress centrality (path-through)
@@ -2078,4 +2082,113 @@ agg AS (
 SELECT CAST(n AS BIGINT) AS n_customers,
        round((2.0 * ws) / (n * tot) - (n + 1.0) / n, 6) AS gini
 FROM agg
+"""
+
+
+# ===================================== KG refresh delta report
+
+def q_kg_delta_report(sf_dir: str):
+    """The KG-lifecycle question: what changed between two corpus
+    snapshots? Documents are split into OLD/NEW halves (doc parity — a
+    pure function, the incremental-checkpoint fixture convention) and
+    every canonical triple is classified added / removed / changed by
+    its per-half support counts; stable triples are excluded.
+
+    Shape: ONE pass over the doc-granular mention chain — a per-batch
+    (triple-key, n_old, n_new) combiner, one triple groupby, a
+    vectorized classify. Support counts are integers; nothing float
+    ever decides a status."""
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.canon import canonicalize_dataset
+    from odinson_ray.stages.triples import mentions_to_triples
+
+    from .kg import mentions_dataset
+
+    SEP = "\x1f"
+
+    mentions = mentions_dataset(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["label"], "SVO")),
+        batch_format="pyarrow")
+    trips, _roots = canonicalize_dataset(
+        mentions.map_batches(mentions_to_triples, batch_format="pyarrow"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        did = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99),
+                      pa.int64())
+        is_new = pc.equal(pc.bit_wise_and(did, 1), 1)
+        tk = pc.binary_join_element_wise(
+            t["subj_canon"], t["pred"], t["obj_canon"], SEP)
+        base = pa.table({
+            "tk": tk,
+            "o": pc.cast(pc.invert(is_new), pa.int64()),
+            "n": pc.cast(is_new, pa.int64()),
+        })
+        g = pa.TableGroupBy(base, ["tk"]).aggregate(
+            [("o", "sum"), ("n", "sum")])
+        return rename_agg(g, ["tk"], ["tk", "po", "pn"])
+
+    agg = (trips.map_batches(partial, batch_format="pyarrow")
+           .groupby("tk").aggregate(Sum("po", alias_name="n_old"),
+                                    Sum("pn", alias_name="n_new")))
+
+    def classify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["n_old"], t["n_new"]))
+        parts = pc.split_pattern(t["tk"], SEP)
+        status = pc.if_else(
+            pc.equal(t["n_old"], 0), "added",
+            pc.if_else(pc.equal(t["n_new"], 0), "removed", "changed"))
+        return pa.table({
+            "subj_canon": pc.list_element(parts, 0),
+            "pred": pc.list_element(parts, 1),
+            "obj_canon": pc.list_element(parts, 2),
+            "n_old": t["n_old"].cast(pa.int64()),
+            "n_new": t["n_new"].cast(pa.int64()),
+            "status": status,
+        })
+
+    return (agg.map_batches(classify, batch_format="pyarrow")
+            .sort(["subj_canon", "pred", "obj_canon"]))
+
+
+def _delta_oracle(canon_sql: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS did,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+  FROM documents
+),
+postoks AS (
+  SELECT did, tok, p, CAST(((p - 1) % 20) AS INT) AS l
+  FROM toks
+),
+raw AS (
+  SELECT a.did % 2 AS half, b.tok AS subj, a.tok AS pred, c.tok AS obj
+  FROM postoks a JOIN postoks b ON b.did = a.did AND b.p = a.p + 1
+                 JOIN postoks c ON c.did = a.did AND c.p = a.p + 2
+  WHERE a.l % 5 = 0
+    AND a.tok IN ('scan', 'join', 'sort', 'merge', 'filter', 'group')
+),
+canon AS (
+  SELECT half,
+         'ent:' || {canon_sql.format(c='subj')} AS subj_canon,
+         pred,
+         'ent:' || {canon_sql.format(c='obj')} AS obj_canon
+  FROM raw
+),
+agg AS (
+  SELECT subj_canon, pred, obj_canon,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_old,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new
+  FROM canon GROUP BY 1, 2, 3
+)
+SELECT subj_canon, pred, obj_canon, n_old, n_new,
+       CASE WHEN n_old = 0 THEN 'added'
+            WHEN n_new = 0 THEN 'removed'
+            ELSE 'changed' END AS status
+FROM agg WHERE n_old <> n_new
+ORDER BY subj_canon, pred, obj_canon
 """
