@@ -691,6 +691,8 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
 
     queries["kg_delta_report"] = q_kg_delta_report
     oracles["kg_delta_report"] = _delta_oracle(_q._CANON_SQL)
+    queries["source_dup_rate"] = q_source_dup_rate
+    oracles["source_dup_rate"] = ORACLE_SOURCE_DUP_RATE
 
 
 # ===================================== stress centrality (path-through)
@@ -2191,4 +2193,56 @@ SELECT subj_canon, pred, obj_canon, n_old, n_new,
             ELSE 'changed' END AS status
 FROM agg WHERE n_old <> n_new
 ORDER BY subj_canon, pred, obj_canon
+"""
+
+
+# ===================================== per-source duplication report
+
+def q_source_dup_rate(sf_dir: str):
+    """The curation dashboard's per-source duplication rate: documents,
+    distinct contents (shared md5 kernel — content_fingerprints, so this
+    can never drift from dedup_exact), and dup_rate per source. One
+    (source, fp) groupby whose per-group count feeds a source-sized
+    rollup: n_docs = sum(n), n_unique = row count."""
+    from ray.data.aggregate import Count, Sum
+
+    from odinson_ray.stages.text import content_fingerprints
+
+    rd = _rd()
+
+    def fp_partial(t: pa.Table) -> pa.Table:
+        base = pa.table({"source": t["source"],
+                         "fp": content_fingerprints(t["text"])})
+        g = pa.TableGroupBy(base, ["source", "fp"]).aggregate(
+            [([], "count_all")])
+        return rename_agg(g, ["source", "fp"], ["source", "fp", "pn"])
+
+    per_fp = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+        .map_batches(fp_partial, batch_format="pyarrow")
+        .groupby(["source", "fp"]).aggregate(Sum("pn", alias_name="n"))
+    )
+    agg = per_fp.groupby("source").aggregate(
+        Sum("n", alias_name="n_docs"), Count(alias_name="n_unique"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nu = t["n_unique"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "source": t["source"],
+            "n_docs": t["n_docs"].cast(pa.int64()),
+            "n_unique": t["n_unique"].cast(pa.int64()),
+            "dup_rate": pa.array(np.round(1.0 - nu / nd, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+ORACLE_SOURCE_DUP_RATE = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       round(1 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6)
+         AS dup_rate
+FROM documents GROUP BY source ORDER BY source
 """
