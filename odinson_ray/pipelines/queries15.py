@@ -693,6 +693,8 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["kg_delta_report"] = _delta_oracle(_q._CANON_SQL)
     queries["source_dup_rate"] = q_source_dup_rate
     oracles["source_dup_rate"] = ORACLE_SOURCE_DUP_RATE
+    queries["value_benford"] = q_value_benford
+    oracles["value_benford"] = ORACLE_VALUE_BENFORD
 
 
 # ===================================== stress centrality (path-through)
@@ -2245,4 +2247,70 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        round(1 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6)
          AS dup_rate
 FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ===================================== Benford first-digit audit
+
+def q_value_benford(sf_dir: str):
+    """Benford's-law audit of order totals: first-digit distribution of
+    the int64 cent amounts (digit taken from the INTEGER's decimal
+    string, so both sides see the identical digit — no float log10
+    anywhere), with each digit's observed share. The whole operator is
+    one per-batch bincount combiner + a 9-row groupby."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        cents = cents[cents > 0]
+        # first decimal digit via magnitude bucketing (pure integer)
+        mags = np.ones_like(cents)
+        c = cents.copy()
+        while (c >= 10).any():
+            big = c >= 10
+            c[big] //= 10
+        counts = np.bincount(c, minlength=10)[1:]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10), pa.int64()),
+            "pn": pa.array(counts.astype(np.int64)),
+        })
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("digit").aggregate(Sum("pn", alias_name="n"))
+    ).materialize()
+    total = int(agg.sum("n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n"], 0))  # SQL omits absent digits
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "digit": t["digit"].cast(pa.int64()),
+            "n": t["n"].cast(pa.int64()),
+            "share": pa.array(np.round(n / total, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("digit")
+
+
+ORACLE_VALUE_BENFORD = """
+WITH c AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) > 0
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c
+),
+t AS (SELECT COUNT(*) AS total FROM d)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+       round(COUNT(*) * 1.0 / t.total, 6) AS share
+FROM d, t GROUP BY digit, t.total ORDER BY digit
 """
