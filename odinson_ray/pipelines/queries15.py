@@ -695,6 +695,8 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["source_dup_rate"] = ORACLE_SOURCE_DUP_RATE
     queries["value_benford"] = q_value_benford
     oracles["value_benford"] = ORACLE_VALUE_BENFORD
+    queries["lorenz_deciles"] = q_lorenz_deciles
+    oracles["lorenz_deciles"] = ORACLE_LORENZ_DECILES
 
 
 # ===================================== stress centrality (path-through)
@@ -2313,4 +2315,127 @@ t AS (SELECT COUNT(*) AS total FROM d)
 SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
        round(COUNT(*) * 1.0 / t.total, 6) AS share
 FROM d, t GROUP BY digit, t.total ORDER BY digit
+"""
+
+
+# ===================================== Lorenz curve decile points
+
+def q_lorenz_deciles(sf_dir: str, n_buckets: int = 256):
+    """Lorenz curve of customer spend at decile grain: for each decile
+    d of customers (ascending spend order), the cumulative share of
+    total revenue held by the bottom d/10 — the curve the Gini
+    coefficient integrates. Same weighted-prefix machinery as
+    revenue_pareto/gini_value; each bucket emits the cumulative cents
+    at every decile BOUNDARY row it contains (row index == k*n//10, an
+    integer test), so exactly 10 rows survive globally and floats never
+    pick a row."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.sketch import approx_quantile_values
+
+    rd = _rd()
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = pa.TableGroupBy(pa.table({
+            "o_custkey": t["o_custkey"],
+            "c": pa.array(cents, pa.int64()),
+        }), ["o_custkey"]).aggregate([("c", "sum")])
+        return rename_agg(g, ["o_custkey"], ["o_custkey", "pc"])
+
+    spend = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+        .map_batches(spend_partial, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("pc", alias_name="spend"))
+    ).materialize()
+    total = int(spend.sum("spend"))
+
+    boundaries = np.unique(approx_quantile_values(
+        spend, "spend", np.arange(1, n_buckets) / n_buckets))
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.searchsorted(boundaries, v, side="left")
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t["spend"].to_numpy(zero_copy_only=False)
+        b = bucket_of(v)
+        s = np.bincount(b, weights=v, minlength=len(boundaries) + 1
+                        ).astype(np.int64)
+        n = np.bincount(b, minlength=len(boundaries) + 1)
+        nz = np.nonzero(n)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "ps": pa.array(s[nz], pa.int64()),
+                         "pn": pa.array(n[nz].astype(np.int64))})
+
+    rows = (spend.map_batches(partials, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("ps", alias_name="s"),
+                                         Sum("pn", alias_name="n"))
+            ).take_all()
+    sums = {r["bucket"]: (r["s"], r["n"]) for r in rows}
+    offsets, acc_s, acc_n = {}, 0, 0
+    for b in range(len(boundaries) + 1):  # ascending spend order
+        offsets[b] = (acc_s, acc_n)
+        s_b, n_b = sums.get(b, (0, 0))
+        acc_s += s_b
+        acc_n += n_b
+    n_total = acc_n
+    ref = ray.put(offsets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = bucket_of(t["spend"].to_numpy(zero_copy_only=False))
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def decile_rows(g: pa.Table) -> pa.Table:
+        off_s, off_n = get_broadcast(ref)[g["bucket"][0].as_py()]
+        v = g["spend"].to_numpy(zero_copy_only=False)
+        k = g["o_custkey"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((k, v))
+        rn = off_n + 1 + np.arange(len(o))
+        cum = off_s + np.cumsum(v[o])
+        dec, cums = [], []
+        for d in range(1, 11):
+            boundary = d * n_total // 10
+            hit = np.flatnonzero(rn == boundary)
+            if len(hit):
+                dec.append(d)
+                cums.append(int(cum[hit[0]]))
+        return pa.table({
+            "decile": pa.array(dec, pa.int64()),
+            "cum_cents": pa.array(cums, pa.int64()),
+            "share": pa.array(
+                [round(c / total, 6) for c in cums], pa.float64()),
+        })
+
+    return (spend.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket").map_groups(decile_rows,
+                                          batch_format="pyarrow")
+            .sort("decile"))
+
+
+ORACLE_LORENZ_DECILES = """
+WITH s AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS spend
+  FROM orders GROUP BY o_custkey
+),
+t AS (SELECT CAST(SUM(spend) AS BIGINT) AS total,
+             COUNT(*) AS n FROM s),
+r AS (
+  SELECT spend,
+         SUM(spend) OVER (ORDER BY spend, o_custkey) AS cum,
+         ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS rn
+  FROM s
+)
+SELECT CAST(d.d AS BIGINT) AS decile,
+       CAST(r.cum AS BIGINT) AS cum_cents,
+       round(r.cum * 1.0 / t.total, 6) AS share
+FROM (SELECT unnest(range(1, 11)) AS d) d
+JOIN t ON TRUE
+JOIN r ON r.rn = d.d * t.n // 10
+ORDER BY decile
 """

@@ -638,3 +638,19 @@ def test_top_orders_with_ties_property_random(tmp_path):
     got = q_top_orders_with_ties(str(tmp_path), k=10).to_pandas()
     assert list(got["o_orderkey"]) == list(want["k"])
     assert list(got["o_totalprice"]) == list(want["p"])
+
+
+def test_lorenz_deciles_hand_case(tmp_path):
+    """Ten customers spending 1..10 cents: decile d covers
+    sum(1..d)/55 of revenue."""
+    from odinson_ray.pipelines.queries15 import q_lorenz_deciles
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(range(1, 11), pa.int64()),
+        "o_totalprice": pa.array([i / 100 for i in range(1, 11)],
+                                 pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    got = q_lorenz_deciles(str(tmp_path)).to_pandas()
+    want = [(d, d * (d + 1) // 2, round(d * (d + 1) / 2 / 55, 6))
+            for d in range(1, 11)]
+    assert list(zip(got["decile"], got["cum_cents"], got["share"])) == want
