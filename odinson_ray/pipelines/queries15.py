@@ -697,6 +697,8 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["value_benford"] = ORACLE_VALUE_BENFORD
     queries["lorenz_deciles"] = q_lorenz_deciles
     oracles["lorenz_deciles"] = ORACLE_LORENZ_DECILES
+    queries["kg_reciprocity"] = q_kg_reciprocity
+    oracles["kg_reciprocity"] = _reciprocity_oracle(kg_body)
 
 
 # ===================================== stress centrality (path-through)
@@ -2438,4 +2440,68 @@ FROM (SELECT unnest(range(1, 11)) AS d) d
 JOIN t ON TRUE
 JOIN r ON r.rn = d.d * t.n // 10
 ORDER BY decile
+"""
+
+
+# ===================================== edge reciprocity
+
+def q_kg_reciprocity(sf_dir: str):
+    """Reciprocity of the KG edge set: the fraction of distinct directed
+    edges (u, v) whose reverse (v, u) also exists — a one-line health
+    metric for relation directionality. One distributed semi join of
+    the edge set against its own packed reverse keys; counts are
+    integers, the ratio is one division."""
+    from ray.data.aggregate import Count
+
+    from .kg import triples_dataset
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        e = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"]})
+        return pa.TableGroupBy(e, ["src", "dst"]).aggregate([])
+
+    edges = (
+        triples_dataset(sf_dir)
+        .map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    ).materialize()
+    n_edges = edges.count()
+
+    SEP = "\x1f"
+
+    def fwd_key(t: pa.Table) -> pa.Table:
+        return pa.table({"_k": pc.binary_join_element_wise(
+            t["src"], t["dst"], SEP)})
+
+    def rev_key(t: pa.Table) -> pa.Table:
+        return pa.table({"_k": pc.binary_join_element_wise(
+            t["dst"], t["src"], SEP)})
+
+    recip = hash_join(
+        edges.map_batches(fwd_key, batch_format="pyarrow"),
+        edges.map_batches(rev_key, batch_format="pyarrow"),
+        on="_k", how="semi")
+    n_recip = recip.count()
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_reciprocal": pa.array([n_recip], pa.int64()),
+        "reciprocity": pa.array([round(n_recip / n_edges, 6)]
+                                if n_edges else [0.0], pa.float64()),
+    })
+
+
+def _reciprocity_oracle(kg_body: str) -> str:
+    return f"""
+WITH trip AS ({kg_body}),
+edges AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst FROM trip),
+r AS (
+  SELECT COUNT(*) AS n_recip FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges b
+                WHERE b.src = e.dst AND b.dst = e.src)
+),
+t AS (SELECT COUNT(*) AS n_edges FROM edges)
+SELECT CAST(t.n_edges AS BIGINT) AS n_edges,
+       CAST(r.n_recip AS BIGINT) AS n_reciprocal,
+       round(r.n_recip * 1.0 / t.n_edges, 6) AS reciprocity
+FROM t, r
 """
