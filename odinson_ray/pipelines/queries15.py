@@ -699,6 +699,8 @@ def register(queries: dict, oracles: dict, kg_body: str) -> None:
     oracles["lorenz_deciles"] = ORACLE_LORENZ_DECILES
     queries["kg_reciprocity"] = q_kg_reciprocity
     oracles["kg_reciprocity"] = _reciprocity_oracle(kg_body)
+    queries["kg_assortativity"] = q_kg_assortativity
+    oracles["kg_assortativity"] = _assortativity_oracle(kg_body)
 
 
 # ===================================== stress centrality (path-through)
@@ -2504,4 +2506,116 @@ SELECT CAST(t.n_edges AS BIGINT) AS n_edges,
        CAST(r.n_recip AS BIGINT) AS n_reciprocal,
        round(r.n_recip * 1.0 / t.n_edges, 6) AS reciprocity
 FROM t, r
+"""
+
+
+# ===================================== degree assortativity
+
+def q_kg_assortativity(sf_dir: str):
+    """Degree assortativity of the KG: the Pearson correlation between
+    the TOTAL degrees of the two endpoints across distinct directed
+    edges — do hubs link to hubs? All six sufficient statistics are
+    int64 sums of integer degrees (bounded at the bench scales; a
+    10^12-edge deployment would carry them as the gini-style decimal
+    strings), and the final expression is the identical IEEE formula
+    the oracle evaluates, so the result is hash-exact.
+
+    Shape: one degree groupby (union of endpoint mentions), two
+    adaptive joins to attach deg(src)/deg(dst) to each edge, one
+    sufficient-stats combiner."""
+    from ray.data.aggregate import Count, Sum
+
+    from odinson_ray.stages.shuffle import adaptive_inner_join
+
+    from .kg import triples_dataset
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        e = pa.table({"src": t["subj_canon"], "dst": t["obj_canon"]})
+        return pa.TableGroupBy(e, ["src", "dst"]).aggregate([])
+
+    edges = (
+        triples_dataset(sf_dir)
+        .map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        ent = pa.concat_arrays([t["src"].combine_chunks().cast(pa.string()),
+                                t["dst"].combine_chunks().cast(pa.string())])
+        g = pa.TableGroupBy(pa.table({"entity": ent}),
+                            ["entity"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["entity"], ["entity", "pd"])
+
+    deg = (edges.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("entity").aggregate(Sum("pd", alias_name="d"))
+           ).materialize()
+
+    s_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    d_schema = pa.schema([("entity", pa.string()), ("d", pa.int64())])
+    with_src = adaptive_inner_join(
+        edges, deg, on="src", right_on="entity",
+        left_schema=s_schema, right_schema=d_schema)
+    with_both = adaptive_inner_join(
+        with_src.map_batches(
+            lambda t: pa.table({"dst": t["dst"], "dx": t["d"]}),
+            batch_format="pyarrow"),
+        deg, on="dst", right_on="entity",
+        left_schema=pa.schema([("dst", pa.string()), ("dx", pa.int64())]),
+        right_schema=d_schema)
+
+    def stats(t: pa.Table) -> pa.Table:
+        x = t["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    parts = with_both.map_batches(stats, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    sx = sum(r["sx"] for r in parts)
+    sy = sum(r["sy"] for r in parts)
+    sxx = sum(r["sxx"] for r in parts)
+    syy = sum(r["syy"] for r in parts)
+    sxy = sum(r["sxy"] for r in parts)
+    num = n * sxy - sx * sy
+    den = ((n * sxx - sx * sx) ** 0.5) * ((n * syy - sy * sy) ** 0.5)
+    r = round(num / den, 6) if den else 0.0
+    return pa.table({
+        "n_edges": pa.array([n], pa.int64()),
+        "assortativity": pa.array([r], pa.float64()),
+    })
+
+
+def _assortativity_oracle(kg_body: str) -> str:
+    return f"""
+WITH trip AS ({kg_body}),
+edges AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst FROM trip),
+deg AS (
+  SELECT entity, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT src AS entity FROM edges
+    UNION ALL SELECT dst AS entity FROM edges
+  ) GROUP BY entity
+),
+j AS (
+  SELECT ds.d AS dx, dd.d AS dy
+  FROM edges e JOIN deg ds ON ds.entity = e.src
+               JOIN deg dd ON dd.entity = e.dst
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy,
+         SUM(dx * dy) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       round((n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS assortativity
+FROM agg
 """
