@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     "market_share",
     "seq3_patterns",
     "mmr_rerank",
+    # session-7 additions
+    "bracket_revenue",
+    "late_order_priority",
+    "user_coverage",
+    "user_type_kl",
 ]
 
 

@@ -7371,3 +7371,7 @@ _q14.register(QUERIES, ORACLES)
 from . import queries15 as _q15  # noqa: E402
 
 _q15.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
+
+from . import queries16 as _q16  # noqa: E402
+
+_q16.register(QUERIES, ORACLES)

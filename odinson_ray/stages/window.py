@@ -973,3 +973,111 @@ def event_transitions(ds, key: str = "user_id", ts: str = "ts",
                                 "n": t["n"]}),
             batch_format="pyarrow")
     )
+
+
+def interval_coverage(ds, key: str = "user_id", ts: str = "ts",
+                      width_s: int = 300, bucket_s: int = 3600,
+                      out: str = "covered_us"):
+    """Per-key total covered time (µs) of the UNION of fixed-width
+    intervals ``[ts, ts + width_s)`` — the interval-union-length
+    primitive behind ad-visibility / machine-uptime / speaker-overlap
+    style metrics, skew-safe.
+
+    Stage 1 (map_batches, no shuffle): clip each interval to the coarse
+    time bucket(s) it overlaps. ``width_s <= bucket_s`` means at most 2
+    clipped pieces per interval. Clipping is exact because buckets
+    partition the time line: |union| = sum over buckets of
+    |union ∩ bucket|, and union ∩ bucket is exactly the union of the
+    pieces clipped to that bucket — so no piece's contribution is ever
+    double-counted across buckets.
+
+    Stage 2 (coarse hash(key, bucket) partitions, tiny-group rule): one
+    sort per partition over boundary EVENTS (+1 at start, -1 at end),
+    then a fully vectorized sweep — segmented inclusive prefix sum of
+    the deltas per (key, bucket) run, covered = sum of inter-boundary
+    gaps whose active count is positive. One (key, partial) row per
+    run; a final ``groupby(key).Sum`` merges buckets. No task ever
+    holds more than one coarse partition; a key with 10^9 events
+    contributes O(time-range / bucket_s) stage-2 rows, never O(events).
+    """
+    from .sketch import _splitmix64
+
+    assert width_s <= bucket_s, "pieces per interval must be <= 2"
+    PARTS = 512
+    width_us = width_s * 1_000_000
+    bucket_us = bucket_s * 1_000_000
+
+    key_t = as_arrow_schema(ds.schema()).field(key).type
+    int_key = pa.types.is_integer(key_t)
+
+    def _key_hash(keys: pa.ChunkedArray) -> np.ndarray:
+        if int_key:
+            return keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        import zlib
+
+        return np.array([zlib.crc32(str(x).encode())
+                         for x in keys.to_pylist()], dtype=np.uint64)
+
+    def clip(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.cast(t[ts], pa.timestamp("us")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        e = s + width_us
+        b0 = s // bucket_us
+        # half-open [s, e): the last covered microsecond is e-1
+        cross = (e - 1) // bucket_us > b0
+        edge = (b0 + 1) * bucket_us
+        keys = t[key].combine_chunks()
+        idx2 = np.flatnonzero(cross)
+        cs = np.concatenate([s, edge[idx2]])
+        ce = np.concatenate([np.minimum(e, edge), e[idx2]])
+        bk = np.concatenate([b0, b0[idx2] + 1])
+        k2 = pa.concat_arrays([keys, keys.take(pa.array(idx2, pa.int64()))])
+        h = _key_hash(pa.chunked_array([k2])) * \
+            np.uint64(0x9E3779B97F4A7C15) + bk.astype(np.uint64)
+        p = (_splitmix64(h) % np.uint64(PARTS)).astype(np.int64)
+        return pa.table({
+            key: k2, "_bucket": pa.array(bk, pa.int64()),
+            "_cs": pa.array(cs, pa.int64()), "_ce": pa.array(ce, pa.int64()),
+            "_p": pa.array(p, pa.int64()),
+        })
+
+    def sweep(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        n_iv = g.num_rows
+        if n_iv == 0:
+            return pa.table({key: pa.array([], key_t),
+                             "_pcov": pa.array([], pa.int64())})
+        keys = g[key].combine_chunks()
+        k2 = pa.concat_arrays([keys, keys])
+        b = g["_bucket"].to_numpy(zero_copy_only=False)
+        pts = np.concatenate([g["_cs"].to_numpy(zero_copy_only=False),
+                              g["_ce"].to_numpy(zero_copy_only=False)])
+        delta = np.concatenate([np.ones(n_iv, np.int64),
+                                -np.ones(n_iv, np.int64)])
+        b2 = np.concatenate([b, b])
+        if int_key:
+            karr = np.concatenate([keys.to_numpy(zero_copy_only=False)] * 2)
+        else:
+            karr = np.asarray(keys.to_pylist() * 2, dtype=object)
+        o = np.lexsort((pts, b2, karr))
+        pts, delta, b2, karr = pts[o], delta[o], b2[o], karr[o]
+        n = 2 * n_iv
+        new = np.ones(n, dtype=bool)
+        new[1:] = (karr[1:] != karr[:-1]) | (b2[1:] != b2[:-1])
+        first = np.flatnonzero(new)
+        run_len = np.diff(np.append(first, n))
+        c = np.cumsum(delta)
+        active = c - np.repeat(c[first] - delta[first], run_len)
+        contrib = (pts[1:] - pts[:-1]) * (active[:-1] > 0)
+        contrib[new[1:]] = 0  # never count across run boundaries
+        cov = np.add.reduceat(np.append(contrib, 0), first)
+        return pa.table({
+            key: pa.concat_arrays([k2]).take(pa.array(o[first], pa.int64())),
+            "_pcov": pa.array(cov.astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(clip, batch_format="pyarrow")
+            .groupby("_p").map_groups(sweep, batch_format="pyarrow")
+            .groupby(key).aggregate(Sum("_pcov", alias_name=out)))
