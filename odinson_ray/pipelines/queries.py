@@ -7375,3 +7375,7 @@ _q15.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
 from . import queries16 as _q16  # noqa: E402
 
 _q16.register(QUERIES, ORACLES)
+
+from . import queries17 as _q17  # noqa: E402
+
+_q17.register(QUERIES, ORACLES)
