@@ -7379,3 +7379,7 @@ _q16.register(QUERIES, ORACLES)
 from . import queries17 as _q17  # noqa: E402
 
 _q17.register(QUERIES, ORACLES)
+
+from . import queries18 as _q18  # noqa: E402
+
+_q18.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
