@@ -111,6 +111,11 @@ BENCH_QUERIES = [
     "late_order_priority",
     "user_coverage",
     "user_type_kl",
+    # session-8 additions
+    "dsir_select",
+    "dedup_delta",
+    "kg_bgp_query",
+    "vocab_hapax",
 ]
 
 
