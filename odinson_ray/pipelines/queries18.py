@@ -69,10 +69,14 @@ def q_kg_bgp_query(sf_dir: str):
             "w_p1": pc.if_else(is1, t["o"], pa.scalar(None, pa.string())),
             "w_p2": pc.if_else(is1, pa.scalar(None, pa.string()), t["o"]),
         })
-        return pa.TableGroupBy(e, ["s"]).aggregate([
-            ("n_p1", "sum"), ("n_p2", "sum"),
-            ("w_p1", "min"), ("w_p2", "min"),
-        ]).rename_columns(["s", "n_p1", "n_p2", "w_p1", "w_p2"])
+        from odinson_ray.stages.shuffle import rename_agg
+
+        return rename_agg(
+            pa.TableGroupBy(e, ["s"]).aggregate([
+                ("n_p1", "sum"), ("n_p2", "sum"),
+                ("w_p1", "min"), ("w_p2", "min"),
+            ]),
+            ["s"], ["s", "n_p1", "n_p2", "w_p1", "w_p2"])
 
     agg = (spo.map_batches(partial, batch_format="pyarrow")
            .groupby("s")
@@ -133,12 +137,15 @@ def q_vocab_hapax(sf_dir: str):
 
     def tok_partial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ")
-        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        src = np.repeat(np.asarray(t["source"].to_pylist(), dtype=object), n)
         flat = pc.list_flatten(toks)
-        e = pa.table({"source": pa.array(src, pa.string()), "tok": flat})
-        agg = pa.TableGroupBy(e, ["source", "tok"]).aggregate([([], "count_all")])
-        return agg.rename_columns(["source", "tok", "c"])
+        src = pc.take(t["source"].combine_chunks(),
+                      pc.list_parent_indices(toks))
+        from odinson_ray.stages.shuffle import rename_agg
+
+        e = pa.table({"source": src, "tok": flat})
+        return rename_agg(
+            pa.TableGroupBy(e, ["source", "tok"]).aggregate([([], "count_all")]),
+            ["source", "tok"], ["source", "tok", "c"])
 
     per_tok = (rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["source", "text"])
@@ -156,9 +163,14 @@ def q_vocab_hapax(sf_dir: str):
             "n_types": pa.array(np.ones(len(t), np.int64)),
             "n_hapax": pc.cast(pc.equal(c, 1), pa.int64()),
         })
-        return pa.TableGroupBy(e, ["source"]).aggregate([
-            ("n_tokens", "sum"), ("n_types", "sum"), ("n_hapax", "sum"),
-        ]).rename_columns(["source", "n_tokens", "n_types", "n_hapax"])
+        from odinson_ray.stages.shuffle import rename_agg
+
+        return rename_agg(
+            pa.TableGroupBy(e, ["source"]).aggregate([
+                ("n_tokens", "sum"), ("n_types", "sum"),
+                ("n_hapax", "sum"),
+            ]),
+            ["source"], ["source", "n_tokens", "n_types", "n_hapax"])
 
     agg = (per_tok.map_batches(src_partial, batch_format="pyarrow")
            .groupby("source")
