@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "dedup_delta",
     "kg_bgp_query",
     "vocab_hapax",
+    "coref_antecedents",
+    "k_anonymity_risk",
 ]
 
 

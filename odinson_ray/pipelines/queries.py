@@ -7383,3 +7383,7 @@ _q17.register(QUERIES, ORACLES)
 from . import queries18 as _q18  # noqa: E402
 
 _q18.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
+
+from . import queries19 as _q19  # noqa: E402
+
+_q19.register(QUERIES, ORACLES)

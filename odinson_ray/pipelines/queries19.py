@@ -1,0 +1,184 @@
+"""Round-4 session-8 batch 3: a coref-shaped antecedent linker (the
+KG-construction stage between mention detection and entity linking) and
+a k-anonymity governance audit.
+
+- ``coref_antecedents``: for every anaphor-token occurrence, the
+  nearest PRECEDING antecedent-set token in the same document — the
+  rule-based pronoun-resolution pass a KG pipeline runs before entity
+  linking so pronominal mentions inherit their antecedent's entity.
+  (The reference has no coref stage; this extends the extraction
+  cascade the north rule's linking/canonicalization stages imply.)
+- ``k_anonymity_risk``: quasi-identifier combinations (lang, source,
+  length bucket) whose group size is below k — the re-identification
+  audit a governance gate runs before release.
+
+Registered by ``pipelines/queries.py``; each ``q_*`` takes ``sf_dir``;
+oracle column names match exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rd():
+    from ..sources.io import clean_rd
+
+    return clean_rd
+
+
+# =========================== nearest-prior-antecedent (coref-lite) link
+
+_ANAPHOR = "the"
+_ANTECEDENTS = ("customer", "spark", "table")
+
+
+def q_coref_antecedents(sf_dir: str):
+    """Each occurrence of the anaphor token linked to the nearest
+    preceding antecedent-set token in the same document (dropped when
+    no antecedent precedes it). Positions are 1-based token indices.
+
+    Shape: ZERO shuffle — documents are row-independent, so the whole
+    pass is one ``map_batches``: tokens flatten with parent indices,
+    an EXCLUSIVE prefix-max over (antecedent ? flat-index : -1) finds
+    the latest prior antecedent in one vectorized sweep, and a
+    doc-start clamp stops the prefix from leaking across document
+    boundaries (a prior doc's antecedent has a smaller flat index than
+    the doc start, so the clamp rejects it)."""
+    rd = _rd()
+    ante_set = set(_ANTECEDENTS)
+
+    def link(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "ante_pos": pa.array([], pa.int64()),
+                "antecedent": pa.array([], pa.string()),
+            })
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))  # per doc
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+
+        is_ante = np.isin(flat, list(ante_set))
+        idx = np.where(is_ante, np.arange(len(flat)), -1)
+        # exclusive prefix max: latest antecedent flat-index strictly
+        # before each position
+        prev = np.concatenate(([-1], np.maximum.accumulate(idx)[:-1]))
+
+        is_ana = flat == _ANAPHOR
+        row_start = starts[parent]
+        ok = is_ana & (prev >= row_start)  # same-document antecedent
+        pos = np.flatnonzero(ok)
+        ante = prev[pos]
+        return pa.table({
+            "doc_id": pa.array(doc_ids[parent[pos]], pa.int64()),
+            "pos": pa.array(pos - row_start[pos] + 1, pa.int64()),
+            "ante_pos": pa.array(ante - row_start[pos] + 1, pa.int64()),
+            "antecedent": pa.array(flat[ante].tolist(), pa.string()),
+        })
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(link, batch_format="pyarrow")
+            .sort(["doc_id", "pos"]))
+
+
+ORACLE_COREF_ANTECEDENTS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+pos AS (
+  SELECT doc_id, ws, i, ws[i] AS tok
+  FROM toks, UNNEST([i FOR i IN generate_series(1, len(ws))]) AS u(i)
+),
+w AS (
+  SELECT doc_id, ws, i, tok,
+         MAX(CASE WHEN tok IN ('customer', 'spark', 'table')
+                  THEN i END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS ante_pos
+  FROM pos
+)
+SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       CAST(ante_pos AS BIGINT) AS ante_pos,
+       ws[ante_pos] AS antecedent
+FROM w
+WHERE tok = 'the' AND ante_pos IS NOT NULL
+ORDER BY doc_id, pos
+"""
+
+
+# ================================== k-anonymity quasi-identifier audit
+
+_KANON_K = 5
+_LEN_BUCKET = 50
+
+
+def q_k_anonymity_risk(sf_dir: str):
+    """Quasi-identifier combinations (lang, source,
+    n_chars // {b}) with fewer than k={k} documents — the groups a
+    release gate must suppress or generalize. Shape: one per-batch
+    count combiner + one bounded-domain groupby (|langs| x |sources| x
+    |length buckets| rows); only violating combos (plus their counts)
+    reach the driver.""".format(b=_LEN_BUCKET, k=_KANON_K)
+    from ray.data.aggregate import Sum
+
+    from odinson_ray.stages.shuffle import rename_agg
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = pa.table({
+            "lang": t["lang"],
+            "source": t["source"],
+            "len_bucket": pc.divide(
+                pc.cast(t["n_chars"], pa.int64()),
+                pa.scalar(_LEN_BUCKET, pa.int64())),
+        })
+        return rename_agg(
+            pa.TableGroupBy(e, ["lang", "source", "len_bucket"])
+            .aggregate([([], "count_all")]),
+            ["lang", "source", "len_bucket"],
+            ["lang", "source", "len_bucket", "n"])
+
+    agg = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "source", "len_bucket"])
+           .aggregate(Sum("n", alias_name="n")))
+
+    def risky(t: pa.Table) -> pa.Table:
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
+        n = pc.cast(t["n"], pa.int64())
+        t = pa.table({"lang": t["lang"], "source": t["source"],
+                      "len_bucket": pc.cast(t["len_bucket"], pa.int64()),
+                      "n": n})
+        return t.filter(pc.less(n, _KANON_K))
+
+    return (agg.map_batches(risky, batch_format="pyarrow")
+            .sort(["lang", "source", "len_bucket"]))
+
+
+ORACLE_K_ANONYMITY = """
+SELECT lang, source, CAST(n_chars // 50 AS BIGINT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+GROUP BY lang, source, len_bucket
+HAVING COUNT(*) < 5
+ORDER BY lang, source, len_bucket
+"""
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries["coref_antecedents"] = q_coref_antecedents
+    oracles["coref_antecedents"] = ORACLE_COREF_ANTECEDENTS
+    queries["k_anonymity_risk"] = q_k_anonymity_risk
+    oracles["k_anonymity_risk"] = ORACLE_K_ANONYMITY
