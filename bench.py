@@ -242,7 +242,11 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
             batch_size=256,
             num_cpus=1,
         )
-        n_triples = aggregate_triples(partials, pre_counted=True).count()
+        agg = aggregate_triples(partials, pre_counted=True)
+        if os.environ.get("BENCH_STATS") == "1":
+            agg = agg.materialize()
+            print(agg.stats(), file=sys.stderr)
+        n_triples = agg.count()
         return n_docs, n_triples, round(time.time() - t_start, 3)
     # unfused control topology (BENCH_FUSED=0): mention rows cross the
     # object store and the downstream chain runs as task-pool stages
@@ -388,8 +392,38 @@ def run_scaling() -> None:
     )
 
 
+def run_stats() -> None:
+    """--stats: one headline run (smaller default replicate) with the
+    Ray Data per-stage stats dump on stderr — the stage-level wall/CPU
+    breakdown behind the headline number."""
+    import ray
+
+    os.environ["BENCH_STATS"] = "1"
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__  # noqa: F401  (by-value registration)
+
+    replicate = int(os.environ.get("BENCH_REPLICATE", "96"))
+    n_docs, n_triples, sec = headline_pipeline(SF_DIR, NUM_CPUS, replicate)
+    ray.shutdown()
+    print(json.dumps({"metric": "kg_pipeline_wall", "value": sec,
+                      "unit": "sec", "sf": SF_DIR, "num_cpus": NUM_CPUS,
+                      "headline_docs": n_docs,
+                      "headline_triples": n_triples,
+                      "docs_per_sec": round(n_docs / sec, 1),
+                      "stats": "stderr"}))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))
