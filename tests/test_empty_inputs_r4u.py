@@ -34,3 +34,21 @@ def test_vocab_hapax_empty(ray_session, empty_docs):
     from odinson_ray.pipelines.queries18 import q_vocab_hapax
 
     assert q_vocab_hapax(empty_docs).take_all() == []
+
+
+def test_coref_antecedents_empty(ray_session, empty_docs):
+    from odinson_ray.pipelines.queries19 import q_coref_antecedents
+
+    assert q_coref_antecedents(empty_docs).take_all() == []
+
+
+def test_k_anonymity_empty(ray_session, empty_docs):
+    from odinson_ray.pipelines.queries19 import q_k_anonymity_risk
+
+    assert q_k_anonymity_risk(empty_docs).take_all() == []
+
+
+def test_kg_bgp_query_empty(ray_session, empty_docs):
+    from odinson_ray.pipelines.queries18 import q_kg_bgp_query
+
+    assert q_kg_bgp_query(empty_docs).take_all() == []
