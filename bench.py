@@ -270,16 +270,22 @@ def headline_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     canon_ds, mapping = canonicalize_dataset(raw_triples, columns=("subj", "obj"))
     alias_ref = ray.put(build_alias_table(mapping.keys()))
     linked = canon_ds.map_batches(make_linker(alias_ref, ("subj", "obj")), batch_format="pyarrow")
-    n_triples = aggregate_triples(linked).count()
+    agg = aggregate_triples(linked)
+    if os.environ.get("BENCH_STATS") == "1":
+        agg = agg.materialize()
+        print(agg.stats(), file=sys.stderr)
+    n_triples = agg.count()
     return n_docs, n_triples, round(time.time() - t_start, 3)
 
 
-def run_bench() -> dict:
+def _init_ray(num_cpus: int) -> None:
+    """Shared session setup for run_bench / run_stats: local ray.init,
+    the DataContext knobs, and the by-value package registration."""
     import ray
 
     ray.init(
         address="local",
-        num_cpus=NUM_CPUS,
+        num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
@@ -294,7 +300,12 @@ def run_bench() -> dict:
     ctx.op_resource_reservation_enabled = False
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __ray_entry__  # registers package by-value for workers
+    import __ray_entry__  # noqa: F401  registers package by-value for workers
+
+
+def run_bench() -> dict:
+    _init_ray(NUM_CPUS)
+    import __ray_entry__
 
     # warm the OS page cache so we measure compute+shuffle, not first read
     from odinson_ray.sources.io import clean_rd as rd
@@ -399,16 +410,7 @@ def run_stats() -> None:
     import ray
 
     os.environ["BENCH_STATS"] = "1"
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.op_resource_reservation_enabled = False
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __ray_entry__  # noqa: F401  (by-value registration)
-
+    _init_ray(NUM_CPUS)
     replicate = int(os.environ.get("BENCH_REPLICATE", "96"))
     n_docs, n_triples, sec = headline_pipeline(SF_DIR, NUM_CPUS, replicate)
     ray.shutdown()

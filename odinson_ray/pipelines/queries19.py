@@ -50,9 +50,11 @@ def q_coref_antecedents(sf_dir: str):
     rd = _rd()
     ante_set = set(_ANTECEDENTS)
 
+    ante_arr = pa.array(sorted(ante_set))
+
     def link(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ")
-        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        flat = pc.list_flatten(toks).combine_chunks()
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
         if len(flat) == 0:
             return pa.table({
@@ -65,13 +67,15 @@ def q_coref_antecedents(sf_dir: str):
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))  # per doc
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
 
-        is_ante = np.isin(flat, list(ante_set))
+        # Arrow kernels for the string work; numpy only for index math
+        is_ante = pc.is_in(flat, value_set=ante_arr).to_numpy(
+            zero_copy_only=False)
         idx = np.where(is_ante, np.arange(len(flat)), -1)
         # exclusive prefix max: latest antecedent flat-index strictly
         # before each position
         prev = np.concatenate(([-1], np.maximum.accumulate(idx)[:-1]))
 
-        is_ana = flat == _ANAPHOR
+        is_ana = pc.equal(flat, _ANAPHOR).to_numpy(zero_copy_only=False)
         row_start = starts[parent]
         ok = is_ana & (prev >= row_start)  # same-document antecedent
         pos = np.flatnonzero(ok)
@@ -80,7 +84,7 @@ def q_coref_antecedents(sf_dir: str):
             "doc_id": pa.array(doc_ids[parent[pos]], pa.int64()),
             "pos": pa.array(pos - row_start[pos] + 1, pa.int64()),
             "ante_pos": pa.array(ante - row_start[pos] + 1, pa.int64()),
-            "antecedent": pa.array(flat[ante].tolist(), pa.string()),
+            "antecedent": flat.take(pa.array(ante, pa.int64())),
         })
 
     return (rd.read_parquet(f"{sf_dir}/documents.parquet",
