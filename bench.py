@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "vocab_hapax",
     "coref_antecedents",
     "k_anonymity_risk",
+    "neardup_delta",
 ]
 
 

@@ -181,8 +181,129 @@ ORDER BY lang, source, len_bucket
 """
 
 
+# ============================ cross-corpus NEAR-dup dedup (delta shard)
+
+_ND_THRESHOLD = 0.95
+
+
+def q_neardup_delta(sf_dir: str):
+    """Near-duplicate incremental dedup — dedup_delta's fuzzy sibling and
+    the shape a recurring-crawl pipeline actually runs: drop a delta-
+    shard document when its token-Jaccard similarity to ANY base-corpus
+    document reaches {t}, or to a LOWER-id delta document (greedy
+    keep-first within the delta; non-recursive by construction, so the
+    rule is one EXISTS per side, not a connected-components pass).
+
+    Shape: the exact >= {t} pair set comes from the AllPairs prefix
+    filter (stages/dedup.prefix_jaccard_pairs — candidate prefixes on
+    globally rarest tokens, adaptive exact verify); two
+    ``adaptive_inner_join``s attach is-delta flags to the pair
+    endpoints (pairs are near-dups, orders of magnitude fewer than
+    documents); the drop rule is one vectorized expression per pair
+    batch emitting dropped ids; survivors come from ONE distributed
+    anti join (duplicate right rows tolerated, so no global distinct).
+    Every stage is corpus-partitioned; nothing corpus-sized touches the
+    driver.""".format(t=_ND_THRESHOLD)
+    from odinson_ray.stages.dedup import prefix_jaccard_pairs
+    from odinson_ray.stages.shuffle import adaptive_inner_join, hash_join
+
+    from .queries17 import _DELTA_SOURCES  # one delta definition repo-wide
+
+    rd = _rd()
+    delta_set = pa.array(list(_DELTA_SOURCES))
+    pairs = prefix_jaccard_pairs(sf_dir, threshold=_ND_THRESHOLD)
+
+    def flags(name):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"],
+                name: pc.cast(pc.is_in(t["source"], value_set=delta_set),
+                              pa.int8()),
+            })
+        return f
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    fa = docs.map_batches(flags("a_dlt"), batch_format="pyarrow")
+    fb = docs.map_batches(flags("b_dlt"), batch_format="pyarrow")
+    pair_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                             ("j", pa.float64())])
+    p1 = adaptive_inner_join(
+        pairs, fa, on="a_id", right_on="doc_id", left_schema=pair_schema,
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("a_dlt", pa.int8())]))
+    p2 = adaptive_inner_join(
+        p1, fb, on="b_id", right_on="doc_id",
+        left_schema=pair_schema.append(pa.field("a_dlt", pa.int8())),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("b_dlt", pa.int8())]))
+
+    def dropped_ids(t: pa.Table) -> pa.Table:
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        ad = t["a_dlt"].to_numpy(zero_copy_only=False).astype(bool)
+        bd = t["b_dlt"].to_numpy(zero_copy_only=False).astype(bool)
+        # pairs are oriented a_id < b_id:
+        #   b in delta  -> b drops (its partner a is base OR an earlier
+        #                  delta doc — both kill it)
+        #   a in delta and b in base -> a drops (base similarity)
+        out = np.concatenate([b[bd], a[ad & ~bd]])
+        return pa.table({"doc_id": pa.array(np.unique(out), pa.int64())})
+
+    dropped = p2.map_batches(dropped_ids, batch_format="pyarrow")
+    delta_docs = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t["source"], value_set=delta_set)),
+        batch_format="pyarrow")
+    return hash_join(
+        delta_docs, dropped, on="doc_id", how="anti",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("source", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    ).sort("doc_id")
+
+
+ORACLE_NEARDUP_DELTA = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS o
+  FROM toks a JOIN toks b USING (tok) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter JOIN sizes sa ON sa.doc_id = a_id
+             JOIN sizes sb ON sb.doc_id = b_id
+  WHERE round(o * 1.0 / (sa.n + sb.n - o), 6) >= 0.95
+),
+delta AS (
+  SELECT doc_id, source FROM documents
+  WHERE source IN ('src3', 'src7', 'src12')
+),
+dropped AS (
+  SELECT b_id AS doc_id FROM pairs
+  WHERE b_id IN (SELECT doc_id FROM delta)
+  UNION
+  SELECT a_id FROM pairs
+  WHERE a_id IN (SELECT doc_id FROM delta)
+    AND b_id NOT IN (SELECT doc_id FROM delta)
+)
+SELECT d.doc_id, d.source
+FROM delta d LEFT JOIN dropped x USING (doc_id)
+WHERE x.doc_id IS NULL
+ORDER BY d.doc_id
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["coref_antecedents"] = q_coref_antecedents
     oracles["coref_antecedents"] = ORACLE_COREF_ANTECEDENTS
     queries["k_anonymity_risk"] = q_k_anonymity_risk
     oracles["k_anonymity_risk"] = ORACLE_K_ANONYMITY
+    queries["neardup_delta"] = q_neardup_delta
+    oracles["neardup_delta"] = ORACLE_NEARDUP_DELTA

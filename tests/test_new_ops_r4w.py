@@ -81,6 +81,54 @@ def test_coref_batch_independence(ray_session, tmp_path):
     assert whole == solo
 
 
+def test_neardup_delta_randomized_vs_bruteforce(ray_session, tmp_path):
+    """Random docs over a small vocab (token-set near-dups guaranteed at
+    every base/delta boundary) vs the O(n^2) jaccard enumeration of the
+    keep rule: survive iff no >=t partner in base and no lower-id >=t
+    partner in delta."""
+    from odinson_ray.pipelines.queries17 import _DELTA_SOURCES
+    from odinson_ray.pipelines.queries19 import (_ND_THRESHOLD,
+                                                 q_neardup_delta)
+
+    rng = np.random.default_rng(97)
+    vocab = np.array([f"w{i}" for i in range(12)])
+    rows = []
+    for i in range(120):
+        k = int(rng.integers(6, 12))
+        toks = vocab[rng.choice(12, size=k, replace=False)]
+        rows.append({
+            "doc_id": i, "lang": "en",
+            "source": str(rng.choice(["src0", "src1", "src3", "src7"])),
+            "text": " ".join(toks), "n_chars": 0,
+        })
+    rows = [dict(r, n_chars=len(r["text"])) for r in rows]
+    _write_docs(tmp_path, [r["text"] for r in rows],
+                sources=[r["source"] for r in rows])
+
+    sets = {r["doc_id"]: set(r["text"].split(" ")) for r in rows}
+    is_delta = {r["doc_id"]: r["source"] in _DELTA_SOURCES for r in rows}
+
+    def jac(a, b):
+        return round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6)
+
+    expect = []
+    for r in rows:
+        d = r["doc_id"]
+        if not is_delta[d]:
+            continue
+        dead = any(
+            jac(d, o["doc_id"]) >= _ND_THRESHOLD
+            and (not is_delta[o["doc_id"]] or o["doc_id"] < d)
+            for o in rows if o["doc_id"] != d)
+        if not dead:
+            expect.append((d, r["source"]))
+    got = [(r["doc_id"], r["source"])
+           for r in q_neardup_delta(str(tmp_path)).take_all()]
+    assert got == sorted(expect)
+    n_delta = sum(1 for r in rows if is_delta[r["doc_id"]])
+    assert 0 < len(got) < n_delta  # both drop and keep paths exercised
+
+
 def test_k_anonymity_randomized_vs_bruteforce(ray_session, tmp_path):
     from odinson_ray.pipelines.queries19 import (_KANON_K, _LEN_BUCKET,
                                                  q_k_anonymity_risk)
