@@ -309,6 +309,8 @@ def _init_ray(num_cpus: int) -> None:
 
 
 def run_bench() -> dict:
+    import ray
+
     _init_ray(NUM_CPUS)
     import __ray_entry__
 
