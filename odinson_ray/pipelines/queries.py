@@ -505,31 +505,23 @@ LIMIT 10
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Near-duplicate pairs by cosine >= 0.4 within label blocks
-    (blocked all-pairs: groupby label, numpy matmul inside the group)."""
+    """Near-duplicate pairs by cosine >= 0.4 within label blocks.
+
+    Exact (hash-exact oracle) but skew-bounded: rows are hashed into
+    per-label chunks and every chunk pair is one bounded task
+    (``blocked_cosine_pairs``, stages/ann.py) — a hot label distributes
+    over its chunk pairs instead of becoming one unbounded matmul."""
     rd = _rd()
+    from odinson_ray.stages.ann import blocked_cosine_pairs
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in g["embedding"]])[order]
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.where(norms == 0, 1.0, norms)
-        sim = mat @ mat.T
-        ii, jj = np.where(np.triu(sim >= 0.4, k=1))
-        return pd.DataFrame(
-            {
-                "a_id": ids[ii].astype("int64"),
-                "b_id": ids[jj].astype("int64"),
-                "label": [int(g["label"].iloc[0])] * len(ii),
-            }
-        )
-
-    return (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-        .groupby("label")
-        .map_groups(pairs, batch_format="pandas")
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+    pairs = blocked_cosine_pairs(ds, key_col="label", id_col="vec_id",
+                                 vec_col="embedding", threshold=0.4)
+    return pairs.map_batches(
+        lambda t: t.set_column(t.column_names.index("label"), "label",
+                               pc.cast(t["label"], pa.int64())),
+        batch_format="pyarrow",
     )
 
 

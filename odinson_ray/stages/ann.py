@@ -546,3 +546,181 @@ def pq_topk(sf_dir: str, query_vec: np.ndarray, k: int = 10,
              .map_batches(rerank, batch_format="pyarrow")
              .map_batches(_make_scorer(qref), batch_format="pyarrow"))
     return global_topk(exact, ["score", "vec_id"], [True, False], k)
+
+
+# ===================================================== exact blocked cosine self-join
+
+
+def blocked_cosine_pairs(ds, key_col: str = "label", id_col: str = "vec_id",
+                         vec_col: str = "embedding", threshold: float = 0.4,
+                         chunk_rows: int = 4096,
+                         broadcast_keys_limit: int = 1_000_000,
+                         parts: int = 512):
+    """Exact all-pairs cosine >= ``threshold`` within ``key_col`` blocks,
+    with per-task input BOUNDED regardless of key skew.
+
+    Reference semantics: the embedding-near-dup join (reference has no
+    counterpart; SQL oracle is the label-blocked self-join). A LOW
+    cosine threshold (0.4 here — boundary pairs sit at ~66 deg) cannot
+    be made exact by LSH banding: per-hyperplane collision probability
+    for a boundary pair is ~0.63, so any OR-amplification leaves a
+    material miss probability, and the op's oracle is hash-exact. The
+    scale lever is therefore not candidate pruning but bounding each
+    task: rows are hashed into ``ceil(n_key / chunk_rows)`` chunks per
+    key and every chunk PAIR (lo <= hi) becomes one group — the
+    optimal-replication "triangle" distribution (each row is shipped
+    n_chunks ~ sqrt(2 * #groups) times; total shipped bytes O(n *
+    n_chunks), the known lower bound for an exact all-pairs join whose
+    output can itself be quadratic). Per-group kernel input is
+    ~2 * chunk_rows rows however hot a key is (hash-balanced chunks
+    concentrate at n_key / n_chunks <= chunk_rows); the kernel is one
+    numpy matmul per segment.
+
+    Per-key chunk counts come from one small ``groupby(key).count()``;
+    at or under ``broadcast_keys_limit`` distinct keys the count table
+    is broadcast once via ``ray.put`` (driver holds only the gated key
+    table, tfidf precedent stages/text.py), above it the counts
+    hash-join back onto the rows and nothing key-cardinality-sized
+    touches the driver. Groups are shuffled with the coarse-partition
+    idiom (hash(key, lo, hi) % parts) and resolved per partition from
+    one Arrow sort — per-group dispatch stays off the hot path
+    (segmented_band_pairs precedent, stages/dedup.py).
+    """
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    from .link import get_broadcast
+    from .sketch import _splitmix64
+
+    counts = ds.groupby(key_col).aggregate(Count(alias_name="_n")).materialize()
+    n_keys = counts.count()
+
+    def _nchunks(n: np.ndarray) -> np.ndarray:
+        return np.maximum(1, -(-n // chunk_rows)).astype(np.int64)
+
+    if n_keys <= broadcast_keys_limit:
+        keys_l, ns_l = [], []
+        for b in counts.iter_batches(batch_format="pyarrow"):
+            keys_l.extend(b[key_col].to_pylist())
+            ns_l.extend(b["_n"].to_pylist())
+        karr = np.asarray(keys_l)
+        order = np.argsort(karr)
+        karr = karr[order]
+        nch = _nchunks(np.asarray(ns_l, dtype=np.int64)[order])
+        ref = ray.put((karr, nch))
+        with_n = ds
+
+        def _row_nchunks(t: pa.Table) -> np.ndarray:
+            karr_b, nch_b = get_broadcast(ref)
+            kv = t[key_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(karr_b, kv)
+            return nch_b[np.minimum(pos, len(nch_b) - 1)]
+    else:
+        from .shuffle import hash_join
+
+        with_n = hash_join(ds, counts, on=key_col)
+
+        def _row_nchunks(t: pa.Table) -> np.ndarray:
+            return _nchunks(t["_n"].to_numpy(zero_copy_only=False))
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_c", pa.array([], pa.int64())) \
+                    .append_column("_lo", pa.array([], pa.int64())) \
+                    .append_column("_hi", pa.array([], pa.int64()))
+        n = _row_nchunks(t)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (_splitmix64(ids.astype(np.uint64) * GOLD) % n.astype(np.uint64)).astype(np.int64)
+        tot = int(n.sum())
+        reps = np.repeat(np.arange(len(ids)), n)
+        offs = np.concatenate([[0], np.cumsum(n)[:-1]])
+        j = np.arange(tot) - np.repeat(offs, n)
+        c_rep = np.repeat(c, n)
+        out = t.take(pa.array(reps))
+        return out.append_column("_c", pa.array(c_rep, pa.int64())) \
+                  .append_column("_lo", pa.array(np.minimum(c_rep, j), pa.int64())) \
+                  .append_column("_hi", pa.array(np.maximum(c_rep, j), pa.int64()))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_p", pa.array([], pa.int64()))
+        from .sketch import _hash_values
+
+        h = (_hash_values(t[key_col])
+             ^ _splitmix64(t["_lo"].to_numpy(zero_copy_only=False).astype(np.uint64))
+             ^ _splitmix64((t["_hi"].to_numpy(zero_copy_only=False)
+                            + 7777).astype(np.uint64)))
+        return t.append_column(
+            "_p", pa.array((h % np.uint64(parts)).astype(np.int64), pa.int64()))
+
+    def pairs_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        key_type = g.schema.field(key_col).type
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64()),
+                          key_col: pa.array([], key_type)})
+        if g.num_rows == 0:
+            return empty
+        o = pc.sort_indices(g, sort_keys=[(key_col, "ascending"),
+                                          ("_lo", "ascending"),
+                                          ("_hi", "ascending"),
+                                          (id_col, "ascending")])
+        g = g.take(o)
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        lo = g["_lo"].to_numpy(zero_copy_only=False)
+        hi = g["_hi"].to_numpy(zero_copy_only=False)
+        c = g["_c"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        mat = np.array(g[vec_col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        n = len(ids)
+        newseg = np.ones(n, dtype=bool)
+        newseg[1:] = ((keys[1:] != keys[:-1]) | (lo[1:] != lo[:-1])
+                      | (hi[1:] != hi[:-1]))
+        starts = np.flatnonzero(newseg)
+        bounds = np.append(starts, n)
+        out_a, out_b, out_k = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if lo[s] == hi[s]:
+                sub = mat[s:e]
+                sid = ids[s:e]
+                sim = sub @ sub.T
+                ii, jj = np.where(np.triu(sim >= threshold, k=1))
+                a, b = sid[ii], sid[jj]
+            else:
+                ma = c[s:e] == lo[s]
+                A, B = mat[s:e][ma], mat[s:e][~ma]
+                aid, bid = ids[s:e][ma], ids[s:e][~ma]
+                if len(A) == 0 or len(B) == 0:
+                    continue
+                sim = A @ B.T
+                ii, jj = np.where(sim >= threshold)
+                x, y = aid[ii], bid[jj]
+                a, b = np.minimum(x, y), np.maximum(x, y)
+            if len(a):
+                out_a.append(a)
+                out_b.append(b)
+                out_k.append(np.full(len(a), keys[s], dtype=keys.dtype))
+        if not out_a:
+            return empty
+        return pa.table({
+            "a_id": pa.array(np.concatenate(out_a), pa.int64()),
+            "b_id": pa.array(np.concatenate(out_b), pa.int64()),
+            key_col: pa.array(np.concatenate(out_k), key_type),
+        })
+
+    keep = [key_col, id_col, vec_col]
+    return (with_n.map_batches(
+                lambda t: expand(t.select([c_ for c_ in keep if c_ in t.column_names]
+                                          + (["_n"] if "_n" in t.column_names else []))),
+                batch_format="pyarrow")
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(lambda g: pairs_partition(g.drop_columns(["_p"])),
+                        batch_format="pyarrow"))
