@@ -322,8 +322,9 @@ def build_ivf_layout(sf_dir: str, n_lists: "int | None" = None,
     def assign(t: pa.Table) -> pa.Table:
         Cb, idsb = get_broadcast(ref)
         emb = _embedding_matrix(t)
-        d2 = ((emb[:, None, :] - Cb[None, :, :]) ** 2).sum(axis=2)
-        a = d2.argmin(axis=1)
+        from .sample import _argmin_sqdist
+
+        a = _argmin_sqdist(emb, Cb)
         return t.append_column(
             "list", pa.array([idsb[i] for i in a], pa.int64()))
 
@@ -422,8 +423,9 @@ def _train_codebooks(sample: np.ndarray, m: int, codes: int) -> np.ndarray:
         if len(C) < codes:  # tiny corpora: pad with jittered copies
             C = np.concatenate([C, C[: codes - len(C)] + 1e-6])
         for _ in range(PQ_ITERS):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            a = d2.argmin(axis=1)
+            from .sample import _argmin_sqdist
+
+            a = _argmin_sqdist(X, C)
             for c in range(codes):
                 mask = a == c
                 if mask.any():

@@ -112,7 +112,26 @@ def decontaminate(sf_dir: str, n: int = 5, eval_mod: int = 97):
 
 # ------------------------------------------------------------------ semdedup
 
-def semdedup(sf_dir: str, k: int = 8, refinements: int = 1, tau: float = 0.4):
+TARGET_CLUSTER_ROWS = 4096  # semdedup auto-k aims for ~this many rows/cluster
+
+
+def clusters_for_rows(n_rows: int, target: int = TARGET_CLUSTER_ROWS,
+                      floor: int = 8) -> int:
+    """Corpus-proportional cluster count: ceil(rows / target cluster
+    size), floored at the test-scale default — the `ann.planes_for_rows`
+    policy applied to k-means, so per-cluster all-pairs work stays
+    roughly constant as the corpus grows (a 10^9-row corpus gets ~244k
+    clusters, not 8 corpus/8-sized ones)."""
+    import math
+
+    if n_rows <= 0:
+        return floor
+    return max(floor, math.ceil(n_rows / target))
+
+
+def semdedup(sf_dir: str, k: Optional[int] = None, refinements: int = 1,
+             tau: float = 0.4, max_cluster_rows: int = 8 * TARGET_CLUSTER_ROWS,
+             target_cluster_rows: int = TARGET_CLUSTER_ROWS):
     """SemDeDup-style semantic dedup over the embeddings table: returns
     the KEPT rows (vec_id, cluster).
 
@@ -124,14 +143,26 @@ def semdedup(sf_dir: str, k: int = 8, refinements: int = 1, tau: float = 0.4):
     and keeps the semantics order-independent).
 
     Scale shape: the only wide op is the cluster groupby; the all-pairs
-    cosine runs vectorized inside each cluster's task. Grow ``k`` with
-    the corpus so clusters stay task-sized.
+    cosine runs vectorized inside each cluster's task. ``k=None``
+    (default) derives k from the corpus row count via
+    ``clusters_for_rows`` so clusters stay task-sized; the pinned
+    ``k=8`` path remains for the SQL oracle, whose seed set is
+    hardwired. ``max_cluster_rows`` is the skew backstop: k-means can
+    still emit a pathological giant cluster, and an O(n^2) prune on it
+    would stall the stage — rows past the cap (in vec_id order) are
+    KEPT unexamined (fail-open: dedup never silently drops data it
+    didn't compare) and the overflow is counted and logged per group,
+    the `shared_passage_pairs(max_window_docs)` pattern.
     """
     import ray
     from ..sources.io import clean_rd as rd
 
     from .link import get_broadcast
-    from .sample import _embedding_matrix, kmeans_centroids
+    from .sample import _argmin_sqdist, _embedding_matrix, kmeans_centroids
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if k is None:
+        k = clusters_for_rows(ds.count(), target=target_cluster_rows)
 
     centroids, cluster_ids = kmeans_centroids(sf_dir, k, refinements)
     ref = ray.put((np.asarray(centroids), list(cluster_ids)))
@@ -139,28 +170,37 @@ def semdedup(sf_dir: str, k: int = 8, refinements: int = 1, tau: float = 0.4):
     def assign(t: pa.Table) -> pa.Table:
         C, ids = get_broadcast(ref)
         emb = _embedding_matrix(t)
-        d2 = ((emb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = d2.argmin(axis=1)
+        a = _argmin_sqdist(emb, C)
         return t.append_column("cluster", pa.array([ids[i] for i in a], pa.int64()))
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in g["embedding"]])[order]
+        overflow = max(0, len(ids) - max_cluster_rows)
+        if overflow:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semdedup: cluster %s has %d rows (> cap %d); keeping %d "
+                "rows unexamined (fail-open)",
+                g["cluster"].iloc[0], len(ids), max_cluster_rows, overflow)
+        head = ids[:max_cluster_rows]
+        mat = np.array([np.asarray(v, dtype=np.float64)
+                        for v in g["embedding"]])[order][:max_cluster_rows]
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(norms == 0, 1.0, norms)
         sim = mat @ mat.T
         # drop row j if any i<j has sim >= tau (ids sorted ascending)
         dup = np.triu(sim >= tau, k=1).any(axis=0)
+        kept = np.concatenate([head[~dup], ids[max_cluster_rows:]])
         return pd.DataFrame(
             {
-                "vec_id": ids[~dup].astype("int64"),
-                "cluster": np.full((~dup).sum(), int(g["cluster"].iloc[0]), dtype="int64"),
+                "vec_id": kept.astype("int64"),
+                "cluster": np.full(len(kept), int(g["cluster"].iloc[0]), dtype="int64"),
             }
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("cluster")

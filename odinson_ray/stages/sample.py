@@ -61,6 +61,17 @@ def _embedding_matrix(t: pa.Table) -> np.ndarray:
     return flat.reshape(len(t), -1).astype(np.float64)
 
 
+def _argmin_sqdist(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment via the expanded form
+    -2 x.C^T + |c|^2 (the |x|^2 term is constant per row and dropped):
+    O(n*k) working memory instead of the O(n*k*dim) broadcast-expansion
+    kernel, which is what makes corpus-proportional k
+    (curate.clusters_for_rows) feasible. First minimum = lowest cluster
+    id, the same tie rule as the naive kernel."""
+    d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+    return d.argmin(axis=1)
+
+
 def kmeans_centroids(sf_dir: str, k: int = 8, refinements: int = 1):
     """Distributed Lloyd training only: returns (centroids, cluster_ids)
     after ``refinements`` rounds (see kmeans_assign for the per-round
@@ -87,16 +98,14 @@ def kmeans_centroids(sf_dir: str, k: int = 8, refinements: int = 1):
         def partials(t: pa.Table) -> pa.Table:
             C, ids = get_broadcast(ref)
             emb = _embedding_matrix(t)
-            d2 = ((emb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            a = d2.argmin(axis=1)  # first minimum = lowest cluster id
-            rows_c, rows_n, rows_s = [], [], []
-            for ci in range(len(ids)):
-                mask = a == ci
-                n = int(mask.sum())
-                if n:
-                    rows_c.append(ids[ci])
-                    rows_n.append(n)
-                    rows_s.append(emb[mask].sum(axis=0).tolist())
+            a = _argmin_sqdist(emb, C)  # first minimum = lowest cluster id
+            counts = np.bincount(a, minlength=len(ids))
+            sums = np.zeros((len(ids), emb.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, emb)
+            nz = np.flatnonzero(counts)
+            rows_c = [ids[ci] for ci in nz]
+            rows_n = counts[nz].tolist()
+            rows_s = [sums[ci].tolist() for ci in nz]
             return pa.table({
                 "cluster": pa.array(rows_c, pa.int64()),
                 "n": pa.array(rows_n, pa.int64()),
@@ -144,8 +153,7 @@ def kmeans_assign(sf_dir: str, k: int = 8, refinements: int = 1):
     def assign(t: pa.Table) -> pa.Table:
         C, ids = get_broadcast(ref)
         emb = _embedding_matrix(t)
-        d2 = ((emb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = d2.argmin(axis=1)
+        a = _argmin_sqdist(emb, C)
         return pa.table({
             "vec_id": t["vec_id"],
             "cluster": pa.array([ids[i] for i in a], pa.int64()),
