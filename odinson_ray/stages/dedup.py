@@ -450,31 +450,47 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6):
 # ---------------------------------------------------------------- exact jaccard
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, block_col: str = "source"):
-    """Exact pairwise n-gram jaccard within blocking-key groups."""
+    """Exact pairwise 3-gram (shingle) jaccard within blocking-key
+    groups, via the shared AllPairs prefix-filter machinery
+    (``allpairs_prefix_candidates`` with the blocking column folded into
+    the pairing bucket key) + the adaptive exact verify. A hot block no
+    longer becomes one unbounded O(n^2) task: its candidate work spreads
+    over (block, rare-shingle) buckets and only verified-scale pairs
+    survive to the verify join. Per-doc shingling is a Python loop over
+    tokens (feature extraction, bounded per row); everything around it
+    is the segmented columnar pipeline."""
+    import pyarrow.compute as pc
+
     from ..sources.io import clean_rd as rd
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(zip(g["doc_id"], g["text"]))
-        sets = {d: set(shingles(t)) for d, t in docs}
-        rows = []
-        ids = [d for d, _ in docs]
-        for i in range(len(ids)):
-            for k in range(i + 1, len(ids)):
-                sa, sb = sets[ids[i]], sets[ids[k]]
-                if not sa and not sb:
-                    continue
-                j = len(sa & sb) / len(sa | sb)
-                if j >= threshold:
-                    rows.append((ids[i], ids[k], round(j, 6)))
-        return pd.DataFrame(rows, columns=["a_id", "b_id", "j"]).astype(
-            {"a_id": "int64", "b_id": "int64", "j": "float64"}
-        )
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", block_col])
 
-    return (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", block_col])
-        .groupby(block_col)
-        .map_groups(pairs, batch_format="pandas")
-    )
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        blocks = t[block_col].to_pylist()
+        feats, out_ids, out_blocks, out_n = [], [], [], []
+        for did, blk, text in zip(ids, blocks, t["text"].to_pylist()):
+            sh = shingles(text)
+            feats.extend(sh)
+            out_ids.extend([int(did)] * len(sh))
+            out_blocks.extend([blk] * len(sh))
+            out_n.extend([len(sh)] * len(sh))
+        return pa.table({
+            "feat": pa.array(feats, pa.string()),
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            block_col: pa.array(out_blocks, pa.string()),
+        })
+
+    feat_rows = docs.map_batches(shingle_rows, batch_format="pyarrow")
+    candidates = allpairs_prefix_candidates(feat_rows, threshold,
+                                            block_col=block_col)
+    return verify_pairs_exact(
+        candidates,
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        jaccard, threshold)
 
 
 # ------------------------------------------------------------- dedup groups
@@ -629,84 +645,69 @@ def token_jaccard(a: str, b: str) -> float:
     return len(x & y) / u if u else 0.0
 
 
-def prefix_jaccard_pairs(sf_dir: str, threshold: float = 0.7,
-                         broadcast_docs_threshold: int = 100_000):
-    """All-pairs token-Jaccard similarity join via PREFIX FILTERING
-    (AllPairs/PPJoin family) — exact, unlike MinHash-LSH: returns every
-    pair with token_jaccard >= threshold, verified.
+def allpairs_prefix_candidates(feat_rows, threshold: float,
+                               parts: int = 512, block_col: "str | None" = None):
+    """Shared AllPairs/PPJoin candidate generation over FEATURE rows
+    (``feat``: string, ``doc_id``: int64, ``n``: int64 = the doc's
+    distinct-feature count, plus ``block_col`` when pairs must stay
+    within a blocking key). Returns the deduped candidate (a_id, b_id)
+    Dataset; callers verify exactly (``verify_pairs_exact``).
 
-    Candidate generation: order each doc's distinct tokens by GLOBAL
-    (document-frequency, token) ascending — rarest first — and emit only
-    the first p = n - ceil(t*n) + 1 tokens (n = distinct-token count).
-    Two sets with jaccard >= t have overlap o >= ceil(t*n) on each side,
-    and the classic prefix lemma guarantees their prefixes under a shared
-    total order intersect, so bucketing on prefix tokens loses no pair.
-    Because prefixes hold each doc's globally RAREST tokens, bucket
+    Candidate generation: order each doc's features by GLOBAL
+    (document-frequency, feature) ascending — rarest first — and emit
+    only the first p = n - ceil(t*n) + 1 features. Two sets with
+    jaccard >= t have overlap o >= ceil(t*n) on each side, and the
+    classic prefix lemma guarantees their prefixes under a shared total
+    order intersect, so bucketing on prefix features loses no pair.
+    Because prefixes hold each doc's globally RAREST features, bucket
     groups stay small exactly where lexicographic bucketing would
-    explode; the in-bucket length filter (t * max(na, nb) <= min(na, nb))
-    prunes before pairing. Degenerate corpora (thousands of identical
+    explode; the in-bucket length filter (t * max(na, nb) <= min(na,
+    nb)) prunes before pairing. With ``block_col`` the pairing bucket
+    key is (block, feature), so candidates never cross blocks and a hot
+    block's work spreads over its feature buckets instead of one
+    unbounded per-block task. Degenerate corpora (thousands of identical
     docs) still pair quadratically — that is the true output size, not
     an artifact.
 
-    Shape: one df aggregate (map-side combined), one hash join attaching
-    df to (doc, token) rows, one groupby(doc) prefix selection, one
-    groupby(token) pairing, pair dedup, then the shared adaptive verify
-    (verify_pairs_exact). ceil is computed conservatively LOW
-    (ceil(t*n - 1e-9)) so float overshoot can only lengthen a prefix,
-    never break completeness."""
+    df comes from one Count aggregate over the feature rows themselves
+    (they are distinct per doc by contract, so the count IS document
+    frequency); ceil is computed conservatively LOW (ceil(t*n - 1e-9))
+    so float overshoot can only lengthen a prefix, never break
+    completeness. Both group stages run segmented over coarse hash
+    partitions (the tiny-group rule: one task per DOCUMENT / per
+    FEATURE otherwise)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
-    from ..sources.io import clean_rd as rd
     from .shuffle import hash_join
-    from .text import doc_frequency
-
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-
-    def flat_distinct(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ")
-        pair = pa.table({"tok": pc.list_flatten(toks),
-                         "_row": pc.list_parent_indices(toks)})
-        dd = pa.TableGroupBy(pair, ["_row", "tok"]).aggregate([])
-        rows = dd["_row"].to_numpy(zero_copy_only=False)
-        n = np.bincount(rows, minlength=len(t))
-        return pa.table({
-            "tok": dd["tok"],
-            "doc_id": t["doc_id"].take(dd["_row"]),
-            "n": pa.array(n[rows], pa.int64()),
-        })
-
-    dt = docs.map_batches(flat_distinct, batch_format="pyarrow")
-    dfreq = doc_frequency(sf_dir)
-    dt_schema = pa.schema([("tok", pa.string()), ("doc_id", pa.int64()),
-                           ("n", pa.int64())])
-    df_schema = pa.schema([("tok", pa.string()), ("df", pa.int64())])
-    with_df = hash_join(dt, dfreq, on="tok",
-                        left_schema=dt_schema, right_schema=df_schema)
-
-    # both group stages run segmented over coarse hash partitions (the
-    # tiny-group rule: one task per DOCUMENT / per TOKEN otherwise)
     from .sketch import _splitmix64
 
-    PARTS = 512
+    dfreq = feat_rows.groupby("feat").aggregate(Count(alias_name="df"))
+
+    keep_cols = ["feat", "doc_id", "n"] + ([block_col] if block_col else [])
+    left_fields = [("feat", pa.string()), ("doc_id", pa.int64()),
+                   ("n", pa.int64())]
+    if block_col:
+        left_fields.append((block_col, pa.string()))
+    with_df = hash_join(feat_rows, dfreq, on="feat",
+                        left_schema=pa.schema(left_fields),
+                        right_schema=pa.schema([("feat", pa.string()),
+                                                ("df", pa.int64())]))
 
     def part_by_doc(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        p = (_splitmix64(d) % np.uint64(PARTS)).astype(np.int64)
+        p = (_splitmix64(d) % np.uint64(parts)).astype(np.int64)
         return t.append_column("_p", pa.array(p, pa.int64()))
 
     def prefix_partition(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
         o = pc.sort_indices(g, sort_keys=[("doc_id", "ascending"),
                                           ("df", "ascending"),
-                                          ("tok", "ascending")])
+                                          ("feat", "ascending")])
         g = g.take(o)
         nrow = g.num_rows
         if nrow == 0:
-            return pa.table({"tok": pa.array([], pa.string()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
+            return g.select(keep_cols)
         d = g["doc_id"].to_numpy(zero_copy_only=False)
         nn = g["n"].to_numpy(zero_copy_only=False)
         newd = np.ones(nrow, dtype=bool)
@@ -717,36 +718,46 @@ def prefix_jaccard_pairs(sf_dir: str, threshold: float = 0.7,
         alpha = np.ceil(threshold * nn - 1e-9).astype(np.int64)
         plen = np.maximum(nn - alpha + 1, 1)
         keep = rank < plen
-        return g.filter(pa.array(keep)).select(["tok", "doc_id", "n"])
+        return g.filter(pa.array(keep)).select(keep_cols)
 
     pref = (with_df.map_batches(part_by_doc, batch_format="pyarrow")
             .groupby("_p")
             .map_groups(lambda g: prefix_partition(g.drop_columns(["_p"])),
                         batch_format="pyarrow"))
 
-    def part_by_tok(t: pa.Table) -> pa.Table:
+    def part_by_feat(t: pa.Table) -> pa.Table:
         import zlib
 
-        h = np.array([zlib.crc32(x.encode())
-                      for x in t["tok"].to_pylist()], dtype=np.uint64)
-        p = (_splitmix64(h) % np.uint64(PARTS)).astype(np.int64)
+        if block_col:
+            keys = [f"{b}\x1f{f}" for b, f in
+                    zip(t[block_col].to_pylist(), t["feat"].to_pylist())]
+        else:
+            keys = t["feat"].to_pylist()
+        h = np.array([zlib.crc32(x.encode()) for x in keys], dtype=np.uint64)
+        p = (_splitmix64(h) % np.uint64(parts)).astype(np.int64)
         return t.append_column("_p", pa.array(p, pa.int64()))
+
+    bucket_sort = ([(block_col, "ascending")] if block_col else []) + \
+        [("feat", "ascending"), ("doc_id", "ascending")]
 
     def pairs_partition(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
-        o = pc.sort_indices(g, sort_keys=[("tok", "ascending"),
-                                          ("doc_id", "ascending")])
+        o = pc.sort_indices(g, sort_keys=bucket_sort)
         g = g.take(o)
         nrow = g.num_rows
         empty = pa.table({"a_id": pa.array([], pa.int64()),
                           "b_id": pa.array([], pa.int64())})
         if nrow == 0:
             return empty
-        tk = np.asarray(g["tok"].to_pylist(), dtype=object)
+        tk = np.asarray(g["feat"].to_pylist(), dtype=object)
+        if block_col:
+            bk = np.asarray(g[block_col].to_pylist(), dtype=object)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
         ns = g["n"].to_numpy(zero_copy_only=False)
         newt = np.ones(nrow, dtype=bool)
         newt[1:] = tk[1:] != tk[:-1]
+        if block_col:
+            newt[1:] |= bk[1:] != bk[:-1]
         starts = np.flatnonzero(newt)
         bounds = np.append(starts, nrow)
         a_all, b_all = [], []
@@ -767,14 +778,47 @@ def prefix_jaccard_pairs(sf_dir: str, threshold: float = 0.7,
         return pa.table({"a_id": pa.array(np.concatenate(a_all), pa.int64()),
                          "b_id": pa.array(np.concatenate(b_all), pa.int64())})
 
-    candidates = (
-        pref.map_batches(part_by_tok, batch_format="pyarrow")
+    return (
+        pref.map_batches(part_by_feat, batch_format="pyarrow")
         .groupby("_p")
         .map_groups(lambda g: pairs_partition(g.drop_columns(["_p"])),
                     batch_format="pyarrow")
         .groupby(["a_id", "b_id"]).aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
+
+
+def prefix_jaccard_pairs(sf_dir: str, threshold: float = 0.7,
+                         broadcast_docs_threshold: int = 100_000):
+    """All-pairs token-Jaccard similarity join via PREFIX FILTERING
+    (AllPairs/PPJoin family) — exact, unlike MinHash-LSH: returns every
+    pair with token_jaccard >= threshold, verified. Candidate
+    generation is the shared ``allpairs_prefix_candidates`` (see its
+    docstring for the lemma and the segmented execution shape); this
+    wrapper contributes the distinct-token feature rows and the shared
+    adaptive exact verify (``verify_pairs_exact``)."""
+    import pyarrow.compute as pc
+
+    from ..sources.io import clean_rd as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def flat_distinct(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        pair = pa.table({"feat": pc.list_flatten(toks),
+                         "_row": pc.list_parent_indices(toks)})
+        dd = pa.TableGroupBy(pair, ["_row", "feat"]).aggregate([])
+        rows = dd["_row"].to_numpy(zero_copy_only=False)
+        n = np.bincount(rows, minlength=len(t))
+        return pa.table({
+            "feat": dd["feat"],
+            "doc_id": t["doc_id"].take(dd["_row"]),
+            "n": pa.array(n[rows], pa.int64()),
+        })
+
+    feat_rows = docs.map_batches(flat_distinct, batch_format="pyarrow")
+    candidates = allpairs_prefix_candidates(feat_rows, threshold)
     return verify_pairs_exact(candidates, docs, token_jaccard, threshold,
                               broadcast_docs_threshold)
 
