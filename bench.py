@@ -118,11 +118,15 @@ BENCH_QUERIES = [
     "vocab_hapax",
     "coref_antecedents",
     "k_anonymity_risk",
-    # neardup_delta is EXCLUDED (the kg_stress_paths precedent): the
-    # testdata's 31-token vocabulary makes the true >=0.95 token-jaccard
-    # pair set quadratic in the corpus (90 s at sf0.1, ~all of it real
+    # round-5: the near-dup delta dedup is timed in its BANDED
+    # configuration (shingle jaccard >= 0.9, MinHash-LSH candidates —
+    # the config a recurring-crawl user actually runs, bounded true-pair
+    # output on any corpus). The exact token-set >= 0.95 config stays
+    # oracle-only: on the testdata's 31-token vocabulary its TRUE pair
+    # set is quadratic in the corpus (90 s at sf0.1, ~all of it real
     # pair output + exact verify) — inherent to the synthetic corpus,
-    # not the operator's shape; oracle + randomized pytest cover it.
+    # not the operator's shape.
+    "neardup_delta_banded",
 ]
 
 

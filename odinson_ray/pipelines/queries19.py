@@ -205,13 +205,22 @@ def q_neardup_delta(sf_dir: str):
     Every stage is corpus-partitioned; nothing corpus-sized touches the
     driver.""".format(t=_ND_THRESHOLD)
     from odinson_ray.stages.dedup import prefix_jaccard_pairs
+
+    pairs = prefix_jaccard_pairs(sf_dir, threshold=_ND_THRESHOLD)
+    return _delta_survivors(sf_dir, pairs)
+
+
+def _delta_survivors(sf_dir: str, pairs):
+    """Shared tail of the near-dup delta dedups: attach is-delta flags
+    to the (a_id, b_id, j) pair endpoints, apply the oriented drop rule,
+    anti-join survivors. Pairs are near-dup-scale by construction, so
+    both flag joins ride the adaptive small-side path."""
     from odinson_ray.stages.shuffle import adaptive_inner_join, hash_join
 
     from .queries17 import _DELTA_SOURCES  # one delta definition repo-wide
 
     rd = _rd()
     delta_set = pa.array(list(_DELTA_SOURCES))
-    pairs = prefix_jaccard_pairs(sf_dir, threshold=_ND_THRESHOLD)
 
     def flags(name):
         def f(t: pa.Table) -> pa.Table:
@@ -300,6 +309,61 @@ ORDER BY d.doc_id
 """
 
 
+_ND_BANDED_THRESHOLD = 0.9
+
+
+def q_neardup_delta_banded(sf_dir: str):
+    """The BENCHMARKABLE configuration of near-dup delta dedup: shingle
+    (3-gram) Jaccard at >= 0.9 with MinHash-LSH banded candidate
+    generation + exact verify (stages/dedup.minhash_lsh_pairs), then the
+    same delta drop rule as q_neardup_delta.
+
+    Why a second configuration: the exact token-set variant
+    (q_neardup_delta, >= 0.95) is the oracle-pinned semantics, but on
+    the synthetic corpus's 31-token vocabulary its TRUE pair set is
+    quadratic in the corpus — timing it measures pair output, not the
+    operator (bench.py's old exclusion note). Shingle similarity at the
+    banded threshold has a bounded true-pair set on any corpus a
+    recurring-crawl pipeline would feed it, so THIS is the
+    configuration a user runs and the one the bench times."""
+    from odinson_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(sf_dir, threshold=_ND_BANDED_THRESHOLD)
+    return _delta_survivors(sf_dir, pairs)
+
+
+ORACLE_NEARDUP_DELTA_BANDED = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+         i -> t[i] || CASE WHEN t[i+1] IS NULL THEN '' ELSE ' ' || t[i+1] END
+                   || CASE WHEN t[i+2] IS NULL THEN '' ELSE ' ' || t[i+2] END)) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.9
+),
+delta AS (
+  SELECT doc_id, source FROM documents
+  WHERE source IN ('src3', 'src7', 'src12')
+),
+dropped AS (
+  SELECT b_id AS doc_id FROM pairs
+  WHERE b_id IN (SELECT doc_id FROM delta)
+  UNION
+  SELECT a_id FROM pairs
+  WHERE a_id IN (SELECT doc_id FROM delta)
+    AND b_id NOT IN (SELECT doc_id FROM delta)
+)
+SELECT d.doc_id, d.source
+FROM delta d LEFT JOIN dropped x USING (doc_id)
+WHERE x.doc_id IS NULL
+ORDER BY d.doc_id
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["coref_antecedents"] = q_coref_antecedents
     oracles["coref_antecedents"] = ORACLE_COREF_ANTECEDENTS
@@ -307,3 +371,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["k_anonymity_risk"] = ORACLE_K_ANONYMITY
     queries["neardup_delta"] = q_neardup_delta
     oracles["neardup_delta"] = ORACLE_NEARDUP_DELTA
+    queries["neardup_delta_banded"] = q_neardup_delta_banded
+    oracles["neardup_delta_banded"] = ORACLE_NEARDUP_DELTA_BANDED
