@@ -21,6 +21,8 @@ import shutil
 import tempfile
 from typing import Optional
 
+import pyarrow as pa
+
 from ..sources.interleaved import read_interleaved
 from ..stages.annotate import annotate_batch
 from ..stages.canon import canonicalize_dataset
@@ -46,6 +48,39 @@ rules:
 """
 
 
+def _read_docs(sf_dir: str, docs_per_block: int):
+    """Pruned flagship read of the documents table.
+
+    Columns: the four the deterministic annotation path derives from
+    (doc_id/text/lang/source) PLUS any caller-supplied metadata columns
+    actually present in the file footer (``metadata``/``metadata_json``
+    — GrammarMatcher carries them across build_interleaved, but pruning
+    them at the read silently dropped a real corpus's metadata before
+    round 5). The sniff reads only the footer; corpora without the
+    columns (the testdata) pay nothing.
+
+    Blocks: ~2,500-doc blocks = actor-task granularity. The streaming
+    executor's single-threaded driver loop sustains only a few dozen
+    actor-task round-trips per second, so fine blocks starve a large
+    pool, while Ray's default ~128MB blocks (~300k docs) load-balance
+    poorly across it (measured in bench.py). Capped at 64k blocks: past
+    that, shard the job itself (state/checkpoint.py fragment runner)
+    rather than asking one driver to track the block metadata."""
+    from ..sources.io import documents_path, read_table
+
+    path = documents_path(sf_dir)
+    cols = ["doc_id", "text", "lang", "source"]
+    nb = None
+    if path.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        meta = pq.read_metadata(path)
+        nb = min(65536, max(1, meta.num_rows // docs_per_block))
+        present = set(meta.schema.to_arrow_schema().names)
+        cols += [c for c in ("metadata", "metadata_json") if c in present]
+    return read_table(path, columns=cols, override_num_blocks=nb)
+
+
 def mentions_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
                      concurrency: int = 4, batch_size: int = 256,
                      docs_per_block: int = 5000):
@@ -57,22 +92,7 @@ def mentions_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
     from ..sources.io import documents_path, read_table
     from ..stages.match import clamp_pool
 
-    path = documents_path(sf_dir)
-    # ~2,500-doc blocks = actor-task granularity. The streaming executor's
-    # single-threaded driver loop sustains only a few dozen actor-task
-    # round-trips per second, so fine blocks starve a large pool, while
-    # Ray's default ~128MB blocks (~300k docs) load-balance poorly across
-    # it (measured in bench.py). Capped at 64k blocks: past that, shard
-    # the job itself (state/checkpoint.py fragment runner) rather than
-    # asking one driver to track the block metadata.
-    nb = None
-    if path.endswith(".parquet"):
-        import pyarrow.parquet as pq
-
-        rows = pq.read_metadata(path).num_rows
-        nb = min(65536, max(1, rows // docs_per_block))
-    docs = read_table(path, columns=["doc_id", "text", "lang", "source"],
-                      override_num_blocks=nb)
+    docs = _read_docs(sf_dir, docs_per_block)
     return docs.map_batches(
         GrammarMatcher,
         fn_constructor_args=(rules_yaml,),
@@ -118,9 +138,16 @@ class TripleCounter(GrammarMatcher):
         from ..stages.link import canon_key, link_surface, map_unique_strings
         from ..stages.triples import mentions_to_triples, partial_count_triples
 
+        from ..stages.triples import error_triples
+
         mentions = super().__call__(batch)
         events = mentions.filter(pc.equal(mentions["label"], "SVO"))
+        errs = mentions.filter(pc.equal(mentions["label"], self.ERROR_LABEL))
         t = mentions_to_triples(events)
+        if errs.num_rows:
+            # failed docs flow as reserved error triples through the SAME
+            # canon/link/aggregate chain (see stages/triples.error_triples)
+            t = pa.concat_tables([t, error_triples(errs)])
         for col in ("subj", "obj"):
             t = t.append_column(
                 col + "_canon",
@@ -145,15 +172,7 @@ def fused_triple_counts(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
     from ..stages.match import clamp_pool
     from ..stages.triples import aggregate_triples
 
-    path = documents_path(sf_dir)
-    nb = None
-    if path.endswith(".parquet"):
-        import pyarrow.parquet as pq
-
-        rows = pq.read_metadata(path).num_rows
-        nb = min(65536, max(1, rows // docs_per_block))
-    docs = read_table(path, columns=["doc_id", "text", "lang", "source"],
-                      override_num_blocks=nb)
+    docs = _read_docs(sf_dir, docs_per_block)
     partials = docs.map_batches(
         TripleCounter,
         fn_constructor_args=(rules_yaml,),
@@ -212,10 +231,20 @@ def triples_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
                                    batch_size=batch_size)
     mentions = mentions_dataset(sf_dir, rules_yaml, concurrency=concurrency,
                                 batch_size=batch_size)
-    events = mentions.map_batches(
-        lambda t: t.filter(pc.equal(t["label"], "SVO")), batch_format="pyarrow"
-    )
-    raw_triples = events.map_batches(mentions_to_triples, batch_format="pyarrow")
+
+    def svo_or_error_triples(t):
+        from ..stages.match import GrammarMatcher
+        from ..stages.triples import error_triples
+
+        out = mentions_to_triples(t.filter(pc.equal(t["label"], "SVO")))
+        errs = t.filter(pc.equal(t["label"], GrammarMatcher.ERROR_LABEL))
+        if errs.num_rows:
+            # same reserved error-triple stream as the fused path
+            out = pa.concat_tables([out, error_triples(errs)])
+        return out
+
+    raw_triples = mentions.map_batches(svo_or_error_triples,
+                                       batch_format="pyarrow")
     if not canonicalize:
         return raw_triples
     # Since canonicalization needs no whole-corpus vocabulary pass (the

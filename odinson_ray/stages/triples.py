@@ -111,6 +111,30 @@ def mentions_to_triples(batch: pa.Table) -> pa.Table:
     return pa.concat_tables([fast, slow])
 
 
+ERROR_SURFACE = "__error__"
+
+
+def error_triples(err_mentions: pa.Table) -> pa.Table:
+    """Project __error__ mention rows (poison-doc stand-ins, see
+    GrammarMatcher.ERROR_LABEL) into reserved error triples
+    (subj = pred = obj = "__error__") so the failure stream flows through
+    canonicalize/link/aggregate like any other triple and the flagship's
+    AGGREGATED output carries one (ent:__error__, __error__, ...) row
+    whose n is the exact count of failed documents — a 100-TB run can
+    never silently succeed with a gutted corpus (ADVICE r04 last mile).
+    Clean corpora emit no error mentions, so this row simply never
+    appears there (and the kg_triples oracle is unaffected)."""
+    import pyarrow.compute as pc
+
+    n = err_mentions.num_rows
+    const = pa.array([ERROR_SURFACE] * n, pa.string())
+    return pa.table({
+        "subj": const, "pred": const, "obj": const,
+        "doc_id": pc.cast(err_mentions["doc_id"], pa.string()),
+        "sent_id": pa.array([-1] * n, pa.int32()),
+    })
+
+
 def partial_count_triples(batch: pa.Table, keys) -> pa.Table:
     """Per-batch combiner: collapse to one row per distinct key tuple.
 

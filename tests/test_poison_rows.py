@@ -55,13 +55,70 @@ def test_poison_doc_raises_when_asked():
         m(_batch("{not json"))
 
 
-def test_error_rows_flow_through_fused_flagship():
-    """Error rows must not perturb the triple stream (the SVO filter drops
-    them) nor crash the fused TripleCounter chain."""
+def test_error_rows_surface_in_fused_flagship_output():
+    """Poison docs surface as ONE reserved error-triple key in the fused
+    partial counts — the failure stream is part of the output, not only a
+    log line (ADVICE r04 last mile)."""
     from odinson_ray.pipelines.kg import FLAGSHIP_RULES, TripleCounter
 
     out = TripleCounter(FLAGSHIP_RULES)(_batch("{bad"))
     assert "partial_n" in out.column_names  # chain survived the poison doc
-    assert "__error__" not in set(
-        out["subj_canon"].to_pylist() if "subj_canon" in out.column_names else []
-    )
+    err = out.to_pandas().query("subj_canon == 'ent:__error__'")
+    assert len(err) == 1
+    row = err.iloc[0]
+    assert (row.pred, row.subj, row.obj) == ("__error__", "__error__", "__error__")
+    assert row.partial_n == 1  # exactly the one poisoned doc
+
+
+def _poison_corpus(tmp_path, n_docs=20, n_poison=7):
+    import numpy as np
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(n_docs, dtype=np.int64),
+        # "scan" is VB with nsubj->rows dobj->cols in the deterministic
+        # annotation, so every clean doc yields one SVO triple
+        "text": ["scan rows cols now go"] * n_docs,
+        "lang": ["en"] * n_docs,
+        "source": ["src0"] * n_docs,
+        # first n_poison docs carry unparseable metadata JSON
+        "metadata_json": ["{not json"] * n_poison + [None] * (n_docs - n_poison),
+    })
+    df.to_parquet(f"{tmp_path}/documents.parquet", index=False)
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flagship_reports_exact_error_count(tmp_path):
+    """Poison corpus -> the AGGREGATED flagship output contains the
+    reserved error row with n == the exact number of failed docs, on
+    BOTH the fused and the unfused chain."""
+    from odinson_ray.pipelines.kg import triples_dataset
+
+    sf = _poison_corpus(tmp_path, n_docs=20, n_poison=7)
+
+    fused = triples_dataset(sf).to_pandas()
+    err_f = fused.query("subj_canon == 'ent:__error__'")
+    assert len(err_f) == 1 and int(err_f.iloc[0].n) == 7
+
+    # checkpoint_dir forces the unfused stage chain
+    unfused = triples_dataset(
+        sf, checkpoint_dir=f"{tmp_path}/ckpt").to_pandas()
+    err_u = unfused.query("subj_canon == 'ent:__error__'")
+    assert len(err_u) == 1 and int(err_u.iloc[0].n) == 7
+
+    # fused and unfused agree on the full aggregated output
+    cols = ["subj_canon", "pred", "obj_canon", "subj", "obj", "n"]
+    a = fused[cols].sort_values(cols).reset_index(drop=True)
+    b = unfused[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clean_corpus_has_no_error_row(tmp_path):
+    from odinson_ray.pipelines.kg import triples_dataset
+
+    sf = _poison_corpus(tmp_path, n_docs=10, n_poison=0)
+    out = triples_dataset(sf).to_pandas()
+    assert out.query("subj_canon == 'ent:__error__'").empty
+    assert len(out) > 0
