@@ -135,17 +135,18 @@ def dsir_term_table(ct: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def q_dsir_select(sf_dir: str):
-    """DSIR data selection: top-{k} documents by hashed-bigram
-    importance weight toward the '{tgt}' target domain.
+    """DSIR data selection: top-k (_DSIR_K=50) documents by
+    hashed-bigram importance weight toward the _DSIR_TARGET ('en')
+    domain.
 
-    Shape: pass 1 is a bounded-domain combiner groupby ({B} buckets —
-    the only thing the driver ever holds); the {B}-entry int64 term
-    table is ``ray.put`` once and read by every scoring task; pass 2
-    scores each doc with one vectorized ``tm[buckets].sum()`` and
-    prunes to the batch-local top-{k} before the global sort
-    (global_topk), so the sort input is <= k rows per block. Documents
-    with no bigram (< 2 tokens) carry no evidence and are excluded on
-    both sides.""".format(k=_DSIR_K, tgt=_DSIR_TARGET, B=_DSIR_B)
+    Shape: pass 1 is a bounded-domain combiner groupby (_DSIR_B=256
+    buckets — the only thing the driver ever holds); the 256-entry
+    int64 term table is ``ray.put`` once and read by every scoring
+    task; pass 2 scores each doc with one vectorized
+    ``tm[buckets].sum()`` and prunes to the batch-local top-k before
+    the global sort (global_topk), so the sort input is <= k rows per
+    block. Documents with no bigram (< 2 tokens) carry no evidence and
+    are excluded on both sides."""
     import ray
 
     from odinson_ray.stages.link import get_broadcast
@@ -249,6 +250,12 @@ def q_dedup_delta(sf_dir: str):
     def delta_fp(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t["source"], value_set=delta_set))
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # the zero-padded packing's lexicographic-min == numeric-min
+        # invariant (and the fixed 20-char unpack slice) requires
+        # non-negative doc ids — fail loudly, not wrongly (ADVICE r04)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("dedup_delta: negative doc_id breaks the "
+                             "zero-padded Min-representative packing")
         src = t["source"].to_pylist()
         return pa.table({
             "h": content_fingerprints(t["text"]),

@@ -37,17 +37,18 @@ _BGP_P2 = "join"
 
 
 def q_kg_bgp_query(sf_dir: str):
-    """Answer the star BGP ``?x {p1} ?y . ?x {p2} ?z``: every subject
-    with at least one edge of EACH predicate, its per-arm match counts,
-    the total binding count n_{p1} x n_{p2}, and the lexicographically
-    first witness object per arm.
+    """Answer the star BGP ``?x scan ?y . ?x join ?z``
+    (_BGP_P1/_BGP_P2): every subject with at least one edge of EACH
+    predicate, its per-arm match counts, the total binding count
+    n_scan x n_join, and the lexicographically first witness object
+    per arm.
 
     Shape: the shared distinct-(pred, s, o) front end is filtered to
     the two pattern predicates at the batch level; a per-batch combiner
     collapses to one (s, n_p1, n_p2, w_p1, w_p2) partial row per
     subject per batch; ONE groupby(s) (Sum/Sum/Min/Min) finishes — no
     join, no binding materialization, nothing per-subject beyond the
-    aggregate row.""".format(p1=_BGP_P1, p2=_BGP_P2)
+    aggregate row."""
     from ray.data.aggregate import Min, Sum
 
     from .queries5 import _kg_distinct_spo

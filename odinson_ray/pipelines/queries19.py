@@ -127,11 +127,11 @@ _LEN_BUCKET = 50
 
 def q_k_anonymity_risk(sf_dir: str):
     """Quasi-identifier combinations (lang, source,
-    n_chars // {b}) with fewer than k={k} documents — the groups a
-    release gate must suppress or generalize. Shape: one per-batch
-    count combiner + one bounded-domain groupby (|langs| x |sources| x
-    |length buckets| rows); only violating combos (plus their counts)
-    reach the driver.""".format(b=_LEN_BUCKET, k=_KANON_K)
+    n_chars // 50) with fewer than k=5 documents (_LEN_BUCKET /
+    _KANON_K) — the groups a release gate must suppress or generalize.
+    Shape: one per-batch count combiner + one bounded-domain groupby
+    (|langs| x |sources| x |length buckets| rows); only violating
+    combos (plus their counts) reach the driver."""
     from ray.data.aggregate import Sum
 
     from odinson_ray.stages.shuffle import rename_agg
@@ -187,14 +187,16 @@ _ND_THRESHOLD = 0.95
 
 
 def q_neardup_delta(sf_dir: str):
-    """Near-duplicate incremental dedup — dedup_delta's fuzzy sibling and
-    the shape a recurring-crawl pipeline actually runs: drop a delta-
-    shard document when its token-Jaccard similarity to ANY base-corpus
-    document reaches {t}, or to a LOWER-id delta document (greedy
-    keep-first within the delta; non-recursive by construction, so the
-    rule is one EXISTS per side, not a connected-components pass).
+    """Near-duplicate incremental dedup — dedup_delta's fuzzy sibling
+    and the shape a recurring-crawl pipeline actually runs: drop a
+    delta-shard document when its token-Jaccard similarity to ANY
+    base-corpus document reaches 0.95 (_ND_THRESHOLD), or to ANY
+    lower-id delta document (non-recursive, not survivor-dependent: the
+    partner drops it even if that partner was itself dropped — one
+    EXISTS per side, not keep-first chain semantics and not a
+    connected-components pass; SCALE.md documents the choice).
 
-    Shape: the exact >= {t} pair set comes from the AllPairs prefix
+    Shape: the exact >= 0.95 pair set comes from the AllPairs prefix
     filter (stages/dedup.prefix_jaccard_pairs — candidate prefixes on
     globally rarest tokens, adaptive exact verify); two
     ``adaptive_inner_join``s attach is-delta flags to the pair
@@ -203,7 +205,7 @@ def q_neardup_delta(sf_dir: str):
     batch emitting dropped ids; survivors come from ONE distributed
     anti join (duplicate right rows tolerated, so no global distinct).
     Every stage is corpus-partitioned; nothing corpus-sized touches the
-    driver.""".format(t=_ND_THRESHOLD)
+    driver."""
     from odinson_ray.stages.dedup import prefix_jaccard_pairs
 
     pairs = prefix_jaccard_pairs(sf_dir, threshold=_ND_THRESHOLD)

@@ -192,15 +192,15 @@ _PATH_MID_CAP = 1000
 def q_kg_path_patterns(sf_dir: str):
     """2-hop relation-path schema induction: counts of paths
     a -r1-> m -r2-> c per predicate pair (r1, r2) — the composition
-    statistics a KG materializes before mining longer rules. Middles
-    whose in- OR out-degree exceeds {cap} are excluded (the hub bound:
+    statistics a KG materializes before mining longer rules. Middles whose in-
+    OR out-degree exceeds _PATH_MID_CAP (1000) are excluded (the hub bound:
     one middle contributes indeg x outdeg paths, so an uncapped hub is
     the deg^2 wedge problem degree-oriented triangles solve; the cap is
     enforced INSIDE the join reducer where both group sizes are already
     known, and the oracle applies the identical filter). Per-group
     output is the (r1-count x r2-count) OUTER PRODUCT of per-predicate
     tallies — path counts without materializing the path cross
-    product.""".format(cap=_PATH_MID_CAP)
+    product."""
     from ray.data.aggregate import Sum
 
     from odinson_ray.stages.shuffle import hash_join
