@@ -7,12 +7,61 @@ Type a pattern to see highlighted matches; ``:limit N`` sets the preview
 size; ``:corpus`` prints corpus stats; ``:quit`` exits. Over an sf dir the
 shell runs the pattern through the distributed matcher with ``ds.limit``
 previews; over a fixture it uses the in-memory engine.
+
+TAB completes commands and the corpus's dependency vocabulary as
+``>label`` / ``<label`` traversal steps (reference parity:
+extra/.../Shell.scala:59-68 builds the same completer from the index's
+dependencies vocabulary; here the vocabulary comes from the fixture's
+sentence graphs or the deterministic annotator's label set).
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+
+
+COMMANDS = (":help", ":limit", ":corpus", ":quit", ":q", ":exit")
+
+
+def dep_completions(labels) -> list:
+    """The reference Shell's autocomplete option list: every dependency
+    label as an outgoing (>label) and incoming (<label) traversal step,
+    plus the shell commands (Shell.scala:59-68)."""
+    opts = []
+    for lab in sorted(set(labels)):
+        opts.append(f">{lab}")
+        opts.append(f"<{lab}")
+    return opts + list(COMMANDS)
+
+
+def install_completer(options) -> None:
+    """Wire ``options`` into readline word completion (TAB). No-op when
+    readline is unavailable (non-interactive stdin / exotic platforms)."""
+    try:
+        import readline
+    except ImportError:
+        return
+
+    opts = list(options)
+
+    def complete(text, state):
+        matches = [o for o in opts if o.startswith(text)]
+        return matches[state] if state < len(matches) else None
+
+    readline.set_completer(complete)
+    # keep > and < inside the completed word so ">ns<TAB>" works
+    readline.set_completer_delims(" \t\n")
+    readline.parse_and_bind("tab: complete")
+
+
+def fixture_dep_labels(engine) -> set:
+    labels = set()
+    for doc in engine.docs:
+        for sent in doc.sentences:
+            for adj in sent.graph.outgoing:
+                labels.update(lab for _, lab in adj)
+    return labels
 
 
 def highlight(tokens, start, end):
@@ -26,6 +75,7 @@ def run_fixture_shell(key: str) -> None:
 
     engine = OdinsonEngine.from_fixture(key)
     limit = 10
+    install_completer(dep_completions(fixture_dep_labels(engine)))
     print(f"fixture corpus: {key} ({len(engine.docs[0].sentences)} sentences)")
     for line in _repl():
         if line.startswith(":limit"):
@@ -61,6 +111,11 @@ def run_dataset_shell(sf_dir: str) -> None:
     from .sources.interleaved import read_interleaved
     from .stages.match import GrammarMatcher
 
+    # the deterministic annotator's dependency vocabulary (the dataset
+    # shell's corpus is annotated with exactly these labels)
+    from .stages.annotate import GROUP_LABELS
+
+    install_completer(dep_completions(list(GROUP_LABELS) + ["conj"]))
     limit = 10
     print(f"corpus: {sf_dir}")
     for line in _repl():
