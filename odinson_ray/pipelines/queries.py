@@ -7379,3 +7379,7 @@ _q18.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)
 from . import queries19 as _q19  # noqa: E402
 
 _q19.register(QUERIES, ORACLES)
+
+from . import queries20 as _q20  # noqa: E402
+
+_q20.register(QUERIES, ORACLES)

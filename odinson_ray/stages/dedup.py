@@ -964,3 +964,154 @@ def segmented_window_pairs(rows, max_window_docs: int | None,
             .groupby("_p")
             .map_groups(lambda g: pair_partition(g.drop_columns(["_p"])),
                         batch_format="pyarrow"))
+
+
+# ------------------------------------------- duplicated-passage coverage
+
+def window_instance_rows(batch: pa.Table, window: int = 8) -> pa.Table:
+    """(w, doc_id, start, n) rows: one row per TOKEN POSITION whose
+    ``window``-token span starts there (0-based start; ``n`` = the
+    doc's token count). Position-level sibling of passage_window_rows —
+    coverage needs starts, so within-doc repeats of the same window
+    text emit one row per position here. md5 is cached per unique
+    window text per batch, so the hash count stays |unique windows|."""
+    out_w: List[str] = []
+    out_d: List[int] = []
+    out_s: List[int] = []
+    out_n: List[int] = []
+    cache: dict = {}
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = text.split(" ") if text else []
+        nt = len(toks)
+        k = nt - window + 1
+        if k <= 0:
+            continue
+        for i in range(k):
+            key = " ".join(toks[i : i + window])
+            h = cache.get(key)
+            if h is None:
+                h = hashlib.md5(key.encode("utf-8")).hexdigest()
+                cache[key] = h
+            out_w.append(h)
+            out_d.append(int(doc_id))
+            out_s.append(i)
+            out_n.append(nt)
+    return pa.table({
+        "w": pa.array(out_w, pa.string()),
+        "doc_id": pa.array(out_d, pa.int64()),
+        "start": pa.array(out_s, pa.int64()),
+        "n": pa.array(out_n, pa.int64()),
+    })
+
+
+def dup_passage_coverage(sf_dir: str, window: int = 8, parts: int = 512):
+    """Per-document duplicated-passage coverage — the REMOVAL-side
+    statistic of exact-substring training-data dedup (Lee et al. 2022's
+    dedup step quantified per doc; shared_passage_pairs is the
+    detection/pairing side): for every doc owning at least one
+    ``window``-token span that also occurs in ANOTHER doc, the count of
+    its token positions covered by such shared spans and the covered
+    fraction.
+
+    Shape: position rows shuffle ONCE on the window hash (never text);
+    a segmented kernel keeps instances of windows with >= 2 DISTINCT
+    docs (a k-hot boilerplate window emits k rows — linear, unlike
+    pairing, so no hot-window cap is needed here); survivors shuffle
+    ONCE on doc_id and a segmented interval-union kernel computes
+    coverage as sum(min(next_start - start, window)) over sorted
+    starts. Output: (doc_id, n_tokens, dup_tokens, dup_frac)."""
+    import pyarrow.compute as pc
+
+    from ..sources.io import clean_rd as rd
+    from .sketch import _splitmix64
+
+    rows = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(lambda t: window_instance_rows(t, window),
+                     batch_format="pyarrow")
+    )
+
+    def part_by_w(t: pa.Table) -> pa.Table:
+        import zlib
+
+        h = np.array([zlib.crc32(x.encode()) for x in t["w"].to_pylist()],
+                     dtype=np.uint64)
+        p = (_splitmix64(h) % np.uint64(parts)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def shared_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "start": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        o = pc.sort_indices(g, sort_keys=[("w", "ascending"),
+                                          ("doc_id", "ascending")])
+        g = g.take(o)
+        w = np.asarray(g["w"].to_pylist(), dtype=object)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        nrow = len(d)
+        neww = np.ones(nrow, dtype=bool)
+        neww[1:] = w[1:] != w[:-1]
+        # distinct-doc count per window run: doc changes within the run
+        newd = np.ones(nrow, dtype=bool)
+        newd[1:] = neww[1:] | (d[1:] != d[:-1])
+        run_id = np.cumsum(neww) - 1
+        distinct = np.bincount(run_id[newd])
+        keep = distinct[run_id] >= 2
+        return g.filter(pa.array(keep)).select(["doc_id", "start", "n"])
+
+    shared = (rows.map_batches(part_by_w, batch_format="pyarrow")
+              .groupby("_p")
+              .map_groups(lambda g: shared_partition(g.drop_columns(["_p"])),
+                          batch_format="pyarrow"))
+
+    def part_by_doc(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(d) % np.uint64(parts)).astype(np.int64)
+        return t.append_column("_p", pa.array(p, pa.int64()))
+
+    def coverage_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "dup_tokens": pa.array([], pa.int64()),
+                          "dup_frac": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        o = pc.sort_indices(g, sort_keys=[("doc_id", "ascending"),
+                                          ("start", "ascending")])
+        g = g.take(o)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        s = g["start"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        nrow = len(d)
+        newd = np.ones(nrow, dtype=bool)
+        newd[1:] = d[1:] != d[:-1]
+        # interval union of fixed-width windows over sorted starts:
+        # each start covers min(next_start - start, window); a doc's
+        # last window covers the full width
+        nxt = np.empty(nrow, dtype=np.int64)
+        nxt[:-1] = s[1:]
+        nxt[-1] = s[-1] + window
+        last_of_doc = np.zeros(nrow, dtype=bool)
+        last_of_doc[:-1] = newd[1:]
+        last_of_doc[-1] = True
+        span = np.where(last_of_doc, window, np.minimum(nxt - s, window))
+        doc_idx = np.cumsum(newd) - 1
+        cov = np.bincount(doc_idx, weights=span).astype(np.int64)
+        docs = d[newd]
+        ntok = n[newd]
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "dup_tokens": pa.array(cov, pa.int64()),
+            "dup_frac": pa.array(
+                np.round(cov / ntok.astype(np.float64), 6), pa.float64()),
+        })
+
+    return (shared.map_batches(part_by_doc, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(lambda g: coverage_partition(g.drop_columns(["_p"])),
+                        batch_format="pyarrow"))
