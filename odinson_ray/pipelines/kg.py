@@ -229,20 +229,10 @@ def triples_dataset(sf_dir: str, rules_yaml: str = FLAGSHIP_RULES,
         # no nested-mentions object-store hop — see TripleCounter)
         return fused_triple_counts(sf_dir, rules_yaml, concurrency=concurrency,
                                    batch_size=batch_size)
+    from ..stages.triples import svo_or_error_triples
+
     mentions = mentions_dataset(sf_dir, rules_yaml, concurrency=concurrency,
                                 batch_size=batch_size)
-
-    def svo_or_error_triples(t):
-        from ..stages.match import GrammarMatcher
-        from ..stages.triples import error_triples
-
-        out = mentions_to_triples(t.filter(pc.equal(t["label"], "SVO")))
-        errs = t.filter(pc.equal(t["label"], GrammarMatcher.ERROR_LABEL))
-        if errs.num_rows:
-            # same reserved error-triple stream as the fused path
-            out = pa.concat_tables([out, error_triples(errs)])
-        return out
-
     raw_triples = mentions.map_batches(svo_or_error_triples,
                                        batch_format="pyarrow")
     if not canonicalize:

@@ -135,6 +135,20 @@ def error_triples(err_mentions: pa.Table) -> pa.Table:
     })
 
 
+def svo_or_error_triples(t: pa.Table) -> pa.Table:
+    """Shared mention->triple projection for every flagship path: SVO
+    events project via ``mentions_to_triples``; __error__ mentions
+    (GrammarMatcher.ERROR_LABEL poison-doc stand-ins) become reserved
+    error triples so the failure stream stays part of the output."""
+    import pyarrow.compute as pc
+
+    out = mentions_to_triples(t.filter(pc.equal(t["label"], "SVO")))
+    errs = t.filter(pc.equal(t["label"], ERROR_SURFACE))
+    if errs.num_rows:
+        out = pa.concat_tables([out, error_triples(errs)])
+    return out
+
+
 def partial_count_triples(batch: pa.Table, keys) -> pa.Table:
     """Per-batch combiner: collapse to one row per distinct key tuple.
 

@@ -170,6 +170,28 @@ def run_sharded(
     return manifest.completed()
 
 
+def _doc_columns(sf_dir: str) -> list:
+    """Shard-runner read columns: the four the deterministic annotation
+    derives from, plus caller-supplied metadata columns present in the
+    footer (same sniff as pipelines/kg._read_docs — pruning them
+    silently hid a corpus's metadata from the matcher)."""
+    import pyarrow.parquet as pq
+
+    present = set(pq.read_schema(f"{sf_dir}/documents.parquet").names)
+    return (["doc_id", "text", "lang", "source"]
+            + [c for c in ("metadata", "metadata_json") if c in present])
+
+
+def _count_error_triples(shard_out: str) -> int:
+    """Count reserved error triples in a written shard: a predicate
+    filter over the pred column only (statistics/dictionary pushdown;
+    never re-reads the payload columns)."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(shard_out).count_rows(
+        filter=pads.field("pred") == "__error__")
+
+
 def kg_run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,
                    rules_yaml: Optional[str] = None, concurrency: int = 4) -> Dict[str, dict]:
     """Checkpointed flagship run: documents split into doc_id-range shards;
@@ -179,9 +201,8 @@ def kg_run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,
     from ..sources.io import clean_rd as rd
 
     from ..pipelines.kg import FLAGSHIP_RULES
-    from ..sources.interleaved import build_interleaved
     from ..stages.match import GrammarMatcher, clamp_pool
-    from ..stages.triples import mentions_to_triples
+    from ..stages.triples import svo_or_error_triples
 
     rules = rules_yaml or FLAGSHIP_RULES
     n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
@@ -191,7 +212,7 @@ def kg_run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,
         i = int(shard)
         lo, hi = bounds[i], bounds[i + 1]
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "lang", "source"])
+                               columns=_doc_columns(sf_dir))
         docs = docs.map_batches(
             # replace_schema_metadata: the source parquet's b'pandas'
             # metadata makes pa.Schema unhashable and defeats Ray Data's
@@ -201,7 +222,11 @@ def kg_run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,
             ).replace_schema_metadata(None),
             batch_format="pyarrow",
         )
-        mentions = docs.map_batches(build_interleaved, batch_format="pyarrow").map_batches(
+        # interleaving runs INSIDE the matcher actors (raw-table input):
+        # the standalone build_interleaved stage both shipped the nested
+        # spans column through the object store AND dropped any
+        # caller-supplied metadata columns before the matcher saw them
+        mentions = docs.map_batches(
             GrammarMatcher,
             fn_constructor_args=(rules,),
             batch_format="pyarrow",
@@ -209,17 +234,18 @@ def kg_run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,
             batch_size=256,
             num_cpus=1,
         )
-        events = mentions.map_batches(
-            lambda t: t.filter(pc.equal(t["label"], "SVO")), batch_format="pyarrow"
-        )
-        triples = events.map_batches(mentions_to_triples, batch_format="pyarrow")
+        triples = mentions.map_batches(svo_or_error_triples,
+                                       batch_format="pyarrow")
         triples.write_parquet(shard_out)
-        n_triples = sum(
+        n_rows = sum(
             pq.read_metadata(os.path.join(shard_out, f)).num_rows
             for f in os.listdir(shard_out)
             if f.endswith(".parquet")
         )
-        return {"docs": hi - lo, "triples": n_triples}
+        n_err = _count_error_triples(shard_out)
+        # lineage carries the failure stream per shard (ADVICE r04 last
+        # mile): a resumed 100-TB run can audit errors without re-reading
+        return {"docs": hi - lo, "triples": n_rows - n_err, "errors": n_err}
 
     return run_sharded([str(i) for i in range(num_shards)], run_shard, out_dir)
 
@@ -264,9 +290,8 @@ def kg_run_fragments(sf_dir: str, out_dir: str, fragments, rules_yaml: Optional[
     from ..sources.io import clean_rd as rd
 
     from ..pipelines.kg import FLAGSHIP_RULES
-    from ..sources.interleaved import build_interleaved
     from ..stages.match import GrammarMatcher, clamp_pool
-    from ..stages.triples import mentions_to_triples
+    from ..stages.triples import svo_or_error_triples
 
     rules = rules_yaml or FLAGSHIP_RULES
     frags = [f if len(f) == 4 else (*f, None) for f in fragments]
@@ -276,7 +301,7 @@ def kg_run_fragments(sf_dir: str, out_dir: str, fragments, rules_yaml: Optional[
     def run_shard(shard: str, shard_out: str) -> dict:
         lo, hi = bounds[shard]
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "lang", "source"])
+                               columns=_doc_columns(sf_dir))
         docs = docs.map_batches(
             # replace_schema_metadata: the source parquet's b'pandas'
             # metadata makes pa.Schema unhashable and defeats Ray Data's
@@ -286,20 +311,20 @@ def kg_run_fragments(sf_dir: str, out_dir: str, fragments, rules_yaml: Optional[
             ).replace_schema_metadata(None),
             batch_format="pyarrow",
         )
-        mentions = docs.map_batches(build_interleaved, batch_format="pyarrow").map_batches(
+        # raw-table input: interleave inside the matcher (see kg_run_sharded)
+        mentions = docs.map_batches(
             GrammarMatcher, fn_constructor_args=(rules,), batch_format="pyarrow",
             concurrency=clamp_pool(concurrency), batch_size=256, num_cpus=1,
         )
-        events = mentions.map_batches(
-            lambda t: t.filter(pc.equal(t["label"], "SVO")), batch_format="pyarrow"
-        )
-        triples = events.map_batches(mentions_to_triples, batch_format="pyarrow")
+        triples = mentions.map_batches(svo_or_error_triples,
+                                       batch_format="pyarrow")
         triples.write_parquet(shard_out)
-        n_triples = sum(
+        n_rows = sum(
             pq.read_metadata(os.path.join(shard_out, f)).num_rows
             for f in os.listdir(shard_out) if f.endswith(".parquet")
         )
-        return {"docs": hi - lo, "triples": n_triples}
+        n_err = _count_error_triples(shard_out)
+        return {"docs": hi - lo, "triples": n_rows - n_err, "errors": n_err}
 
     return run_sharded([name for name, _, _, _ in frags], run_shard, out_dir,
                        versions=versions, retract_missing=retract_missing)

@@ -122,3 +122,25 @@ def test_clean_corpus_has_no_error_row(tmp_path):
     out = triples_dataset(sf).to_pandas()
     assert out.query("subj_canon == 'ent:__error__'").empty
     assert len(out) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_lineage_records_error_counts(tmp_path):
+    """The checkpoint manifest's per-shard lineage carries the exact
+    failed-doc count, and the written shard parquet contains the
+    reserved error triples."""
+    from odinson_ray.state.checkpoint import kg_run_sharded
+
+    sf = _poison_corpus(tmp_path, n_docs=20, n_poison=7)
+    out = f"{tmp_path}/kg_out"
+    manifest = kg_run_sharded(sf, out, num_shards=2, concurrency=2)
+    assert sum(rec["errors"] for rec in manifest.values()) == 7
+    assert sum(rec["docs"] for rec in manifest.values()) == 20
+    # triples metric excludes the error rows
+    import pyarrow.dataset as pads
+
+    for shard, rec in manifest.items():
+        d = pads.dataset(f"{out}/shard={shard}")
+        n_err = d.count_rows(filter=pads.field("pred") == "__error__")
+        assert n_err == rec["errors"]
+        assert d.count_rows() - n_err == rec["triples"]
