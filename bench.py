@@ -127,6 +127,11 @@ BENCH_QUERIES = [
     # pair output + exact verify) — inherent to the synthetic corpus,
     # not the operator's shape.
     "neardup_delta_banded",
+    # round-5 batch-1 additions
+    "dup_passage_coverage",
+    "kg_reach_counts",
+    "cube_lineitem",
+    "attribution_first_touch",
 ]
 
 

@@ -7382,4 +7382,4 @@ _q19.register(QUERIES, ORACLES)
 
 from . import queries20 as _q20  # noqa: E402
 
-_q20.register(QUERIES, ORACLES)
+_q20.register(QUERIES, ORACLES, _KG_TRIPLES_BODY)

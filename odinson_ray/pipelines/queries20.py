@@ -1,16 +1,26 @@
-"""Round-5 batch 1: the removal-side statistic of exact-substring
-training-data dedup.
+"""Round-5 batch 1.
 
 - ``dup_passage_coverage``: per document, the token positions covered
   by 8-token spans that also occur in ANOTHER document (Lee et al.
   2022's substring-dedup step quantified per doc; the pairing side is
   ``shared_passages``). Only docs with >= 1 shared span appear.
+- ``kg_reach_counts``: per-entity transitive-closure size over the
+  canonical triple graph via PATH DOUBLING (log-diameter hash joins).
+- ``cube_lineitem``: GROUP BY CUBE(returnflag, linestatus) — grouping
+  sets derived from the distributed base cells.
+- ``attribution_first_touch``: marketing-style first-touch attribution
+  of purchase events within a 24 h lookback, (user, time-bucket)
+  two-stage.
 
 Registered by ``pipelines/queries.py``; each ``q_*`` takes ``sf_dir``;
 oracle column names match exactly.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 _WINDOW = 8
 
@@ -47,6 +57,220 @@ FROM cov
 """
 
 
-def register(queries: dict, oracles: dict) -> None:
+_REACH_MAX_ROUNDS = 20
+
+
+def q_kg_reach_counts(sf_dir: str):
+    """Per-entity reachability-set size (transitive closure row counts)
+    over the canonical directed triple graph, via PATH DOUBLING:
+    R <- distinct(R ∪ R∘E) iterated to fixpoint — O(log diameter) hash
+    joins, each shuffling only the current closure relation. Intended
+    for the bounded relation subgraphs a KG actually closes over
+    (ontology/subclass arms); the closure itself can be O(n^2) rows on
+    a dense graph, which is output size, not algorithm shape. A node
+    reaches itself only through a real cycle (paths of length >= 1),
+    matching the recursive-CTE oracle."""
+    from ray.data.aggregate import Count
+
+    from odinson_ray.stages.graph import transitive_closure
+
+    from .queries4 import _kg_directed_edges
+
+    R = transitive_closure(_kg_directed_edges(sf_dir),
+                           max_rounds=_REACH_MAX_ROUNDS)
+    counts = R.groupby("src").aggregate(Count(alias_name="n_reach"))
+    return counts.map_batches(
+        lambda t: pa.table({"entity": t["src"], "n_reach": t["n_reach"]}),
+        batch_format="pyarrow")
+
+
+def q_cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) over sum(l_quantity):
+    the distributed work is ONE base-cell aggregate (map-side combined
+    by the per-batch Arrow groupby inside Ray's sort aggregate); the
+    3 rollup grouping sets are derived from the base cells, which are
+    bounded by the dimension domain (|flags| x |statuses| = 6 here) —
+    the standard low-cardinality CUBE plan. Rolled-up dimensions carry
+    the literal 'ALL' (both sides coalesce, avoiding NULL-equality
+    ambiguity in the compare)."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.io import clean_rd as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        from odinson_ray.stages.shuffle import rename_agg
+
+        agg = pa.TableGroupBy(t, keys).aggregate([("l_quantity", "sum")])
+        return rename_agg(agg, keys, keys + ["_q"])
+
+    base = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(keys).aggregate(Sum("_q", alias_name="sum_qty")))
+    # bounded materialization: one row per (flag, status) cell — the
+    # dimension domain, never the table
+    cells = base.take_all()
+    rows = {}
+    for c in cells:
+        for f, st in ((c["l_returnflag"], c["l_linestatus"]),
+                      (c["l_returnflag"], "ALL"),
+                      ("ALL", c["l_linestatus"]),
+                      ("ALL", "ALL")):
+            rows[(f, st)] = rows.get((f, st), 0.0) + c["sum_qty"]
+    out = sorted(rows.items())
+    return pa.table({
+        "l_returnflag": pa.array([k[0] for k, _ in out], pa.string()),
+        "l_linestatus": pa.array([k[1] for k, _ in out], pa.string()),
+        "sum_qty": pa.array([v for _, v in out], pa.float64()),
+    })
+
+
+_ATTR_LOOKBACK_US = 86_400_000_000  # 24 h in timestamp[us] units
+_ATTR_CONV_TYPE = "purchase"
+
+
+def q_attribution_first_touch(sf_dir: str, parts: int = 256):
+    """First-touch attribution: each purchase event attributes to the
+    EARLIEST same-user event (ties: smallest event_id) with
+    ts in [purchase_ts - 24 h, purchase_ts]. An isolated purchase
+    attributes to itself (it is inside its own window).
+
+    Shape: the (key, bucket) two-stage discipline (stages/window.py):
+    bucket = floor(ts / lookback); every event is replicated to
+    (b, b + 1), so a conversion in bucket c sees every candidate of its
+    window inside ONE (user, c) group; conversions are processed only
+    in their OWN bucket's group (the replica copy never re-emits).
+    One hash(user) shuffle; per-partition segmented sort + one
+    np.searchsorted per conversion run. Group size is bounded by
+    events-per-user-per-2-lookbacks, independent of corpus length."""
+    from ..sources.io import clean_rd as rd
+    from odinson_ray.stages.sketch import _splitmix64
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        # normalize to us first: int64-casting a timestamp keeps the
+        # SOURCE unit, and ns-unit inputs would shrink the window 1000x
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = ts // _ATTR_LOOKBACK_US
+        idx = np.repeat(np.arange(len(ts)), 2)
+        grp = np.empty(2 * len(ts), dtype=np.int64)
+        grp[0::2] = b
+        grp[1::2] = b + 1
+        out = t.take(pa.array(idx))
+        out = out.append_column("_grp", pa.array(grp, pa.int64()))
+        out = out.append_column("_own", pa.array(np.repeat(b, 2) == grp,
+                                                 pa.bool_()))
+        u = out["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_splitmix64(u) % np.uint64(parts)).astype(np.int64)
+        return out.append_column("_p", pa.array(p, pa.int64()))
+
+    def resolve_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "first_event_id": pa.array([], pa.int64()),
+            "first_type": pa.array([], pa.string()),
+        })
+        if g.num_rows == 0:
+            return empty
+        o = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                          ("_grp", "ascending"),
+                                          ("ts", "ascending"),
+                                          ("event_id", "ascending")])
+        g = g.take(o)
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        grp = g["_grp"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        own = g["_own"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        n = len(u)
+        newseg = np.ones(n, dtype=bool)
+        newseg[1:] = (u[1:] != u[:-1]) | (grp[1:] != grp[:-1])
+        starts = np.flatnonzero(newseg)
+        bounds = np.append(starts, n)
+        out_e, out_u, out_f, out_t = [], [], [], []
+        for s_, e_ in zip(bounds[:-1], bounds[1:]):
+            seg_ts = ts[s_:e_]
+            conv = np.flatnonzero((typ[s_:e_] == _ATTR_CONV_TYPE) & own[s_:e_])
+            if len(conv) == 0:
+                continue
+            lo = np.searchsorted(seg_ts, seg_ts[conv] - _ATTR_LOOKBACK_US,
+                                 side="left")
+            out_e.append(eid[s_:e_][conv])
+            out_u.append(u[s_:e_][conv])
+            out_f.append(eid[s_:e_][lo])
+            out_t.append(typ[s_:e_][lo])
+        if not out_e:
+            return empty
+        return pa.table({
+            "event_id": pa.array(np.concatenate(out_e), pa.int64()),
+            "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+            "first_event_id": pa.array(np.concatenate(out_f), pa.int64()),
+            "first_type": pa.array(np.concatenate(out_t).tolist(), pa.string()),
+        })
+
+    return (ds.map_batches(replicate, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(lambda g: resolve_partition(g.drop_columns(["_p"])),
+                        batch_format="pyarrow"))
+
+
+ORACLE_CUBE_LINEITEM = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       sum(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""
+
+ORACLE_ATTRIBUTION = """
+WITH e AS (SELECT event_id, user_id, ts, event_type FROM events),
+conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+cand AS (
+  SELECT c.event_id, c.user_id, f.event_id AS f_id, f.ts AS f_ts,
+         f.event_type AS f_type
+  FROM conv c JOIN e f ON f.user_id = c.user_id
+   AND f.ts <= c.ts AND f.ts >= c.ts - INTERVAL 24 HOURS
+),
+best AS (
+  SELECT event_id, user_id, f_id, f_type,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY f_ts, f_id) AS rn
+  FROM cand
+)
+SELECT event_id, user_id, f_id AS first_event_id, f_type AS first_type
+FROM best WHERE rn = 1
+"""
+
+
+def _reach_oracle(body: str) -> str:
+    return f"""
+WITH RECURSIVE trip AS ({body}),
+edges AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst FROM trip),
+reach(src, v) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT src AS entity, count(*) AS n_reach FROM reach GROUP BY src
+"""
+
+
+def register(queries: dict, oracles: dict, kg_triples_body: str) -> None:
     queries["dup_passage_coverage"] = q_dup_passage_coverage
     oracles["dup_passage_coverage"] = ORACLE_DUP_PASSAGE_COVERAGE
+    queries["kg_reach_counts"] = q_kg_reach_counts
+    oracles["kg_reach_counts"] = _reach_oracle(kg_triples_body)
+    queries["cube_lineitem"] = q_cube_lineitem
+    oracles["cube_lineitem"] = ORACLE_CUBE_LINEITEM
+    queries["attribution_first_touch"] = q_attribution_first_touch
+    oracles["attribution_first_touch"] = ORACLE_ATTRIBUTION

@@ -689,3 +689,40 @@ def maximal_independent_set(edges, max_rounds: int = 30,
             f"maximal_independent_set: max_rounds={max_rounds} reached "
             "before the active set emptied")
     return mis
+
+
+def transitive_closure(edges, max_rounds: int = 20):
+    """Distinct directed transitive closure (paths of length >= 1) via
+    PATH DOUBLING: R <- distinct(R ∪ R∘E) to fixpoint — O(log diameter)
+    hash joins, each shuffling only the current closure relation. The
+    closure can be O(n^2) rows on a dense graph (output size, not
+    algorithm shape); intended for the bounded relation subgraphs a KG
+    closes over (ontology/subclass arms)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from .shuffle import hash_join
+
+    str_t = pa.string()
+    hop = edges.map_batches(
+        lambda t: pa.table({"mid": t["src"], "nxt": t["dst"]}),
+        batch_format="pyarrow").materialize()
+
+    R = edges.materialize()
+    n = R.count()
+    for _ in range(max_rounds):
+        grown = hash_join(
+            R, hop, on="dst", right_on="mid",
+            left_schema=pa.schema([("src", str_t), ("dst", str_t)]),
+            right_schema=pa.schema([("mid", str_t), ("nxt", str_t)]))
+        new_pairs = grown.map_batches(
+            lambda t: pa.table({"src": t["src"], "dst": t["nxt"]}),
+            batch_format="pyarrow")
+        R = (R.union(new_pairs)
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]).materialize())
+        n2 = R.count()
+        if n2 == n:
+            return R
+        n = n2
+    raise RuntimeError(f"closure did not converge in {max_rounds} doublings")

@@ -1,0 +1,89 @@
+"""Round-5 batch-1 operators: transitive closure, CUBE, first-touch
+attribution — semantics pinned on hand-built inputs (the DuckDB oracles
+are the driver-side gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_transitive_closure_cycle_and_chain():
+    import pyarrow as pa
+    import ray.data as rdata
+
+    from odinson_ray.stages.graph import transitive_closure
+
+    # chain a->b->c->d plus cycle x<->y
+    edges = pa.table({
+        "src": pa.array(["a", "b", "c", "x", "y"], pa.string()),
+        "dst": pa.array(["b", "c", "d", "y", "x"], pa.string()),
+    })
+    got = {(r["src"], r["dst"])
+           for r in transitive_closure(rdata.from_arrow(edges)).take_all()}
+    expect = {("a", "b"), ("a", "c"), ("a", "d"),
+              ("b", "c"), ("b", "d"), ("c", "d"),
+              ("x", "y"), ("y", "x"),
+              ("x", "x"), ("y", "y")}  # self-reach only through the cycle
+    assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_totals_consistent(sf_dir):
+    from odinson_ray.pipelines.queries20 import q_cube_lineitem
+
+    out = q_cube_lineitem(sf_dir).to_pandas()
+    grand = out.query("l_returnflag == 'ALL' and l_linestatus == 'ALL'")
+    assert len(grand) == 1
+    base = out.query("l_returnflag != 'ALL' and l_linestatus != 'ALL'")
+    assert np.isclose(base.sum_qty.sum(), grand.sum_qty.iloc[0])
+    # each 1-dim rollup also sums to the grand total
+    for col in ("l_returnflag", "l_linestatus"):
+        other = ("l_linestatus" if col == "l_returnflag" else "l_returnflag")
+        roll = out[(out[col] != "ALL") & (out[other] == "ALL")]
+        assert np.isclose(roll.sum_qty.sum(), grand.sum_qty.iloc[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_attribution_window_and_ties(tmp_path):
+    from odinson_ray.pipelines.queries20 import q_attribution_first_touch
+
+    US = 1_000_000
+    H = 3600 * US
+    rows = [
+        # user 1: view at t0, click at t0+1h, purchase at t0+2h
+        # -> attributes to the view
+        (10, 1, 0 * H, "view"),
+        (11, 1, 1 * H, "click"),
+        (12, 1, 2 * H, "purchase"),
+        # user 2: an event JUST OUTSIDE the 24h window (25h before),
+        # then an isolated purchase -> attributes to itself
+        (20, 2, 0 * H, "view"),
+        (21, 2, 25 * H, "purchase"),
+        # user 3: boundary-inclusive — view exactly 24h before purchase
+        (30, 3, 0 * H, "view"),
+        (31, 3, 24 * H, "purchase"),
+        # user 4: two events at the SAME ts -> min event_id wins
+        (41, 4, 0 * H, "click"),
+        (40, 4, 0 * H, "view"),
+        (42, 4, 1 * H, "purchase"),
+        # user 5: purchase then later events (never look forward)
+        (50, 5, 0 * H, "purchase"),
+        (51, 5, 1 * H, "view"),
+    ]
+    base = pd.Timestamp("2024-01-05").value // 1000  # us epoch
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "off", "event_type"])
+    df["ts"] = pd.to_datetime((base + df.off) * 1000)
+    df = df.drop(columns=["off"])
+    df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+
+    out = (q_attribution_first_touch(str(tmp_path))
+           .to_pandas().set_index("event_id").sort_index())
+    assert out.loc[12].first_event_id == 10 and out.loc[12].first_type == "view"
+    assert out.loc[21].first_event_id == 21  # isolated: itself
+    assert out.loc[31].first_event_id == 30  # 24h boundary inclusive
+    assert out.loc[42].first_event_id == 40  # same-ts tie: min event_id
+    assert out.loc[50].first_event_id == 50  # never attributes forward
+    assert set(out.index) == {12, 21, 31, 42, 50}
