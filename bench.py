@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "kg_reach_counts",
     "cube_lineitem",
     "attribution_first_touch",
+    "kg_bowtie",
+    "compression_quality",
 ]
 
 

@@ -252,6 +252,82 @@ FROM best WHERE rn = 1
 """
 
 
+def q_kg_bowtie(sf_dir: str, max_rounds: int = 50):
+    """Bow-tie decomposition of the canonical triple graph around the
+    seed entity's strongly-connected component (Broder et al. 2000's
+    web-graph anatomy): SCC = forward ∩ backward reach of the seed
+    (max-out-degree, ties lexicographic — the shared kg seed rule),
+    IN = backward-only (reaches the SCC), OUT = forward-only (reached
+    from it), OTHER = the rest. Shape: two BFS fixpoints
+    (stages/graph.reach_fixpoint, the Fleischer-Hendrickson-Pinar
+    building block shared with kg_scc_seed) + semi/anti hash joins —
+    nothing beyond vertex sets ever materializes."""
+    from odinson_ray.stages.graph import bowtie_parts
+
+    from .queries4 import _kg_directed_edges, _kg_seed
+
+    edges = _kg_directed_edges(sf_dir)
+    return bowtie_parts(edges, _kg_seed(edges), max_rounds=max_rounds)
+
+
+def _bowtie_oracle(body: str) -> str:
+    return f"""
+WITH RECURSIVE trip AS ({body}),
+edges AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst FROM trip),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+seed AS (SELECT src AS v FROM deg ORDER BY d DESC, src LIMIT 1),
+fw(v) AS (
+  SELECT v FROM seed
+  UNION
+  SELECT e.dst FROM fw JOIN edges e ON e.src = fw.v
+),
+bw(v) AS (
+  SELECT v FROM seed
+  UNION
+  SELECT e.src FROM bw JOIN edges e ON e.dst = bw.v
+),
+ents AS (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges))
+SELECT v AS entity,
+       CASE WHEN v IN (SELECT v FROM fw) AND v IN (SELECT v FROM bw)
+              THEN 'SCC'
+            WHEN v IN (SELECT v FROM bw) THEN 'IN'
+            WHEN v IN (SELECT v FROM fw) THEN 'OUT'
+            ELSE 'OTHER' END AS part
+FROM ents
+"""
+
+
+def q_compression_quality(sf_dir: str):
+    """Per-document zlib compression ratio — the compressibility quality
+    signal pre-training curation pipelines use to flag boilerplate /
+    repetitive text (highly compressible => low information density).
+    Zero shuffle: one map_batches; per-row zlib over utf-8 bytes is the
+    feature extraction (bounded per row), everything around it columnar.
+    No SQL oracle (DuckDB has no zlib) — pinned by a recompute twin
+    pytest; rows-only driver check."""
+    import zlib
+
+    from ..sources.io import clean_rd as rd
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        raw = [len(x.encode("utf-8")) if x else 0 for x in texts]
+        comp = [len(zlib.compress(x.encode("utf-8"), 6)) if x else 0
+                for x in texts]
+        ratio = [round(c / r, 6) if r else 0.0 for c, r in zip(comp, raw)]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "raw_len": pa.array(raw, pa.int64()),
+            "comp_len": pa.array(comp, pa.int64()),
+            "comp_ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
 def _reach_oracle(body: str) -> str:
     return f"""
 WITH RECURSIVE trip AS ({body}),
@@ -274,3 +350,8 @@ def register(queries: dict, oracles: dict, kg_triples_body: str) -> None:
     oracles["cube_lineitem"] = ORACLE_CUBE_LINEITEM
     queries["attribution_first_touch"] = q_attribution_first_touch
     oracles["attribution_first_touch"] = ORACLE_ATTRIBUTION
+    queries["kg_bowtie"] = q_kg_bowtie
+    oracles["kg_bowtie"] = _bowtie_oracle(kg_triples_body)
+    queries["compression_quality"] = q_compression_quality
+    # no oracle for compression_quality BY DESIGN (no zlib in SQL);
+    # pinned by the recompute-twin pytest

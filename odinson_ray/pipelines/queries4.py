@@ -1599,8 +1599,7 @@ def q_kg_scc_seed(sf_dir: str, max_rounds: int = 50):
     full SCC decomposition recurses on the partition remainder. Oracle:
     two recursive CTEs (DuckDB's UNION-distinct recursion terminates on
     cycles) intersected."""
-    from ray.data.aggregate import Count
-
+    from odinson_ray.stages.graph import reach_fixpoint
     from odinson_ray.stages.shuffle import hash_join
 
     str_t = pa.string()
@@ -1608,36 +1607,9 @@ def q_kg_scc_seed(sf_dir: str, max_rounds: int = 50):
     edges = _kg_directed_edges(sf_dir)
     seed_v = _kg_seed(edges)
 
-    import ray.data as rdn
-
-    e_schema = pa.schema([("src", str_t), ("dst", str_t)])
-
     def reach(direction: str):
-        frontier = rdn.from_arrow(pa.table({
-            "v": pa.array([seed_v], str_t)})).materialize()
-        visited = frontier
-        on, out = (("src", "dst") if direction == "fw" else ("dst", "src"))
-        for r in range(max_rounds):
-            nxt = hash_join(
-                frontier, edges, on="v", right_on=on,
-                left_schema=pa.schema([("v", str_t)]),
-                right_schema=e_schema)
-            nxt = nxt.map_batches(
-                lambda t, c=out: pa.TableGroupBy(
-                    pa.table({"v": t[c]}), ["v"]).aggregate([]),
-                batch_format="pyarrow")
-            nxt = (nxt.groupby("v").aggregate(Count(alias_name="_c"))
-                   .drop_columns(["_c"]))
-            fresh = hash_join(
-                nxt, visited, on="v", how="anti",
-                left_schema=pa.schema([("v", str_t)]),
-                right_schema=pa.schema([("v", str_t)])).materialize()
-            if fresh.count() == 0:
-                return visited
-            visited = visited.union(fresh).materialize()
-            frontier = fresh
-        raise RuntimeError(
-            f"reachability did not converge in {max_rounds} rounds")
+        return reach_fixpoint(edges, seed_v, direction,
+                              max_rounds=max_rounds)
 
     fw, bw = reach("fw"), reach("bw")
     scc = hash_join(fw, bw, on="v", how="semi",

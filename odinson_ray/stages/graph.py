@@ -726,3 +726,93 @@ def transitive_closure(edges, max_rounds: int = 20):
             return R
         n = n2
     raise RuntimeError(f"closure did not converge in {max_rounds} doublings")
+
+
+def reach_fixpoint(edges, seed_v: str, direction: str, max_rounds: int = 50):
+    """BFS reachability fixpoint from one seed over a distinct directed
+    (src, dst) edge Dataset: frontier hash-joins the edge relation until
+    no fresh vertices appear (`max_rounds` runaway guard — the
+    label_propagation discipline). direction "fw" follows src->dst,
+    "bw" follows dst->src. Returns the visited vertex Dataset (column
+    ``v``, seed included). The forward-backward pair of these is the
+    Fleischer-Hendrickson-Pinar building block shared by kg_scc_seed
+    and the bow-tie decomposition."""
+    import pyarrow as pa
+    import ray.data as rdn
+    from ray.data.aggregate import Count
+
+    from .shuffle import hash_join
+
+    str_t = pa.string()
+    e_schema = pa.schema([("src", str_t), ("dst", str_t)])
+    frontier = rdn.from_arrow(pa.table({
+        "v": pa.array([seed_v], str_t)})).materialize()
+    visited = frontier
+    on, out = (("src", "dst") if direction == "fw" else ("dst", "src"))
+    for _ in range(max_rounds):
+        nxt = hash_join(
+            frontier, edges, on="v", right_on=on,
+            left_schema=pa.schema([("v", str_t)]),
+            right_schema=e_schema)
+        nxt = nxt.map_batches(
+            lambda t, c=out: pa.TableGroupBy(
+                pa.table({"v": t[c]}), ["v"]).aggregate([]),
+            batch_format="pyarrow")
+        nxt = (nxt.groupby("v").aggregate(Count(alias_name="_c"))
+               .drop_columns(["_c"]))
+        fresh = hash_join(
+            nxt, visited, on="v", how="anti",
+            left_schema=pa.schema([("v", str_t)]),
+            right_schema=pa.schema([("v", str_t)])).materialize()
+        if fresh.count() == 0:
+            return visited
+        visited = visited.union(fresh).materialize()
+        frontier = fresh
+    raise RuntimeError(
+        f"reachability did not converge in {max_rounds} rounds")
+
+
+def bowtie_parts(edges, seed_v: str, max_rounds: int = 50):
+    """Bow-tie decomposition around the seed's SCC (Broder et al. 2000):
+    SCC = forward ∩ backward reach of the seed, IN = backward-only,
+    OUT = forward-only, OTHER = untouched vertices. Two
+    ``reach_fixpoint`` BFS fixpoints + semi/anti hash joins; nothing
+    beyond vertex sets ever materializes. Returns (entity, part)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from .shuffle import hash_join
+
+    str_t = pa.string()
+    v_schema = pa.schema([("v", str_t)])
+    fw = reach_fixpoint(edges, seed_v, "fw", max_rounds).materialize()
+    bw = reach_fixpoint(edges, seed_v, "bw", max_rounds).materialize()
+
+    scc = hash_join(fw, bw, on="v", how="semi",
+                    left_schema=v_schema, right_schema=v_schema).materialize()
+    inn = hash_join(bw, scc, on="v", how="anti",
+                    left_schema=v_schema, right_schema=v_schema)
+    out = hash_join(fw, scc, on="v", how="anti",
+                    left_schema=v_schema, right_schema=v_schema)
+
+    ents = (edges.map_batches(lambda t: pa.table({"v": t["src"]}),
+                              batch_format="pyarrow")
+            .union(edges.map_batches(lambda t: pa.table({"v": t["dst"]}),
+                                     batch_format="pyarrow"))
+            .groupby("v").aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"]))
+    touched = fw.union(bw).groupby("v").aggregate(
+        Count(alias_name="_c")).drop_columns(["_c"]).materialize()
+    other = hash_join(ents, touched, on="v", how="anti",
+                      left_schema=v_schema, right_schema=v_schema)
+
+    def lab(part):
+        return lambda t: pa.table({
+            "entity": t["v"],
+            "part": pa.array([part] * t.num_rows, pa.string()),
+        })
+
+    return (scc.map_batches(lab("SCC"), batch_format="pyarrow")
+            .union(inn.map_batches(lab("IN"), batch_format="pyarrow"))
+            .union(out.map_batches(lab("OUT"), batch_format="pyarrow"))
+            .union(other.map_batches(lab("OTHER"), batch_format="pyarrow")))

@@ -87,3 +87,46 @@ def test_attribution_window_and_ties(tmp_path):
     assert out.loc[42].first_event_id == 40  # same-ts tie: min event_id
     assert out.loc[50].first_event_id == 50  # never attributes forward
     assert set(out.index) == {12, 21, 31, 42, 50}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bowtie_all_four_parts():
+    """Hand graph exercising every bow-tie class: cycle a<->b (the SCC,
+    a is max-out-degree seed), i -> a (IN), b -> o (OUT), and an edge
+    u -> w disconnected from the seed component (OTHER)."""
+    import pyarrow as pa
+    import ray.data as rdata
+
+    from odinson_ray.stages.graph import bowtie_parts
+
+    edges = pa.table({
+        "src": pa.array(["a", "b", "i", "b", "a", "u"], pa.string()),
+        "dst": pa.array(["b", "a", "a", "o", "o2", "w"], pa.string()),
+    })
+    got = {r["entity"]: r["part"]
+           for r in bowtie_parts(rdata.from_arrow(edges), "a").take_all()}
+    assert got == {"a": "SCC", "b": "SCC", "i": "IN",
+                   "o": "OUT", "o2": "OUT", "u": "OTHER", "w": "OTHER"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compression_quality_twin(sf_dir):
+    """Recompute twin for the no-oracle compressibility signal."""
+    import zlib
+
+    from odinson_ray.pipelines.queries20 import q_compression_quality
+
+    out = (q_compression_quality(sf_dir).to_pandas()
+           .set_index("doc_id").sort_index())
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).set_index("doc_id")
+    assert len(out) == len(docs)
+    sample = docs.sample(n=min(50, len(docs)), random_state=0)
+    for did, row in sample.iterrows():
+        b = row.text.encode("utf-8")
+        assert out.loc[did, "raw_len"] == len(b)
+        assert out.loc[did, "comp_len"] == len(zlib.compress(b, 6))
+        assert out.loc[did, "comp_ratio"] == round(
+            len(zlib.compress(b, 6)) / len(b), 6)
+    # the signal separates: ratios vary across the corpus
+    assert out.comp_ratio.nunique() > 10
