@@ -3597,7 +3597,7 @@ def q_doc_perplexity(sf_dir: str):
         doc_bg, model_full, on="bg",
         left_schema=pa.schema([("doc_id", i64), ("bg", s), ("n_pos", i64)]),
         right_schema=pa.schema([("bg", s), ("c_bg", i64), ("c_head", i64)]),
-        merge_post=score_group)
+        merge_post=score_group, merge_post_coarse=True)
 
     def partial_sums(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t.select(["doc_id", "_nll", "_n"]),

@@ -108,7 +108,7 @@ def q_waiting_suppliers(sf_dir: str, late_days: int = 60, k: int = 10):
                                ("l_shipdate", pa.timestamp("us"))]),
         right_schema=pa.schema([("o_orderkey", pa.int64()),
                                 ("o_orderdate", pa.timestamp("us"))]),
-        merge_post=per_order)
+        merge_post=per_order, merge_post_coarse=True)
     agg = partials.groupby("l_suppkey").aggregate(
         Sum("pw", alias_name="numwait"))
     return global_topk(agg, ["numwait", "l_suppkey"], [True, False], k)

@@ -288,7 +288,7 @@ def q_late_order_priority(sf_dir: str, late_days: int = 60):
         right_schema=pa.schema([("o_orderkey", pa.int64()),
                                 ("o_orderdate", pa.timestamp("us")),
                                 ("o_orderpriority", pa.string())]),
-        merge_post=per_order)
+        merge_post=per_order, merge_post_coarse=True)
     return (partials.groupby("o_orderpriority")
             .aggregate(Sum("pc", alias_name="order_count"))
             .sort("o_orderpriority"))

@@ -147,7 +147,7 @@ def q_kg_inverse_candidates(sf_dir: str):
 
     matched = hash_join(fwd, rev, on="k", left_schema=kp,
                         right_schema=kp, right_suffix="_r",
-                        merge_post=pair_counts)
+                        merge_post=pair_counts, merge_post_coarse=True)
     support = matched.groupby(["r1", "r2"]).aggregate(
         Sum("pn", alias_name="support"))
 
@@ -165,7 +165,7 @@ def q_kg_inverse_candidates(sf_dir: str):
 
     return hash_join(support, n_pairs, on="r1", right_on="pred",
                      left_schema=sup_schema, right_schema=np_schema,
-                     merge_post=conf)
+                     merge_post=conf, merge_post_coarse=True)
 
 
 def _inverse_oracle(body: str) -> str:
@@ -239,7 +239,7 @@ def q_kg_path_patterns(sf_dir: str):
 
     matched = hash_join(inc, out, on="m", left_schema=mp, right_schema=mp,
                         right_suffix="_r", merge_post=cross_counts,
-                        group_filter=guard)
+                        group_filter=guard, merge_post_coarse=True)
     return matched.groupby(["r1", "r2"]).aggregate(
         Sum("pn", alias_name="n_paths"))
 

@@ -110,7 +110,7 @@ def oriented_wedges(oriented, keep_center: bool = False):
         ab, ac, on="src",
         left_schema=pa.schema([("src", _STR), ("b", _STR), ("db", pa.int64())]),
         right_schema=pa.schema([("src", _STR), ("c", _STR), ("dc", pa.int64())]),
-        merge_post=keep_ranked)
+        merge_post=keep_ranked, merge_post_coarse=True)
 
 
 def triangle_count(edges) -> int:
@@ -344,7 +344,7 @@ def adamic_adar_pairs(edges, max_center_degree: int = 1000):
         left, right, on="v",
         left_schema=pa.schema([("v", _STR), ("n1", _STR), ("w", pa.float64())]),
         right_schema=pa.schema([("v", _STR), ("n2", _STR)]),
-        merge_post=keep_ordered)
+        merge_post=keep_ordered, merge_post_coarse=True)
     return pairs.groupby(["n1", "n2"]).aggregate(Sum("w", alias_name="aa"))
 
 
@@ -438,7 +438,7 @@ def jaccard_pairs(edges, max_center_degree: int = 1000):
         left, right, on="v",
         left_schema=pa.schema([("v", _STR), ("n1", _STR)]),
         right_schema=pa.schema([("v", _STR), ("n2", _STR)]),
-        merge_post=keep_ordered)
+        merge_post=keep_ordered, merge_post_coarse=True)
     common = pairs.groupby(["n1", "n2"]).aggregate(
         Sum("c", alias_name="common"))
 

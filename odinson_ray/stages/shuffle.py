@@ -86,7 +86,8 @@ def hash_join(left, right, on: str, right_on: str | None = None,
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None,
               merge_post=None, hot_chunk_rows: int = 10_000_000,
-              partitions: int = 512, group_filter=None):
+              partitions: int = 512, group_filter=None,
+              merge_post_coarse: bool = False):
     """Distributed single-key hash join built on ``groupby().map_groups()``.
 
     Why not ``Dataset.join``: Ray 2.49's hash-shuffle join (a) crashes
@@ -127,8 +128,12 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     Arrow-call overhead per group; join keys are mostly high-cardinality
     (doc ids, entity keys), so at web scale that overhead IS the join
     cost (the same fix took asof_join's resolve 43.7 s -> 1.2 s).
-    ``merge_post`` callers keep the per-key path: their contract is a
-    single-key table (seeded cumsums, per-center ranks).
+    ``merge_post`` callers keep the per-key path by default: their
+    contract is a single-key table (seeded cumsums, per-center ranks).
+    Callers whose postprocess is itself key-grouped (it re-groups by the
+    join key internally) can pass ``merge_post_coarse=True`` to run it
+    once per coarse partition instead — per-key dispatch disappears
+    from the plan (r5: late_order_priority 6.3 s -> coarse).
 
     ``group_filter``: optional size predicate fn(n_left, n_right) -> bool
     evaluated per key group BEFORE its cross product is built; failing
@@ -153,7 +158,7 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     rpay = [c for c in rs.names if c != right_on]
     rout = {c: (c + right_suffix if c in ls.names else c) for c in rpay}
 
-    coarse = merge_post is None
+    coarse = merge_post is None or merge_post_coarse
 
     def proj_left(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -367,6 +372,19 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         right.map_batches(proj_right, batch_format="pyarrow")
     )
     if coarse:
+        if merge_post is not None:
+            # merge_post_coarse contract: the fn receives one COARSE
+            # partition's joined rows (MANY keys) and must be
+            # multi-key-safe (e.g. it groups by the join key itself).
+            # This keeps per-key postprocessing off the per-group
+            # dispatch path (the tiny-group rule) for callers whose
+            # postprocess is itself an aggregation.
+            def merge_partition_post(g: pa.Table) -> pa.Table:
+                joined = merge_partition(g)
+                return merge_post(joined) if joined.num_rows else joined
+
+            return both.groupby("_p").map_groups(
+                merge_partition_post, batch_format="pyarrow")
         return both.groupby("_p").map_groups(
             merge_partition, batch_format="pyarrow")
     return both.groupby("_k").map_groups(merge, batch_format="pyarrow")
