@@ -298,6 +298,45 @@ FROM ents
 """
 
 
+def q_kg_scc(sf_dir: str):
+    """FULL strongly-connected-component decomposition of the canonical
+    triple graph (every entity -> the lexicographically smallest member
+    of its SCC) via FW-BW-Trim (stages/graph.scc_decomposition: trim
+    peels degree-deficient singleton SCCs, pivot rounds compute
+    forward ∩ backward reach). Completes kg_scc_seed (one component) to
+    the whole decomposition. Oracle: mutual-reachability pairs from the
+    recursive transitive closure, min over each vertex's mutual set."""
+    from odinson_ray.stages.graph import scc_decomposition
+
+    from .queries4 import _kg_directed_edges
+
+    return scc_decomposition(_kg_directed_edges(sf_dir))
+
+
+def _scc_full_oracle(body: str) -> str:
+    return f"""
+WITH RECURSIVE trip AS ({body}),
+edges AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst FROM trip),
+reach(src, v) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.v
+),
+ents AS (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+mutual AS (
+  SELECT a.src AS u, a.v AS w
+  FROM reach a JOIN reach b ON a.src = b.v AND a.v = b.src
+),
+cand AS (
+  SELECT v, v AS m FROM ents
+  UNION ALL
+  SELECT u AS v, w AS m FROM mutual
+)
+SELECT v AS entity, min(m) AS scc_id FROM cand GROUP BY v
+"""
+
+
 def q_compression_quality(sf_dir: str):
     """Per-document zlib compression ratio — the compressibility quality
     signal pre-training curation pipelines use to flag boilerplate /
@@ -352,6 +391,8 @@ def register(queries: dict, oracles: dict, kg_triples_body: str) -> None:
     oracles["attribution_first_touch"] = ORACLE_ATTRIBUTION
     queries["kg_bowtie"] = q_kg_bowtie
     oracles["kg_bowtie"] = _bowtie_oracle(kg_triples_body)
+    queries["kg_scc"] = q_kg_scc
+    oracles["kg_scc"] = _scc_full_oracle(kg_triples_body)
     queries["compression_quality"] = q_compression_quality
     # no oracle for compression_quality BY DESIGN (no zlib in SQL);
     # pinned by the recompute-twin pytest

@@ -130,3 +130,49 @@ def test_compression_quality_twin(sf_dir):
             len(zlib.compress(b, 6)) / len(b), 6)
     # the signal separates: ratios vary across the corpus
     assert out.comp_ratio.nunique() > 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scc_decomposition_hand_graph():
+    """Graph with two non-trivial SCCs, a connecting chain, and
+    trim-only tails: {a,b,c} cycle, {x,y} cycle, c->x bridge,
+    i->a (IN tail), y->o->o2 (OUT chain)."""
+    import pyarrow as pa
+    import ray.data as rdata
+
+    from odinson_ray.stages.graph import scc_decomposition
+
+    edges = pa.table({
+        "src": pa.array(["a", "b", "c", "x", "y", "c", "i", "y", "o"],
+                        pa.string()),
+        "dst": pa.array(["b", "c", "a", "y", "x", "x", "a", "o", "o2"],
+                        pa.string()),
+    })
+    got = {r["entity"]: r["scc_id"]
+           for r in scc_decomposition(rdata.from_arrow(edges)).take_all()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x",
+                   "i": "i", "o": "o", "o2": "o2"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scc_decomposition_pivot_guard():
+    """A pure 2-cycle chain forces pivot rounds (no trim applies after
+    the tails are gone); the decomposition still terminates and labels
+    each 2-cycle by its smaller member."""
+    import pyarrow as pa
+    import ray.data as rdata
+
+    from odinson_ray.stages.graph import scc_decomposition
+
+    srcs, dsts = [], []
+    for i in range(2):
+        srcs += [f"p{i}a", f"p{i}b"]
+        dsts += [f"p{i}b", f"p{i}a"]
+    got = {r["entity"]: r["scc_id"]
+           for r in scc_decomposition(
+               rdata.from_arrow(pa.table({
+                   "src": pa.array(srcs, pa.string()),
+                   "dst": pa.array(dsts, pa.string()),
+               }))).take_all()}
+    assert got == {f"p{i}{s}": f"p{i}a" for i in range(2) for s in "ab"}
