@@ -710,17 +710,20 @@ def transitive_closure(edges, max_rounds: int = 20):
 
     R = edges.materialize()
     n = R.count()
+    parts = _iter_partitions(n)
     for _ in range(max_rounds):
         grown = hash_join(
-            R, hop, on="dst", right_on="mid",
+            R, hop, on="dst", right_on="mid", partitions=parts,
             left_schema=pa.schema([("src", str_t), ("dst", str_t)]),
             right_schema=pa.schema([("mid", str_t), ("nxt", str_t)]))
         new_pairs = grown.map_batches(
             lambda t: pa.table({"src": t["src"], "dst": t["nxt"]}),
             batch_format="pyarrow")
-        R = (R.union(new_pairs)
-             .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-             .drop_columns(["_c"]).materialize())
+        # _cap_blocks: union/groupby outputs inherit left+right block
+        # counts, which would grow geometrically over doubling rounds
+        R = _cap_blocks(R.union(new_pairs)
+                        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+                        .drop_columns(["_c"]), parts)
         n2 = R.count()
         if n2 == n:
             return R
