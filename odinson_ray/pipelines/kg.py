@@ -66,18 +66,16 @@ def _read_docs(sf_dir: str, docs_per_block: int):
     poorly across it (measured in bench.py). Capped at 64k blocks: past
     that, shard the job itself (state/checkpoint.py fragment runner)
     rather than asking one driver to track the block metadata."""
-    from ..sources.io import documents_path, read_table
+    from ..sources.io import document_read_columns, documents_path, read_table
 
     path = documents_path(sf_dir)
-    cols = ["doc_id", "text", "lang", "source"]
+    cols = document_read_columns(path)
     nb = None
     if path.endswith(".parquet"):
         import pyarrow.parquet as pq
 
-        meta = pq.read_metadata(path)
-        nb = min(65536, max(1, meta.num_rows // docs_per_block))
-        present = set(meta.schema.to_arrow_schema().names)
-        cols += [c for c in ("metadata", "metadata_json") if c in present]
+        rows = pq.read_metadata(path).num_rows
+        nb = min(65536, max(1, rows // docs_per_block))
     return read_table(path, columns=cols, override_num_blocks=nb)
 
 
@@ -138,16 +136,13 @@ class TripleCounter(GrammarMatcher):
         from ..stages.link import canon_key, link_surface, map_unique_strings
         from ..stages.triples import mentions_to_triples, partial_count_triples
 
-        from ..stages.triples import error_triples
+        from ..stages.triples import svo_or_error_triples
 
         mentions = super().__call__(batch)
-        events = mentions.filter(pc.equal(mentions["label"], "SVO"))
-        errs = mentions.filter(pc.equal(mentions["label"], self.ERROR_LABEL))
-        t = mentions_to_triples(events)
-        if errs.num_rows:
-            # failed docs flow as reserved error triples through the SAME
-            # canon/link/aggregate chain (see stages/triples.error_triples)
-            t = pa.concat_tables([t, error_triples(errs)])
+        # failed docs flow as reserved error triples through the SAME
+        # canon/link/aggregate chain (shared projection with the
+        # unfused path and the shard runners)
+        t = svo_or_error_triples(mentions)
         for col in ("subj", "obj"):
             t = t.append_column(
                 col + "_canon",

@@ -35,6 +35,18 @@ def dep_completions(labels) -> list:
     return opts + list(COMMANDS)
 
 
+def make_completer(options):
+    """readline-protocol completer closure over ``options`` (exposed so
+    tests exercise the SHIPPED matching logic, not a copy)."""
+    opts = list(options)
+
+    def complete(text, state):
+        matches = [o for o in opts if o.startswith(text)]
+        return matches[state] if state < len(matches) else None
+
+    return complete
+
+
 def install_completer(options) -> None:
     """Wire ``options`` into readline word completion (TAB). No-op when
     readline is unavailable (non-interactive stdin / exotic platforms)."""
@@ -43,13 +55,7 @@ def install_completer(options) -> None:
     except ImportError:
         return
 
-    opts = list(options)
-
-    def complete(text, state):
-        matches = [o for o in opts if o.startswith(text)]
-        return matches[state] if state < len(matches) else None
-
-    readline.set_completer(complete)
+    readline.set_completer(make_completer(options))
     # keep > and < inside the completed word so ">ns<TAB>" works
     readline.set_completer_delims(" \t\n")
     readline.parse_and_bind("tab: complete")

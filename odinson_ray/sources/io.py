@@ -263,3 +263,19 @@ def read_ipc(root: str):
     files = [os.path.join(root, f) for f in meta["files"]]
     return (ray.data.read_binary_files(files)
             .map_batches(decode, batch_format="pyarrow"))
+
+
+def document_read_columns(path: str) -> list:
+    """Pruned read columns for the documents table: the four the
+    deterministic annotation derives from plus caller-supplied metadata
+    columns present in the parquet footer (pruning them silently
+    dropped a corpus's metadata from the matcher before round 5).
+    Shared by the flagship read (pipelines/kg) and the shard runners
+    (state/checkpoint) so the two sniffs cannot drift."""
+    cols = ["doc_id", "text", "lang", "source"]
+    if path.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        present = set(pq.read_schema(path).names)
+        cols += [c for c in ("metadata", "metadata_json") if c in present]
+    return cols

@@ -190,9 +190,23 @@ def semdedup(sf_dir: str, k: Optional[int] = None, refinements: int = 1,
                         for v in g["embedding"]])[order][:max_cluster_rows]
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(norms == 0, 1.0, norms)
-        sim = mat @ mat.T
-        # drop row j if any i<j has sim >= tau (ids sorted ascending)
-        dup = np.triu(sim >= tau, k=1).any(axis=0)
+        # drop row j if any i<j has sim >= tau (ids sorted ascending;
+        # the dropped set is defined vs ALL lower ids, so column tiles
+        # are independent). Tiled: a full cap x cap float64 sim matrix
+        # at the 32k default cap would be ~8.6 GB in one task — tiles
+        # bound peak memory at cap x tile (~268 MB at 1024)
+        m = len(head)
+        dup = np.zeros(m, dtype=bool)
+        TILE = 1024
+        for j0 in range(1, m, TILE):
+            j1 = min(j0 + TILE, m)
+            sim_t = mat[:j1] @ mat[j0:j1].T  # rows i < j1, cols j0..j1
+            hits = sim_t >= tau
+            # mask i >= j within the tile
+            rows = np.arange(j1)[:, None]
+            cols = np.arange(j0, j1)[None, :]
+            hits &= rows < cols
+            dup[j0:j1] = hits.any(axis=0)
         kept = np.concatenate([head[~dup], ids[max_cluster_rows:]])
         return pd.DataFrame(
             {

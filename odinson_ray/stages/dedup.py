@@ -682,6 +682,10 @@ def allpairs_prefix_candidates(feat_rows, threshold: float,
     from .shuffle import hash_join
     from .sketch import _splitmix64
 
+    # feat_rows feeds BOTH the df aggregate and the join left side;
+    # without the pin the whole upstream feature extraction (per-doc
+    # shingling/tokenizing) would execute twice
+    feat_rows = feat_rows.materialize()
     dfreq = feat_rows.groupby("feat").aggregate(Count(alias_name="df"))
 
     keep_cols = ["feat", "doc_id", "n"] + ([block_col] if block_col else [])

@@ -704,14 +704,17 @@ def transitive_closure(edges, max_rounds: int = 20):
     from .shuffle import hash_join
 
     str_t = pa.string()
-    hop = edges.map_batches(
-        lambda t: pa.table({"mid": t["src"], "nxt": t["dst"]}),
-        batch_format="pyarrow").materialize()
 
     R = edges.materialize()
     n = R.count()
     parts = _iter_partitions(n)
     for _ in range(max_rounds):
+        # TRUE doubling: R_k holds all paths of length <= 2^k, so
+        # R ∘ R (not R ∘ E, which adds ONE hop per round) doubles the
+        # covered length each round — 20 rounds covers diameter 2^20
+        hop = R.map_batches(
+            lambda t: pa.table({"mid": t["src"], "nxt": t["dst"]}),
+            batch_format="pyarrow")
         grown = hash_join(
             R, hop, on="dst", right_on="mid", partitions=parts,
             left_schema=pa.schema([("src", str_t), ("dst", str_t)]),
@@ -903,6 +906,11 @@ def scc_decomposition(edges, max_pivots: int = 200, max_trim_rounds: int = 50):
                                  batch_format="pyarrow"))).materialize()
     cur_edges = edges.materialize()
     parts = _iter_partitions(cur_edges.count())
+    import ray.data as rdn
+
+    # empty graph: schema-stable empty result (out_parts would be [])
+    empty_out = rdn.from_arrow(pa.table({
+        "entity": pa.array([], str_t), "scc_id": pa.array([], str_t)}))
     out_parts = []
 
     def trim():
@@ -954,6 +962,8 @@ def scc_decomposition(edges, max_pivots: int = 200, max_trim_rounds: int = 50):
     trim()
     for _ in range(max_pivots):
         if remaining.count() == 0:
+            if not out_parts:
+                return empty_out
             return out_parts[0].union(*out_parts[1:]) if len(out_parts) > 1 \
                 else out_parts[0]
         pivot = remaining.aggregate(Min("v"))["min(v)"]

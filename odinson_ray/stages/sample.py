@@ -67,7 +67,11 @@ def _argmin_sqdist(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     O(n*k) working memory instead of the O(n*k*dim) broadcast-expansion
     kernel, which is what makes corpus-proportional k
     (curate.clusters_for_rows) feasible. First minimum = lowest cluster
-    id, the same tie rule as the naive kernel."""
+    id. NOTE: the expanded form rounds differently from the naive
+    sum((x-c)^2) kernel, so an assignment can flip only when two
+    centroid distances agree to within fp cancellation error — below
+    any meaningful cluster separation (oracle-verified on the test
+    corpora)."""
     d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
     return d.argmin(axis=1)
 

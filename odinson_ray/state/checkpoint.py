@@ -171,15 +171,12 @@ def run_sharded(
 
 
 def _doc_columns(sf_dir: str) -> list:
-    """Shard-runner read columns: the four the deterministic annotation
-    derives from, plus caller-supplied metadata columns present in the
-    footer (same sniff as pipelines/kg._read_docs — pruning them
-    silently hid a corpus's metadata from the matcher)."""
-    import pyarrow.parquet as pq
+    """Shard-runner read columns — delegates to the single shared sniff
+    (sources/io.document_read_columns) so this and the flagship read
+    cannot drift."""
+    from ..sources.io import document_read_columns
 
-    present = set(pq.read_schema(f"{sf_dir}/documents.parquet").names)
-    return (["doc_id", "text", "lang", "source"]
-            + [c for c in ("metadata", "metadata_json") if c in present])
+    return document_read_columns(f"{sf_dir}/documents.parquet")
 
 
 def _count_error_triples(shard_out: str) -> int:
@@ -188,8 +185,10 @@ def _count_error_triples(shard_out: str) -> int:
     never re-reads the payload columns)."""
     import pyarrow.dataset as pads
 
+    from ..stages.triples import ERROR_SURFACE
+
     return pads.dataset(shard_out).count_rows(
-        filter=pads.field("pred") == "__error__")
+        filter=pads.field("pred") == ERROR_SURFACE)
 
 
 def kg_run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,

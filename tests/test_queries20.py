@@ -176,3 +176,35 @@ def test_scc_decomposition_pivot_guard():
                    "dst": pa.array(dsts, pa.string()),
                }))).take_all()}
     assert got == {f"p{i}{s}": f"p{i}a" for i in range(2) for s in "ab"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_transitive_closure_deep_chain():
+    """A 25-edge chain needs true path DOUBLING: +1-hop-per-round would
+    exhaust max_rounds=20 (the regression the round-5 review caught)."""
+    import pyarrow as pa
+    import ray.data as rdata
+
+    from odinson_ray.stages.graph import transitive_closure
+
+    n = 26
+    edges = pa.table({
+        "src": pa.array([f"v{i:02d}" for i in range(n - 1)], pa.string()),
+        "dst": pa.array([f"v{i + 1:02d}" for i in range(n - 1)], pa.string()),
+    })
+    got = transitive_closure(rdata.from_arrow(edges)).count()
+    assert got == n * (n - 1) // 2  # all ordered pairs i < j
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scc_empty_graph():
+    import pyarrow as pa
+    import ray.data as rdata
+
+    from odinson_ray.stages.graph import scc_decomposition
+
+    empty = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+    out = scc_decomposition(rdata.from_arrow(empty))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"entity", "scc_id"}

@@ -26,15 +26,11 @@ def test_fixture_labels_from_graph():
 
 
 def test_completer_prefix_matching():
-    """The completer closure proposes exactly the prefix matches, in
-    option order, then None."""
-    from odinson_ray.shell import dep_completions
+    """The SHIPPED completer closure proposes exactly the prefix
+    matches, in option order, then None."""
+    from odinson_ray.shell import dep_completions, make_completer
 
-    opts = dep_completions(["nsubj", "nmod", "dobj"])
-
-    def complete(text, state):
-        matches = [o for o in opts if o.startswith(text)]
-        return matches[state] if state < len(matches) else None
+    complete = make_completer(dep_completions(["nsubj", "nmod", "dobj"]))
 
     assert complete(">n", 0) == ">nmod"
     assert complete(">n", 1) == ">nsubj"
