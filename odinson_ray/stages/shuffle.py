@@ -380,8 +380,13 @@ def hash_join(left, right, on: str, right_on: str | None = None,
             # dispatch path (the tiny-group rule) for callers whose
             # postprocess is itself an aggregation.
             def merge_partition_post(g: pa.Table) -> pa.Table:
-                joined = merge_partition(g)
-                return merge_post(joined) if joined.num_rows else joined
+                # merge_post runs on EMPTY joined tables too: a partition
+                # whose keys all fail to match still emits a block, and
+                # skipping the callback there would leak the pre-post
+                # schema into the dataset (schema unification / downstream
+                # aggregates then fail when every partition is empty).
+                # merge_post_coarse callers must therefore be empty-safe.
+                return merge_post(merge_partition(g))
 
             return both.groupby("_p").map_groups(
                 merge_partition_post, batch_format="pyarrow")
