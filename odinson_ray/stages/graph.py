@@ -864,20 +864,25 @@ def scc_decomposition(edges, max_pivots: int = 200, max_trim_rounds: int = 50):
     directed (src, dst) edge Dataset: returns (entity, scc_id) for every
     vertex, scc_id = the component's lexicographically smallest member.
 
-    FW-BW-Trim (Fleischer-Hendrickson-Pinar + the standard trim step):
-    TRIM repeatedly peels vertices with no in- or no out-edge inside the
-    remaining subgraph (each is its own singleton SCC — this removes the
-    long tail that would otherwise cost one pivot per vertex), then one
-    PIVOT round computes the pivot's SCC as forward ∩ backward reach and
-    removes it; trim and pivot alternate until nothing remains. The
-    pivot is the lexicographically smallest remaining vertex
-    (deterministic). ``max_pivots`` is the sequential-driver guard: this
-    implementation processes one pivot at a time, which is exact but
-    serializes on the number of non-trivial SCCs — at true web scale
-    the FW-BW recursion runs the three partition remainders (IN, OUT,
-    REST) as parallel sub-jobs instead; the per-step dataflow here
-    (reach fixpoints + semi/anti joins) is exactly what those sub-jobs
-    run.
+    FW-BW-Trim (Fleischer-Hendrickson-Pinar + the standard trim step)
+    over a WORK QUEUE of independent subproblems:
+
+      TRIM   peels vertices with no in- or no out-edge inside the
+             subproblem (each is its own singleton SCC — removes the
+             long tail that would otherwise cost one pivot per vertex);
+             one fused min/max-side groupby per round.
+      PIVOT  the subproblem's lexicographically smallest vertex;
+             SCC = forward ∩ backward reach.
+      SPLIT  the remainder partitions into FW-only, BW-only and REST —
+             every SCC lies entirely within ONE part (the FW-BW
+             theorem), so the three parts are INDEPENDENT subproblems
+             and are re-enqueued with their induced edge sets.
+
+    The queue is drained sequentially here (single driver); at cluster
+    scale each queue item is an independent sub-job and the expected
+    depth is O(log n). ``max_pivots`` bounds total pivot rounds across
+    all subproblems — a guard against adversarial graphs whose parts
+    never shrink, not a semantic limit.
     """
     import numpy as np
     import pyarrow as pa
@@ -899,95 +904,100 @@ def scc_decomposition(edges, max_pivots: int = 200, max_trim_rounds: int = 50):
 
         return part_ds.map_batches(f, batch_format="pyarrow")
 
-    remaining = _distinct_v(
+    all_v = _distinct_v(
         edges.map_batches(lambda t: pa.table({"v": t["src"]}),
                           batch_format="pyarrow")
         .union(edges.map_batches(lambda t: pa.table({"v": t["dst"]}),
                                  batch_format="pyarrow"))).materialize()
-    cur_edges = edges.materialize()
-    parts = _iter_partitions(cur_edges.count())
+    parts = _iter_partitions(edges.count())
     import ray.data as rdn
 
-    # empty graph: schema-stable empty result (out_parts would be [])
     empty_out = rdn.from_arrow(pa.table({
         "entity": pa.array([], str_t), "scc_id": pa.array([], str_t)}))
     out_parts = []
 
-    def trim():
-        # per round: ONE groupby classifies every edge endpoint (side
-        # rows b=1 for src, b=2 for dst; min==1 AND max==2 <=> the
-        # vertex has an in- AND an out-edge inside the remaining
-        # subgraph — duplicates are harmless under min/max, so no
-        # distinct pass), one anti join names the singleton SCCs, two
-        # semi joins shrink the edge set. The driver-coordinated loop's
-        # cost IS the per-round op count, so the round is kept to 4 ops.
-        nonlocal remaining, cur_edges
-        from ray.data.aggregate import Max, Min
+    def induced(e, verts):
+        """Edges with BOTH endpoints in ``verts``."""
+        return _cap_blocks(hash_join(
+            hash_join(e, verts, on="src", right_on="v", how="semi",
+                      left_schema=e_schema, right_schema=v_schema,
+                      partitions=parts),
+            verts, on="dst", right_on="v", how="semi", partitions=parts,
+            left_schema=e_schema, right_schema=v_schema), parts)
+
+    def anti_v(a, b):
+        return _cap_blocks(hash_join(
+            a, b, on="v", how="anti", left_schema=v_schema,
+            right_schema=v_schema, partitions=parts), parts)
+
+    def semi_v(a, b):
+        return _cap_blocks(hash_join(
+            a, b, on="v", how="semi", left_schema=v_schema,
+            right_schema=v_schema, partitions=parts), parts)
+
+    def trim(verts, e):
+        """Peel degree-deficient singleton SCCs; returns the trimmed
+        (verts, edges) core (possibly empty)."""
+        from ray.data.aggregate import Max, Min as MinA
 
         for _ in range(max_trim_rounds):
-            sides = (cur_edges.map_batches(
+            sides = (e.map_batches(
                         lambda t: pa.table({
                             "v": t["src"],
                             "b": pa.array(np.ones(t.num_rows, np.int64))}),
                         batch_format="pyarrow")
-                     .union(cur_edges.map_batches(
+                     .union(e.map_batches(
                         lambda t: pa.table({
                             "v": t["dst"],
                             "b": pa.array(np.full(t.num_rows, 2, np.int64))}),
                         batch_format="pyarrow")))
-            agg = sides.groupby("v").aggregate(Min("b", alias_name="mn"),
+            agg = sides.groupby("v").aggregate(MinA("b", alias_name="mn"),
                                                Max("b", alias_name="mx"))
             both = _cap_blocks(agg.map_batches(
                 lambda t: t.filter(pc.and_(pc.equal(t["mn"], 1),
                                            pc.equal(t["mx"], 2)))
                 .select(["v"]),
                 batch_format="pyarrow"), parts)
-            singles = hash_join(remaining, both, on="v", how="anti",
-                                left_schema=v_schema, partitions=parts,
-                                right_schema=v_schema).materialize()
+            singles = anti_v(verts, both)
             if singles.count() == 0:
-                return
+                return verts, e
             out_parts.append(label(singles, None))
-            # every surviving edge endpoint is in `both`, so it IS the
-            # new remaining set — no extra join
-            remaining = both
-            cur_edges = _cap_blocks(hash_join(
-                hash_join(cur_edges, both, on="src", right_on="v",
-                          how="semi", left_schema=e_schema,
-                          right_schema=v_schema, partitions=parts),
-                both, on="dst", right_on="v", how="semi", partitions=parts,
-                left_schema=e_schema, right_schema=v_schema), parts)
+            verts = both  # every surviving edge endpoint is in `both`
+            e = induced(e, both)
         raise RuntimeError(f"trim did not converge in {max_trim_rounds} rounds")
 
-    trim()
-    for _ in range(max_pivots):
-        if remaining.count() == 0:
-            if not out_parts:
-                return empty_out
-            return out_parts[0].union(*out_parts[1:]) if len(out_parts) > 1 \
-                else out_parts[0]
-        pivot = remaining.aggregate(Min("v"))["min(v)"]
-        fw = reach_fixpoint(cur_edges, pivot, "fw",
-                            partitions=parts).materialize()
-        bw = reach_fixpoint(cur_edges, pivot, "bw",
-                            partitions=parts).materialize()
-        scc = hash_join(fw, bw, on="v", how="semi",
-                        left_schema=v_schema, partitions=parts,
-                        right_schema=v_schema).materialize()
+    queue = [(edges.materialize(), all_v)]
+    pivots = 0
+    while queue:
+        e, verts = queue.pop()
+        if verts.count() == 0:
+            continue
+        verts, e = trim(verts, e)
+        if verts.count() == 0:
+            continue
+        if pivots >= max_pivots:
+            raise RuntimeError(
+                f"scc_decomposition exceeded {max_pivots} pivot rounds — "
+                "raise max_pivots, or run the queue items as parallel "
+                "sub-jobs for this graph")
+        pivots += 1
+        pivot = verts.aggregate(Min("v"))["min(v)"]
+        fw = reach_fixpoint(e, pivot, "fw", partitions=parts).materialize()
+        bw = reach_fixpoint(e, pivot, "bw", partitions=parts).materialize()
+        scc = semi_v(fw, bw)
         scc_id = scc.aggregate(Min("v"))["min(v)"]
         out_parts.append(label(scc, scc_id))
-        remaining = _cap_blocks(
-            hash_join(remaining, scc, on="v", how="anti",
-                      left_schema=v_schema, partitions=parts,
-                      right_schema=v_schema), parts)
-        not_scc = remaining
-        cur_edges = _cap_blocks(hash_join(
-            hash_join(cur_edges, not_scc, on="src", right_on="v",
-                      how="semi", left_schema=e_schema,
-                      right_schema=v_schema, partitions=parts),
-            not_scc, on="dst", right_on="v", how="semi", partitions=parts,
-            left_schema=e_schema, right_schema=v_schema), parts)
-        trim()
-    raise RuntimeError(
-        f"scc_decomposition exceeded {max_pivots} sequential pivots — "
-        "run the FW-BW recursion as parallel sub-jobs for this graph")
+        # FW-BW split: every remaining SCC lies entirely inside ONE of
+        # fw-only / bw-only / rest, so the three induced subgraphs are
+        # independent subproblems
+        fw_only = anti_v(fw, scc)
+        bw_only = anti_v(bw, scc)
+        rest = anti_v(anti_v(verts, fw), bw)
+        for part_v in (fw_only, bw_only, rest):
+            if part_v.count() > 0:
+                queue.append((induced(e, part_v), part_v))
+
+    if not out_parts:
+        return empty_out
+    return out_parts[0].union(*out_parts[1:]) if len(out_parts) > 1 \
+        else out_parts[0]
