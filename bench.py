@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "attribution_first_touch",
     "kg_bowtie",
     "compression_quality",
+    "supplier_part_counts",
 ]
 
 

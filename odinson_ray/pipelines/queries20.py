@@ -380,6 +380,92 @@ SELECT src AS entity, count(*) AS n_reach FROM reach GROUP BY src
 """
 
 
+def q_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 class: DISTINCT supplier count per (p_brand, p_size)
+    over the lineitem part-supplier links, excluding one brand and the
+    complaint-list suppliers (here: negative account balance — the
+    NOT IN side).
+
+    Shape: both exclusion sides are DIMENSION-bounded and broadcast
+    once via ray.put (part attrs keyed by partkey, bad-supplier id
+    set); the fact scan collapses to per-batch distinct
+    (brand, size, suppkey) rows, ONE groupby dedups them globally, and
+    a count combiner + second small groupby yields the per-cell
+    distinct counts — the fact table is never joined through a
+    shuffle."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from odinson_ray.stages.link import get_broadcast
+    from odinson_ray.stages.shuffle import rename_agg
+
+    from ..sources.io import clean_rd as rd
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_size"])
+    attrs = {}
+    for b in part.iter_batches(batch_format="pyarrow"):
+        for k, br, sz in zip(b["p_partkey"].to_pylist(),
+                             b["p_brand"].to_pylist(),
+                             b["p_size"].to_pylist()):
+            if br != "Brand#13":
+                attrs[int(k)] = (br, int(sz))
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_acctbal"])
+    bad = set()
+    for b in supp.iter_batches(batch_format="pyarrow"):
+        for k, a in zip(b["s_suppkey"].to_pylist(),
+                        b["s_acctbal"].to_pylist()):
+            if a < 0:
+                bad.add(int(k))
+    ref = ray.put((attrs, frozenset(bad)))
+
+    def cells(t: pa.Table) -> pa.Table:
+        attrs_b, bad_b = get_broadcast(ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        seen = set()
+        for p_, s_ in zip(pk, sk):
+            a = attrs_b.get(int(p_))
+            if a is not None and int(s_) not in bad_b:
+                seen.add((a[0], a[1], int(s_)))
+        if not seen:
+            return pa.table({"p_brand": pa.array([], pa.string()),
+                             "p_size": pa.array([], pa.int64()),
+                             "supp": pa.array([], pa.int64())})
+        br, sz, sp = zip(*sorted(seen))
+        return pa.table({"p_brand": pa.array(br, pa.string()),
+                         "p_size": pa.array(sz, pa.int64()),
+                         "supp": pa.array(sp, pa.int64())})
+
+    links = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+    distinct = (links.map_batches(cells, batch_format="pyarrow")
+                .groupby(["p_brand", "p_size", "supp"])
+                .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["p_brand", "p_size"]),
+                            ["p_brand", "p_size"]).aggregate([([], "count_all")])
+        return rename_agg(g, ["p_brand", "p_size"],
+                          ["p_brand", "p_size", "pn"])
+
+    return (distinct.map_batches(count_partial, batch_format="pyarrow")
+            .groupby(["p_brand", "p_size"])
+            .aggregate(Sum("pn", alias_name="supplier_cnt")))
+
+
+ORACLE_SUPPLIER_PART_COUNTS = """
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
 def register(queries: dict, oracles: dict, kg_triples_body: str) -> None:
     queries["dup_passage_coverage"] = q_dup_passage_coverage
     oracles["dup_passage_coverage"] = ORACLE_DUP_PASSAGE_COVERAGE
@@ -393,6 +479,8 @@ def register(queries: dict, oracles: dict, kg_triples_body: str) -> None:
     oracles["kg_bowtie"] = _bowtie_oracle(kg_triples_body)
     queries["kg_scc"] = q_kg_scc
     oracles["kg_scc"] = _scc_full_oracle(kg_triples_body)
+    queries["supplier_part_counts"] = q_supplier_part_counts
+    oracles["supplier_part_counts"] = ORACLE_SUPPLIER_PART_COUNTS
     queries["compression_quality"] = q_compression_quality
     # no oracle for compression_quality BY DESIGN (no zlib in SQL);
     # pinned by the recompute-twin pytest
